@@ -1,0 +1,37 @@
+"""Fixture-table loaders.
+
+``tables(spark, sf_dir)`` returns a dict of lazily-planned DataFrames, one
+per driver fixture table. Reads are plain ``spark.read.parquet`` so
+Catalyst's column pruning / predicate pushdown reach the scan; schemas are
+pinned (schemas.py) to keep types stable across scale factors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import FIXTURE_SCHEMAS
+
+TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pinned schema (no inference) — required for the streaming source and
+    # keeps TimestampType (not NTZ) uniform across Spark versions/configs.
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
+        os.path.join(sf_dir, f"{name}.parquet")
+    )
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for n in TABLE_NAMES:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)

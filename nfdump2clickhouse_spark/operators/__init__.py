@@ -1,0 +1,6 @@
+"""SURVEY §2 operator inventory, grouped by family.
+
+Importing this package registers every query key in the registry.
+"""
+
+from . import aggregations  # noqa: F401

@@ -1,0 +1,40 @@
+"""Parametrized replica of the driver's t2 gate: every registered query key
+runs on Spark and (when an oracle exists) must match DuckDB exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from nfdump2clickhouse_spark import registry
+from tests.oracle_utils import compare_frames
+
+SPECS = registry.all_specs()
+
+
+@pytest.mark.parametrize("key", sorted(SPECS))
+def test_query_vs_oracle(key, spark, ddb, sf_dir):
+    spec = SPECS[key]
+    sdf = spec.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        # rows-only: must execute and produce a stable schema
+        assert spark_pdf is not None
+        assert len(sdf.columns) > 0
+        return
+    oracle_pdf = ddb.execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, key)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_every_query_has_spec_contract():
+    qs = registry.queries()
+    os_ = registry.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) > 0
