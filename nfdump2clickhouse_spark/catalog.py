@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .schemas import FIXTURE_SCHEMAS
 
@@ -22,9 +24,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pinned schema (no inference) — required for the streaming source and
     # keeps TimestampType (not NTZ) uniform across Spark versions/configs.
-    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
-        os.path.join(sf_dir, f"{name}.parquet")
-    )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS): illegal for Spark's reader, so read
+        # the physical int64 (nanosAsLong, session.py) and truncate ns→µs —
+        # same floor-division DuckDB applies when comparing at µs precision.
+        raw = StructType(
+            [
+                StructField("ts", LongType())
+                if f.name == "ts"
+                else f
+                for f in FIXTURE_SCHEMAS[name].fields
+            ]
+        )
+        return (
+            spark.read.schema(raw)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -4,3 +4,4 @@ Importing this package registers every query key in the registry.
 """
 
 from . import aggregations  # noqa: F401
+from . import relational  # noqa: F401

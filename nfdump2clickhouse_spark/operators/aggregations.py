@@ -57,3 +57,244 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "agg_groupby_time",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+           event_type,
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(*)             AS n
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
+def agg_groupby_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical flows dashboard query: traffic per 10-min bucket per
+    type (ClickHouse `toStartOfTenMinutes` [P])."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes").start.alias("bucket"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (ClickHouse `uniqExact` [P]): distinct sources per
+    class. Two-phase distinct-agg shuffle; scale path is approx below."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches differ by engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality (ClickHouse `uniq` [P]) — the 100 TB path for
+    distinct-count: no shuffle of raw values, only sketch merge."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
+             AS purchase_value,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sumIf/countIf [P] — single-pass conditional aggregates."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 4
+        ).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+           ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(yr, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    return o.rollup("yr", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets + grouping_id via the SQL entry point (E1'
+    SURVEY §3.2) — exercises spark.sql over registered views."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_quantile",
+    oracle="""
+    SELECT event_type,
+           list_transform(quantile_cont(value, [0.5, 0.9]), x -> round(x, 4)) AS pcts
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (ClickHouse `quantile` [P])."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.transform(
+            F.expr("percentile(value, array(0.5, 0.9))"), lambda x: F.round(x, 4)
+        ).alias("pcts")
+    )
+
+
+@register("agg_percentile_approx")  # rows-only: sketch algorithms differ
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile — the 100 TB path (t-digest-style, mergeable)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_pcts")
+    )
+
+
+@register(
+    "agg_argmax",
+    # events.value has 2-dp precision so ties are real; the ordering key is
+    # (value, event_id) on both sides. DuckDB's arg_max can't take a struct
+    # key, so the oracle states the same semantics as a window.
+    oracle="""
+    SELECT user_id, top_event, bottom_event, max_value FROM (
+      SELECT user_id,
+             FIRST_VALUE(event_id) OVER
+               (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS top_event,
+             FIRST_VALUE(event_id) OVER
+               (PARTITION BY user_id ORDER BY value ASC, event_id ASC)  AS bottom_event,
+             ROUND(MAX(value) OVER (PARTITION BY user_id), 4)           AS max_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse argMax/argMin [P] → Spark max_by/min_by with a composite
+    (value, event_id) ordering key for tie determinism (SURVEY §5.3.3)."""
+    e = table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("value"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", ord_key).alias("top_event"),
+        F.min_by("event_id", ord_key).alias("bottom_event"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation, canonicalized by sort (SURVEY §5.3)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+
+
+@register(
+    "agg_stddev_var",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4)              AS sd_qty,
+           ROUND(var_samp(l_discount), 4)                 AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 4)    AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )

@@ -27,6 +27,9 @@ def get_spark(app_name: str = "spark-flows", master: str | None = None) -> Spark
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark can't read as
+        # TimestampType; read the raw int64 and convert in catalog.table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
