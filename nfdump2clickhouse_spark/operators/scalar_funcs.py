@@ -1,0 +1,309 @@
+"""Scalar-function surface (SURVEY §2.8): string / date / math /
+conditional / array / map / json / ip families, each exercised as a query
+key. All built-in pyspark.sql.functions — JVM-side, inside whole-stage
+codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..functions.ip import ip_in_cidr, ipv4_to_num
+from ..registry import register
+
+
+@register(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                                   AS name_lc,
+           upper(p_brand)                                  AS brand_uc,
+           substr(p_name, 1, 8)                            AS name_pre,
+           concat(p_brand, ':', p_type)                    AS brand_type,
+           length(p_name)                                  AS name_len,
+           trim(p_name)                                    AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_pad,
+           replace(p_type, ' ', '_')                       AS type_us,
+           regexp_extract(p_name, '([a-z]+)', 1)           AS first_word,
+           regexp_replace(p_name, '[aeiou]', '.', 'g')     AS devowel
+    FROM part
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_pre"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", ".").alias("devowel"),
+    )
+
+
+@register(
+    "str_split_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → word counts (the classic distributed word
+    count; partial aggregation makes the shuffle carry only counts)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS yr,
+           CAST(month(o_orderdate) AS INTEGER)   AS mo,
+           CAST(day(o_orderdate) AS INTEGER)     AS dom,
+           CAST(hour(o_orderdate) AS INTEGER)    AS hr,
+           date_trunc('month', o_orderdate)      AS month_start,
+           o_orderdate + INTERVAL 7 DAY          AS plus_week,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER)
+                                                 AS days_to_y2k,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.hour("o_orderdate").alias("hr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("plus_week"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                    AS price_r,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT)         AS qty_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT)        AS qty_floor,
+           ROUND(ln(l_extendedprice), 4)                AS price_ln,
+           ROUND(log10(l_extendedprice), 4)             AS price_log10,
+           ROUND(pow(l_quantity, 2), 4)                 AS qty_sq,
+           ROUND(sqrt(l_extendedprice), 4)              AS price_sqrt,
+           GREATEST(l_quantity, 25.0)                   AS qty_hi,
+           LEAST(l_quantity, 25.0)                      AS qty_lo,
+           CAST(l_quantity AS BIGINT) % 7               AS qty_mod
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_floor"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice")), 4).alias("price_log10"),
+        F.round(F.pow(F.col("l_quantity"), 2), 4).alias("qty_sq"),
+        F.round(F.sqrt(F.col("l_extendedprice")), 4).alias("price_sqrt"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+        # quantity is integer-valued (verified); cast is exact in both engines
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                        AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'X')   AS status_x,
+           IF(o_orderpriority = '1-URGENT', 1, 0)      AS is_urgent
+    FROM orders
+    """,
+)
+def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("X")).alias(
+            "status_x"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                     AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4)             AS first_val,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4))
+                                                              AS head3,
+           len(list_filter(embedding, x -> x > 0))            AS n_pos,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum'), 4)                    AS vec_sum
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array builtins + higher-order lambdas on ArrayType(Float) — float32
+    cast to double before arithmetic (SURVEY §5.3.6)."""
+    e = table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        ).alias("head3"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+    )
+
+
+@register(
+    "array_posexplode",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1        AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4)  AS val
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("raw").cast("double"), 4).alias("val"),
+    )
+
+
+@register(
+    "map_funcs",
+    # DuckDB's MAP explode story is weak; the oracle re-derives the pairs
+    # (SURVEY §2.8 note) — semantics, not syntax, are what's checked.
+    oracle="""
+    SELECT event_id, 'type' AS k, event_type AS v FROM events WHERE event_id < 1000
+    UNION ALL
+    SELECT event_id, 'user', CAST(user_id AS VARCHAR) FROM events WHERE event_id < 1000
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map column, then explode it back to (key, value) rows."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    return e.select("event_id", m.alias("m")).select(
+        "event_id", F.explode("m").alias("k", "v")
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT))           AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON `props` column (events fixture)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+@register(
+    "ip_funcs",
+    oracle="""
+    SELECT user_id, ip,
+           CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+         + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+         + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+         + CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_num
+    FROM (SELECT DISTINCT user_id,
+                 '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.7' AS ip
+          FROM events)
+    """,
+)
+def ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4StringToNum [P] — fixtures lack IPs, so synthesize
+    per SURVEY §2.8 and parse with the engine's ip library."""
+    e = table(spark, sf_dir, "events")
+    ip = F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".7"))
+    return (
+        e.select("user_id", ip.alias("ip"))
+        .distinct()
+        .withColumn("ip_num", ipv4_to_num(F.col("ip")))
+    )
+
+
+@register(
+    "filter_cidr",
+    oracle="""
+    SELECT user_id, ip FROM (
+      SELECT DISTINCT user_id,
+             '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.7' AS ip
+      FROM events)
+    WHERE CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+        + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+        + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+        + CAST(split_part(ip, '.', 4) AS BIGINT)
+          BETWEEN 167772160 AND 167776255
+    """,
+)
+def filter_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR membership 10.0.0.0/20 compiled to a [lo, hi] range on the
+    numeric address — pushdown-capable (SURVEY §4.3.2), unlike any
+    string-prefix formulation."""
+    e = table(spark, sf_dir, "events")
+    ip = F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".7"))
+    df = e.select("user_id", ip.alias("ip")).distinct()
+    return df.filter(ip_in_cidr(ipv4_to_num(F.col("ip")), "10.0.0.0/20"))

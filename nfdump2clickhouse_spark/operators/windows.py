@@ -1,0 +1,186 @@
+"""Window-function operators (SURVEY §2.5).
+
+The flows query surface's ranking/cumulative analytics (top talkers,
+running byte counts, trailing-5-min traffic [P]). Every window ORDER BY
+carries a unique tiebreaker (SURVEY §5.3.3). Windows partition by a key —
+at scale each partition's state stays on one executor; no global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rnum,
+           RANK() OVER w       AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-talkers ranking per partition (row_number/rank/dense_rank)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rnum"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value, 4)                    AS value,
+           ROUND(LAG(value, 1)  OVER w, 4)    AS prev_value,
+           ROUND(LEAD(value, 1) OVER w, 4)    AS next_value,
+           LAG(event_type, 1) OVER w          AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event per user — session-reconstruction primitive."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum (running byte counter analog)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mavg")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS trailing_5min
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame: trailing-300 s sum over epoch seconds (the flows
+    'traffic in the last 5 minutes' rolling query [P])."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-300, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_5min"),
+    )
+
+
+@register(
+    "win_ntile_first_last",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(c_custkey) OVER w AS richest,
+           LAST_VALUE(c_custkey)  OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w).alias("richest"),
+        F.last("c_custkey").over(w_full).alias("poorest"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER
+      (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group (ClickHouse LIMIT BY [P]) — window + filter; Spark
+    optimizes to a per-partition top-k (WindowGroupLimit), no full sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
