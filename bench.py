@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing excludes driver-side result transfer: each query executes to the
+noop sink (full plan runs, rows are materialized and discarded executor-
+side), which is what cluster throughput actually measures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nfdump2clickhouse_spark import registry
+from nfdump2clickhouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship plus the heaviest operator per family.
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_groupby_time",
+    "agg_count_distinct",
+    "join_multiway",
+    "join_theta_range",
+    "join_asof",
+    "win_running_sum",
+    "topk_per_group",
+    "win_tumbling",
+    "dedup_keep_first",
+    "str_split_explode",
+    "text_tfidf",
+    "udf_pandas_scalar",
+    "sim_cosine_centroid",
+    "sim_topk_pairs",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("spark-flows-bench")
+    qs = registry.queries()
+    # JVM/codegen warmup on the flagship (not timed)
+    qs["agg_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        qs[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[key] = round(time.perf_counter() - t0, 3)
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Approximate-nearest-neighbor search over the embedding column
+(driver-mandated extension): brute-force cosine top-k as the correctness
+baseline, IVF cell-probing as the scale path.
+
+At 100 TB: the query set broadcasts against a partitioned vector table;
+IVF assignment is one broadcast join against the centroid table (k×dim,
+tiny), and probing touches only the probed cells' partitions — write the
+vector table partitioned by cell id to get partition pruning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..functions.similarity import as_double, cosine, dot
+from ..registry import register
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY ROW_NUMBER() OVER
+      (PARTITION BY q.vec_id ORDER BY cos_sim DESC, c.vec_id) <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 neighbors for a 10-query batch — the exactness
+    baseline every ANN variant is measured against. Ranking uses the
+    rounded similarity + id tiebreak (SURVEY §5.3)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qemb"), F.col("cemb")), 4).alias("cos_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@register("ann_ivf_probe")  # rows-only: recall (not exact output) is the contract
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest centroid cell
+    (here: per-label centroids as the trained codebook); each query probes
+    its 2 nearest cells only, then ranks within them. Scan cost drops from
+    N to N·(probes/cells) — the 100 TB path, with cells as partition keys.
+    """
+    e = table(spark, sf_dir, "embeddings").withColumn("emb", as_double("embedding"))
+    ex = e.select("vec_id", "label", F.posexplode("emb").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    # assign every vector to its nearest cell (broadcast the codebook)
+    dist = dot(F.col("emb"), F.col("emb")) - 2 * dot(F.col("emb"), F.col("centroid")) + dot(
+        F.col("centroid"), F.col("centroid")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("d2", dist)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), "cell")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "emb", "cell")
+    )
+    # queries probe their 2 nearest cells
+    probes = (
+        e.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", dist)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), "cell")
+            ),
+        )
+        .filter(F.col("_rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "cell")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

@@ -1,0 +1,165 @@
+"""Training-data dedup family beyond MinHashLSH: exact-SQL n-gram Jaccard,
+SimHash, and embedding-cosine near-dup (driver-mandated extensions).
+
+Scale shape: all three avoid the all-pairs product — Jaccard pairs come
+from an inverted shingle index join; SimHash candidates from equal band
+keys; cosine near-dup reuses the same bounded pair space as sim_topk_pairs
+(swap in LSH/IVF candidates beyond fixture scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..functions.similarity import as_double, cosine
+from ..functions.text import shingles, words
+from ..registry import register
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, ROUND(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+    FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup docs by exact word-3-gram Jaccard ≥ 0.3 via an inverted
+    shingle index: pair rows are generated only for docs sharing a
+    shingle (|shingle| buckets, never |docs|²), the dedup'd shingle side
+    broadcasts, and the pair counts partial-aggregate map-side before the
+    single shuffle.
+
+    Scale note: on Zipfian real-text corpora, add PPJoin prefix filtering
+    (candidates only from each doc's rarest |x|-ceil(t·|x|)+1 shingles —
+    lossless for threshold t) before this join; on this fixture's
+    uniform 31-word vocab a prefix prunes nothing (measured 5× slower),
+    so the plain inverted index is the right plan here."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles(words(F.col("text")))).alias("shingle"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        a.join(F.broadcast(b), ["shingle"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    x = sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    y = sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        inter.join(F.broadcast(x), "id1")
+        .join(F.broadcast(y), "id2")
+        .filter(jac >= 0.3)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 family is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign-aggregated bit votes of
+    per-word xxhash64; candidates = equal 16-bit bands (4 bands → Hamming
+    ≤ 3 guaranteed recall is probabilistic). Entirely JVM-side column
+    arithmetic; the band join is the scale path (no all-pairs)."""
+    d = table(spark, sf_dir, "documents").withColumn("ws", words(F.col("text")))
+    # one xxhash64 per word, reused by all 64 bit votes
+    d = d.withColumn("hs", F.transform("ws", lambda w: F.xxhash64(w)))
+    # bit votes: for each of 64 bits, +1 if set else -1, summed over words;
+    # bit position must be a literal (shiftright takes no Column), so build
+    # 64 static expressions
+    def _vote(b: int):
+        # closure (not a default arg): pyspark reads lambda arity to decide
+        # how many variables to bind, so the merge fn must be exactly binary
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    votes = [F.aggregate(F.col("hs"), F.lit(0), _vote(b)) for b in range(64)]
+    # two's complement assembly: bit 63 contributes -2^63
+    sig = sum(
+        [
+            F.when(
+                votes[b] > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(64)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+    sigs = d.select("doc_id", sig.alias("simhash"))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = bands.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "bk")
+    b = bands.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "bk")
+    cand = (
+        a.join(b, ["bk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 12)
+        .select("id1", "id2", "hamming")
+        .orderBy("hamming", "id1", "id2")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ 0.45 (fixture max is
+    ~0.51; real corpora use ~0.95), via the same blocked GEMM as
+    sim_topk_pairs with a threshold instead of top-k."""
+    from ..functions.similarity import blocked_pair_topk
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    return blocked_pair_topk(e, n_blocks=8, per_block_k=None, threshold=0.45).select(
+        "id1", "id2", "cos_sim"
+    )

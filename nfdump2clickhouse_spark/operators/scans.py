@@ -1,0 +1,174 @@
+"""Scans / sources / sinks / retention query keys (SURVEY §2.1) and the
+streaming-only keys (§2.9) — each rows-only streaming key runs a REAL
+StreamingQuery end-to-end (streaming/pipeline.py) on temp dirs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import date
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import register
+from ..sources.flows import read_flow_csv, write_flow_files
+from ..sources.sinks import drop_expired_partitions, write_flows_partitioned
+from ..streaming import pipeline as sp
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected parquet scan — ReadSchema carries only the 4 columns
+    (Catalyst column pruning; the reference prunes manually in pandas [P]).
+    """
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+
+
+@register("scan_csv_typed")  # rows-only: models the `nfdump -o csv` decode [P]
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema CSV ingest of nfcapd-style rotated files + the
+    reference's 48→13 projection (sources/flows.py)."""
+    d = tempfile.mkdtemp(prefix="sf_csv_")
+    write_flow_files(spark, d, n_files=2, rows_per_file=150, fmt="csv")
+    df = read_flow_csv(spark, os.path.join(d, "*"), flowsrc="csvsrc")
+    return df.select("ts", "sa", "da", "sp", "dp", "pr", "ipkt", "ibyt", "flowsrc", "sa_num")
+
+
+@register("sink_parquet_part")  # rows-only: read-back count check
+def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned (dt, flowsrc) sorted parquet layout — the MergeTree
+    ORDER BY analog (SURVEY §4.3.1) — written then read back."""
+    from ..functions.ip import ipv4_to_num
+    from ..schemas import FLOWS
+
+    d = tempfile.mkdtemp(prefix="sf_sink_")
+    src = tempfile.mkdtemp(prefix="sf_sinksrc_")
+    write_flow_files(spark, src, n_files=2, rows_per_file=200)
+    raw = spark.read.schema(FLOWS).parquet(os.path.join(src, "*"))
+    flows = raw.withColumns(
+        {
+            "flowsrc": F.lit("tagA"),
+            "sa_num": ipv4_to_num(F.col("sa")),
+            "dt": F.to_date("ts"),
+        }
+    )
+    out = os.path.join(d, "flows")
+    write_flows_partitioned(flows, out, mode="overwrite")
+    back = spark.read.parquet(out)
+    return back.groupBy("dt", "flowsrc").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "retention_ttl",
+    oracle="""
+    SELECT event_id, user_id, event_type, date_trunc('minute', ts) AS ts_min
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+    """,
+)
+def retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL filter semantics (MergeTree `TTL te + INTERVAL 90 DAY` [P]).
+    The physical implementation is partition drop —
+    sources.sinks.drop_expired_partitions, exercised in tests — which is
+    metadata-only; this key hash-checks the row-level cutoff semantics."""
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", "ts").alias("ts_min"),
+    )
+
+
+@register("src_stream_dir")  # rows-only: real streaming integration
+def src_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_stream_dir(spark)
+
+
+@register("stream_foreachbatch")  # rows-only
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_foreachbatch(spark)
+
+
+@register("stream_watermark")  # rows-only
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_watermark(spark)
+
+
+@register("stream_dedup_watermark")  # rows-only
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_dedup_watermark(spark)
+
+
+@register("stream_output_modes")  # rows-only
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_output_modes(spark)
+
+
+@register("stream_stateful")  # rows-only
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_stateful_sessions(spark)
+
+
+@register("sink_jdbc_clickhouse")  # rows-only: no ClickHouse in this env
+def sink_jdbc_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-parity sink: foreachBatch + batch-id ledger idempotence
+    (SURVEY §4.3.5). The JDBC writer itself is sources.sinks.
+    jdbc_batch_writer; with no JDBC endpoint in this container the demo
+    run uses the same protocol against parquet, and proves idempotence by
+    re-offering batch 0 (the rerun is a no-op)."""
+    import uuid
+
+    from ..sources.sinks import parquet_batch_writer
+
+    out = tempfile.mkdtemp(prefix="sf_jdbc_")
+    ledger = os.path.join(out, "ledger")
+    target = os.path.join(out, "table")
+    writer = parquet_batch_writer(target, ledger_path=ledger)
+    flows = table(spark, sf_dir, "events").limit(500)
+    writer(flows, 0)
+    writer(flows, 1)
+    writer(flows, 0)  # duplicate offer — ledger makes it a no-op
+    back = spark.read.parquet(target)
+    return back.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def retention_partition_demo(spark: SparkSession) -> tuple[str, list[str]]:
+    """Used by tests: build a dt-partitioned table spanning multiple days,
+    drop the expired dt= partitions, return (table_path, dropped)."""
+    from datetime import datetime, timedelta, timezone
+
+    from ..functions.ip import ipv4_to_num
+    from ..schemas import FLOWS
+
+    d = tempfile.mkdtemp(prefix="sf_ttl_")
+    src = tempfile.mkdtemp(prefix="sf_ttlsrc_")
+    for day in range(3):
+        write_flow_files(
+            spark,
+            src,
+            n_files=1,
+            rows_per_file=50,
+            start=datetime(2024, 3, 1, tzinfo=timezone.utc) + timedelta(days=day),
+        )
+    raw = spark.read.schema(FLOWS).parquet(os.path.join(src, "*"))
+    flows = raw.withColumns(
+        {
+            "flowsrc": F.lit("tagA"),
+            "sa_num": ipv4_to_num(F.col("sa")),
+            "dt": F.to_date("ts"),
+        }
+    )
+    out = os.path.join(d, "flows")
+    write_flows_partitioned(flows, out, mode="overwrite")
+    dropped = drop_expired_partitions(out, keep_days=1, today=date(2024, 3, 3))
+    return out, dropped

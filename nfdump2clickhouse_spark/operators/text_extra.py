@@ -1,0 +1,173 @@
+"""Text-analysis extensions for training-data pipelines: quality scoring,
+token counting, language ID, document fingerprinting (driver-mandated,
+beyond SURVEY §2.11's core set).
+
+Everything is built-in Column expressions (split / HOFs / regexp) — the
+whole family runs inside whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..functions.text import (
+    STOPWORDS,
+    avg_word_len,
+    positional_fingerprint,
+    stopword_count,
+    words,
+)
+from ..registry import register
+
+_SW_SQL = "['" + "','".join(STOPWORDS) + "']"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws)                                          AS n_words,
+           len(list_distinct(ws))                           AS n_distinct,
+           ROUND(list_aggregate(list_transform(ws, x -> CAST(length(x) AS DOUBLE)),
+                                'sum') / len(ws), 4)        AS avg_wlen,
+           ROUND(len(list_filter(ws, x -> list_contains({_SW_SQL}, x)))
+                 * 1.0 / len(ws), 4)                        AS stopword_ratio,
+           ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr
+    FROM w WHERE len(ws) > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality features: length, vocabulary richness
+    (type-token ratio), stopword density — the standard pre-training
+    filter inputs (C4/Gopher-style rules)."""
+    d = table(spark, sf_dir, "documents").withColumn("ws", words(F.col("text")))
+    d = d.filter(F.size("ws") > 0)
+    return d.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        F.round(avg_word_len(F.col("ws")), 4).alias("avg_wlen"),
+        F.round(stopword_count(F.col("ws")) / F.size("ws"), 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("ws")) / F.size("ws"), 4).alias("ttr"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+'))              AS re_tokens,
+           length(text)                                            AS n_chars_exact
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex pass —
+    the budget metric of every training-data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("re_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+@register(
+    "text_langid",
+    # Data-driven n-gram-style heuristic: profile = top-5 most frequent
+    # words per language over the corpus (ties → word asc); a doc's
+    # predicted language is the profile with the largest distinct-word
+    # overlap (ties → lang asc). Deterministic, so fully SQL-expressible.
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (
+      SELECT lang, word, COUNT(*) AS c FROM tokens WHERE word <> ''
+      GROUP BY lang, word
+    ), profile AS (
+      SELECT lang AS plang, word FROM freq
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, word) <= 5
+    ), doc_words AS (
+      SELECT DISTINCT doc_id, word FROM tokens WHERE word <> ''
+    ), overlap AS (
+      SELECT d.doc_id, p.plang, COUNT(*) AS hits
+      FROM doc_words d JOIN profile p ON d.word = p.word
+      GROUP BY d.doc_id, p.plang
+    )
+    SELECT o.doc_id, o.plang AS pred_lang, o.hits
+    FROM overlap o
+    QUALIFY ROW_NUMBER() OVER
+      (PARTITION BY o.doc_id ORDER BY o.hits DESC, o.plang) = 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by corpus-derived word profiles. The profile (5 langs ×
+    5 words) broadcasts; classification is one hash join + top-1 window.
+    (Fixture text is synthetic word soup, so accuracy is meaningless —
+    the operator shape is what matters.)"""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = tokens.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("lang").orderBy(F.col("c").desc(), "word")
+    profile = (
+        freq.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= 5)
+        .select(F.col("lang").alias("plang"), "word")
+    )
+    doc_words = tokens.select("doc_id", "word").distinct()
+    overlap = doc_words.join(F.broadcast(profile), "word").groupBy(
+        "doc_id", "plang"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    wo = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "plang")
+    return (
+        overlap.withColumn("_rn", F.row_number().over(wo))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("plang").alias("pred_lang"), "hits")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_aggregate(
+             list_transform(range(1, len(ws) + 1),
+               i -> i * (CAST(ascii(ws[i][1]) AS BIGINT) * 31
+                         + CAST(length(ws[i]) AS BIGINT))),
+             'sum') AS BIGINT) AS fingerprint
+    FROM w WHERE len(ws) > 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional rolling fingerprint (pure int arithmetic, oracle-exact).
+    Identical fingerprints ⇒ candidate exact dups at copy-paste scale."""
+    d = table(spark, sf_dir, "documents").withColumn("ws", words(F.col("text")))
+    d = d.filter(F.size("ws") > 0)
+    return d.select("doc_id", positional_fingerprint(F.col("ws")).alias("fingerprint"))
+
+
+@register("text_fingerprint_xx")  # rows-only: xxhash64 is Spark-specific
+def text_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong 64-bit fingerprint: xxhash64 over the normalized token
+    stream — collision-safe exact-dedup key at 100 TB (groupBy this
+    instead of the full text: shuffle carries 8 bytes/doc, not the doc)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", words(F.col("text")))).alias("fp64"),
+    )

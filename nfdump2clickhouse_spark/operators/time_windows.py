@@ -1,0 +1,120 @@
+"""Event-time windows & dedup — batch-checkable semantics (SURVEY §2.9).
+
+Tumbling 5-min windows mirror the reference's nfcapd rotation granularity
+[P]; the same expressions run unchanged under Structured Streaming
+(streaming/pipeline.py) — that symmetry is the point of Spark's unified
+batch/stream model.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "win_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY wstart, event_type
+    """,
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-min tumbling counts (≡ one nfcapd file per window [P])."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.window("ts", "5 minutes").start.alias("wstart"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@register(
+    "win_sliding",
+    # An event at time t falls in two 10-min windows sliding by 5: the ones
+    # starting at bucket5(t) and bucket5(t) - 5 min. The oracle re-derives
+    # that membership; Spark's window() emits it directly.
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, value FROM events)
+    SELECT wstart, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value FROM (
+      SELECT b5 AS wstart, value FROM b
+      UNION ALL
+      SELECT b5 - INTERVAL 5 MINUTE AS wstart, value FROM b
+    ) GROUP BY wstart
+    """,
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5 min (each event in 2 windows)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").start.alias("wstart")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@register(
+    "win_session",
+    # Gaps-and-islands replica of session_window semantics: a gap >= 30 min
+    # starts a new session (Spark's session is [first, last+gap)).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, ts, SUM(new_s) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, date_trunc('second', MIN(ts)) AS session_start, COUNT(*) AS n
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-min inactivity gap, per user (flow/session
+    stitching in batch; the streaming variant is stream_stateful)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("sw.start")).alias("session_start"),
+            "n",
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate removal on a key subset — hash re-partition by the
+    key columns, no row comparison beyond equality."""
+    return table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    QUALIFY ROW_NUMBER() OVER
+      (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates-keep-earliest, made deterministic with a (ts,
+    event_id) ordering (SURVEY §2.9)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )

@@ -1,0 +1,218 @@
+"""Streaming pipeline building blocks + self-contained demo runs.
+
+Each `run_*` helper materializes a complete streaming scenario on temp
+dirs: write nfcapd-style rotated files, run a real StreamingQuery with
+`Trigger.availableNow` + `maxFilesPerTrigger=1` (so every rotation is its
+own micro-batch and watermarks advance between files, exactly like the
+5-min production cadence), and return the sink contents as a batch
+DataFrame. The driver's rows-only check executes these for real.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from datetime import datetime, timezone
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import FLOWS
+from ..sources.flows import write_flow_files
+from ..sources.sinks import parquet_batch_writer
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"sf_{prefix}_")
+
+
+def _mem_name() -> str:
+    return "m" + uuid.uuid4().hex[:12]
+
+
+def _source(spark: SparkSession, watch_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(FLOWS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+
+
+def run_stream_dir(spark: SparkSession) -> DataFrame:
+    """src_stream_dir: ingest 3 rotated files exactly once; the checkpoint
+    seen-files log is the dedup ledger (rerunning the query adds nothing).
+    """
+    watch, ckpt = _tmp("watch"), _tmp("ckpt")
+    write_flow_files(spark, watch, n_files=3, rows_per_file=200)
+    name = _mem_name()
+    q = (
+        _source(spark, watch)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("ra").agg(
+        F.count(F.lit(1)).alias("n_flows"), F.sum("ibyt").alias("bytes")
+    )
+
+
+def run_foreachbatch(spark: SparkSession) -> DataFrame:
+    """stream_foreachbatch: the reference's convert→insert loop [P] as an
+    idempotent per-micro-batch parquet append (JDBC/ClickHouse variant:
+    sources.sinks.jdbc_batch_writer)."""
+    watch, ckpt, out, ledger = _tmp("watch"), _tmp("ckpt"), _tmp("out"), _tmp("ledger")
+    write_flow_files(spark, watch, n_files=3, rows_per_file=150)
+    sink = parquet_batch_writer(os.path.join(out, "flows"), ledger_path=ledger)
+    q = (
+        _source(spark, watch)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(out, "flows"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def run_watermark(spark: SparkSession) -> DataFrame:
+    """stream_watermark: 10-min watermark on 5-min tumbling counts; the
+    third file replays rows from the first rotation's window (>10 min
+    late by then) — in append mode those land in no emitted window."""
+    watch, ckpt = _tmp("watch"), _tmp("ckpt")
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    write_flow_files(spark, watch, n_files=3, rows_per_file=100, start=start)
+    # late file: same event times as rotation 0, arriving 3 rotations later
+    import time
+
+    time.sleep(1.1)  # later mod-time → listed (and processed) last
+    write_flow_files(
+        spark, os.path.join(watch), n_files=1, rows_per_file=50, start=start
+    )
+    name = _mem_name()
+    agg = (
+        _source(spark, watch)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))  # group on the window struct:
+        # projecting .start before the agg would sever the watermark link
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("wstart"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_dedup_watermark(spark: SparkSession) -> DataFrame:
+    """stream_dedup_watermark: dropDuplicatesWithinWatermark over replayed
+    rotations — file 4 duplicates file 1's rows; state expires with the
+    watermark instead of growing forever (the stream-dedup
+    requirement at 100 TB)."""
+    watch, ckpt = _tmp("watch"), _tmp("ckpt")
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    write_flow_files(spark, watch, n_files=2, rows_per_file=100, start=start)
+    import time
+
+    time.sleep(1.1)
+    # duplicate of rotation 0 (same rows incl. ts) arriving later
+    write_flow_files(spark, watch, n_files=1, rows_per_file=100, start=start)
+    name = _mem_name()
+    dedup = (
+        _source(spark, watch)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["sa", "da", "sp", "dp", "ts"])
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("ra").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+def run_output_modes(spark: SparkSession) -> DataFrame:
+    """stream_output_modes: the same aggregation under complete mode
+    (update/append variants exercised elsewhere: run_watermark uses
+    append; complete re-emits full state per batch)."""
+    watch, ckpt = _tmp("watch"), _tmp("ckpt")
+    write_flow_files(spark, watch, n_files=3, rows_per_file=100)
+    name = _mem_name()
+    agg = _source(spark, watch).groupBy("dp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ibyt").alias("bytes")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_stateful_sessions(spark: SparkSession) -> DataFrame:
+    """stream_stateful (SURVEY §4.3.4): flow/session stitching across
+    micro-batches with applyInPandasWithState — per (sa, da) key, a
+    running (n_flows, total_bytes) state survives from one rotation to the
+    next; each batch emits the updated totals."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    watch, ckpt = _tmp("watch"), _tmp("ckpt")
+    write_flow_files(spark, watch, n_files=3, rows_per_file=150)
+    name = _mem_name()
+
+    def stitch(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["ibyt"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"sa": [key[0]], "da": [key[1]], "n_flows": [n], "total_bytes": [total]}
+        )
+
+    out = (
+        _source(spark, watch)
+        .groupBy("sa", "da")
+        .applyInPandasWithState(
+            stitch,
+            outputStructType="sa string, da string, n_flows long, total_bytes long",
+            stateStructType="n long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = last emitted row (max n_flows)
+    return spark.table(name).groupBy("sa", "da").agg(
+        F.max("n_flows").alias("n_flows"), F.max("total_bytes").alias("total_bytes")
+    )

@@ -1,0 +1,55 @@
+"""Streaming integration tests (SURVEY §5.4): exactly-once file arrival,
+watermark late-drop, dedup-within-watermark, stateful session stitching,
+idempotent foreachBatch, partition-drop retention."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from nfdump2clickhouse_spark.operators.scans import retention_partition_demo
+from nfdump2clickhouse_spark.streaming import pipeline as sp
+
+
+def test_stream_dir_exactly_once(spark):
+    df = sp.run_stream_dir(spark)
+    total = df.agg(F.sum("n_flows")).collect()[0][0]
+    assert total == 600  # 3 files × 200 rows, each ingested exactly once
+
+
+def test_foreachbatch_one_batch_per_rotation(spark):
+    df = sp.run_foreachbatch(spark).orderBy("batch_id")
+    rows = df.collect()
+    # maxFilesPerTrigger=1 → one micro-batch per rotated file
+    assert [r.batch_id for r in rows] == [0, 1, 2]
+    assert all(r.n_rows == 150 for r in rows)
+
+
+def test_watermark_drops_late_rows(spark):
+    emitted = sp.run_watermark(spark).collect()
+    # the late replay of rotation 0 (50 rows) must not appear: emitted
+    # window counts reflect only the on-time 100-row files
+    counts = {r.wstart: r.n for r in emitted}
+    assert sum(counts.values()) <= 300
+    assert all(n <= 100 for n in counts.values())
+
+
+def test_dedup_within_watermark(spark):
+    df = sp.run_dedup_watermark(spark)
+    total = df.agg(F.sum("n_unique")).collect()[0][0]
+    # 2 unique rotations × 100 rows; the replayed duplicate file adds 0
+    assert total == 200
+
+
+def test_stateful_session_stitch_accumulates(spark):
+    df = sp.run_stateful_sessions(spark)
+    total = df.agg(F.sum("n_flows")).collect()[0][0]
+    assert total == 450  # 3 rotations × 150 flows, all credited to keys
+
+
+def test_retention_partition_drop(spark):
+    path, dropped = retention_partition_demo(spark)
+    assert dropped == ["dt=2024-03-01"]
+    left = sorted(e for e in os.listdir(path) if e.startswith("dt="))
+    assert left == ["dt=2024-03-02", "dt=2024-03-03"]
