@@ -40,37 +40,68 @@ from ..registry import register
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup docs by exact word-3-gram Jaccard ≥ 0.3 via an inverted
     shingle index: pair rows are generated only for docs sharing a
-    shingle (|shingle| buckets, never |docs|²), the dedup'd shingle side
-    broadcasts, and the pair counts partial-aggregate map-side before the
-    single shuffle.
+    shingle (|shingle| buckets, never |docs|²).
 
-    Scale note: on Zipfian real-text corpora, add PPJoin prefix filtering
-    (candidates only from each doc's rarest |x|-ceil(t·|x|)+1 shingles —
-    lossless for threshold t) before this join; on this fixture's
-    uniform 31-word vocab a prefix prunes nothing (measured 5× slower),
-    so the plain inverted index is the right plan here."""
+    Two bounded shuffles, no broadcast, no self-join — the shape that
+    survives 100 TB (a broadcast of the shingle index would be
+    corpus-sized): per-doc shingle sets are dedup'd row-locally with
+    `array_distinct` (no global distinct shuffle) and each set's size
+    rides along through the explode (no groupBy-count shuffle, no
+    size-lookup joins later); shuffle 1 groups postings by shingle;
+    candidate pairs are then generated *inside* each bucket with pure
+    array ops (sorted bucket × upper-triangle slice); shuffle 2
+    partial-aggregates the per-pair intersection counts map-side.
+
+    Scale notes: (a) on Zipfian real-text corpora, cap bucket size /
+    drop stop-shingles (df above ~1000 adds candidates but near-zero
+    Jaccard mass) or add lossless PPJoin prefix filtering — on this
+    fixture's uniform 31-word vocab a prefix prunes nothing (measured
+    5× slower), so the plain inverted index is the right plan here;
+    (b) `collect_list` per shingle bucket is bounded by document
+    frequency, not corpus size."""
     d = table(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.explode(shingles(words(F.col("text")))).alias("shingle"))
-        .distinct()
+    # the corpus arrives in few/large files; spread DOC rows (cheap — one
+    # row per doc) across the cluster before the explode so the shingle
+    # compute and posting-list build run wide
+    sets = d.repartition(F.col("doc_id")).select(
+        "doc_id", F.array_distinct(shingles(words(F.col("text")))).alias("shs")
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id2"), "shingle")
-    inter = (
-        a.join(F.broadcast(b), ["shingle"])
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("c"))
+    sh = sets.select(
+        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("shingle")
     )
-    x = sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
-    y = sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+    )
+    # upper-triangle pair generation inside each posting list: doc_ids are
+    # unique per bucket (array_distinct above) and sorted, so i<j ⇒ id1<id2
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ds"),
+                            i + 2,
+                            F.greatest(F.size("ds") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("id1"),
+                            x["n"].alias("n1"),
+                            y["doc_id"].alias("id2"),
+                            y["n"].alias("n2"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("id1", "id2", "n1", "n2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
-    return (
-        inter.join(F.broadcast(x), "id1")
-        .join(F.broadcast(y), "id2")
-        .filter(jac >= 0.3)
-        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    return inter.filter(jac >= 0.3).select(
+        "id1", "id2", F.round(jac, 4).alias("jaccard")
     )
 
 
