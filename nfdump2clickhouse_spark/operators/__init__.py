@@ -11,6 +11,7 @@ from . import llm_pipeline  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import text_extra  # noqa: F401
 from . import relational  # noqa: F401
+from . import reshape  # noqa: F401
 from . import scalar_funcs  # noqa: F401
 from . import scans  # noqa: F401
 from . import time_windows  # noqa: F401

@@ -1,0 +1,228 @@
+"""Reshape + subquery + sampling + skew-handling operators.
+
+Query-surface breadth beyond SURVEY §2's core tables: pivot/unpivot
+(ClickHouse users express these as conditional aggregation / ARRAY JOIN
+[P]), scalar and correlated subqueries, deterministic sampling for
+training-data curation, and a salted join demonstrating the skew recipe
+the 100 TB mandate calls for (SURVEY §4.2 — AQE handles skew reactively;
+salting is the proactive variant and must stay result-identical).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views, table
+from ..registry import register
+
+# --- pivot / unpivot ---------------------------------------------------------
+
+
+@register(
+    "reshape_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders: one row per priority, one column per order status.
+
+    The pivot values are DECLARED (`pivot(col, values)`), not discovered —
+    at 100 TB the two-pass value-discovery scan is a full extra read of
+    the fact table; with explicit values the plan is a single partial+final
+    hash aggregation, same as any groupBy."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+           ROUND(l_quantity, 4) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', ROUND(l_extendedprice, 4) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', ROUND(l_discount, 4) FROM lineitem
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three lineitem measures into (metric, value) rows —
+    `df.unpivot` plans as a single-pass Expand (3 output rows per input
+    row, no shuffle, no self-union rescan of the table)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 4).alias("qty"),
+        F.round("l_extendedprice", 4).alias("price"),
+        F.round("l_discount", 4).alias("disc"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], ["qty", "price", "disc"], "metric", "value"
+    )
+
+
+# --- subqueries --------------------------------------------------------------
+
+
+@register(
+    "sub_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS price,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4) AS delta
+    FROM orders WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders ≥1.8× the global mean price.
+    Catalyst executes the subquery once and folds the scalar into the
+    predicate — the fact-table pass stays a pushdown-able single scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS price,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4) AS delta
+        FROM orders WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "sub_correlated",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 2 * (
+        SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders >2× their own customer's average.
+    `RewriteCorrelatedScalarSubquery` decorrelates this into an aggregate
+    + equi-join (SURVEY §4.2) — no per-row re-execution, one shuffle on
+    o_custkey shared by the aggregate and the join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+# --- deterministic sampling --------------------------------------------------
+
+#: Knuth's multiplicative constant — the hash is plain integer arithmetic so
+#: the oracle reproduces it exactly (engine-hash sampling can't be checked).
+_MULT = 2654435761
+
+
+@register(
+    "sample_hash_bucket",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+    FROM lineitem
+    WHERE ((l_orderkey * 10 + l_linenumber) * {_MULT}) % 4294967296 % 100 < 10
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by multiplicative key-hash bucket.
+
+    `df.sample()` is seed-dependent per partition-split and not
+    reproducible across engines or even re-reads; curation pipelines need
+    the sample membership to be a pure function of the KEY so reruns,
+    backfills, and held-out splits agree. Scan-local arithmetic: no
+    shuffle, and the predicate stays in whole-stage codegen."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    bucket = (key * F.lit(_MULT)) % F.lit(4294967296) % 100
+    return li.filter(bucket < 10).select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 4).alias("price")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           ROUND(SUM(l_extendedprice), 4) AS price_sum
+    FROM lineitem
+    WHERE (l_orderkey * 10 + l_linenumber) * {_MULT} % 4294967296 % 100
+          < CASE l_returnflag WHEN 'R' THEN 50 WHEN 'A' THEN 20 ELSE 5 END
+    GROUP BY l_returnflag
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (R: 50%,
+    A: 20%, rest: 5%) — the class-rebalancing primitive for training-data
+    curation. Same key-hash as sample_hash_bucket with a per-stratum
+    threshold; still a scan-local filter followed by one aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    bucket = (key * F.lit(_MULT)) % F.lit(4294967296) % 100
+    rate = (
+        F.when(F.col("l_returnflag") == "R", 50)
+        .when(F.col("l_returnflag") == "A", 20)
+        .otherwise(5)
+    )
+    return (
+        li.filter(bucket < rate)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("l_extendedprice"), 4).alias("price_sum"),
+        )
+    )
+
+
+# --- skew handling -----------------------------------------------------------
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 4) AS price_sum
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join, result-identical to the plain join (the oracle IS
+    the plain join): the probe side gets a deterministic salt in [0, S),
+    the build side is exploded ×S, and the join key becomes (key, salt) —
+    a hot key's rows spread over S reducers instead of one straggler.
+
+    This is the proactive skew recipe for when AQE's reactive skew-join
+    split (enabled in session.py) can't help — e.g. a skewed aggregation
+    feeding the join, or a build side too big to broadcast but with a few
+    pathological keys. S=8 here; at 100 TB, size S to the observed hot-key
+    multiplicity."""
+    S = 8
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    salted_li = li.withColumn("salt", (F.col("l_linenumber") % S).cast("int"))
+    salted_o = o.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+    joined = salted_li.join(
+        salted_o,
+        (salted_li.l_orderkey == salted_o.o_orderkey)
+        & (salted_li.salt == salted_o.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("price_sum"),
+    )

@@ -142,6 +142,37 @@ def sink_jdbc_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register("service_conf_ingest")  # rows-only: full daemon surface end-to-end
+def service_conf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole operational loop behind its conf file
+    [S .gitignore:131-132]: parse an ini with two watched sources →
+    FlowService drains each via Structured Streaming → partitioned sorted
+    table → per-(flowsrc, dt) counts read back from at-rest parquet."""
+    from datetime import datetime, timezone
+
+    from ..service import FlowService, parse_config
+
+    base = tempfile.mkdtemp(prefix="sf_svc_")
+    dirs = {"router-a": os.path.join(base, "wa"), "router-b": os.path.join(base, "wb")}
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    write_flow_files(spark, dirs["router-a"], n_files=2, rows_per_file=100, start=start)
+    write_flow_files(spark, dirs["router-b"], n_files=1, rows_per_file=50, start=start)
+    conf = os.path.join(base, "nfdump2clickhouse.conf")
+    with open(conf, "w") as fh:
+        fh.write(
+            f"[general]\ntable_path = {base}/flows\n"
+            f"checkpoint_root = {base}/ckpt\nkeep_days = 90\n"
+            + "".join(f"[{n}]\nwatchdir = {d}\n" for n, d in dirs.items())
+        )
+    svc = FlowService(spark, parse_config(conf))
+    svc.run_once()
+    return (
+        svc.table()
+        .groupBy("flowsrc", "dt")
+        .agg(F.count(F.lit(1)).alias("n_flows"), F.sum("ibyt").alias("bytes"))
+    )
+
+
 def retention_partition_demo(spark: SparkSession) -> tuple[str, list[str]]:
     """Used by tests: build a dt-partitioned table spanning multiple days,
     drop the expired dt= partitions, return (table_path, dropped)."""
