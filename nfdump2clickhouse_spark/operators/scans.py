@@ -119,6 +119,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_stateful_sessions(spark)
 
 
+# NOTE: streaming/pipeline.py also implements the Spark 4 successor API
+# (run_transform_with_state / transformWithStateInPandas). Its Python worker
+# needs google.protobuf, absent from this container, so the key is not
+# registered here; tests/test_streaming.py runs it when protobuf exists.
+
+
 @register("sink_jdbc_clickhouse")  # rows-only: no ClickHouse in this env
 def sink_jdbc_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-parity sink: foreachBatch + batch-id ledger idempotence

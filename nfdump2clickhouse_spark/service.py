@@ -39,7 +39,11 @@ from pyspark.sql.streaming import StreamingQuery
 from .functions.ip import ipv4_to_num
 from .schemas import FLOWS, NFDUMP_CSV_RAW
 from .sources.flows import project_flows
-from .sources.sinks import drop_expired_partitions, write_flows_partitioned
+from .sources.sinks import (
+    compact_partitions,
+    drop_expired_partitions,
+    write_flows_partitioned,
+)
 
 
 @dataclass(frozen=True)
@@ -198,6 +202,15 @@ class FlowService:
         return drop_expired_partitions(
             self.config.table_path, self.config.keep_days, today or date.today()
         )
+
+    def run_compaction(self, target_file_bytes: int = 128 * 1024 * 1024) -> list[str]:
+        """MergeTree background-merge analog: rewrite many-small-file leaf
+        partitions (one file lands per 5-min micro-batch) into few sorted
+        files. Serialized with ingest writes via the same lock."""
+        with self._write_lock:
+            return compact_partitions(
+                self.spark, self.config.table_path, target_file_bytes
+            )
 
     def table(self) -> DataFrame:
         """The queryable at-rest table (the reference's `nfsen.flows`)."""

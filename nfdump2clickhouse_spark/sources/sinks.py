@@ -52,6 +52,55 @@ def drop_expired_partitions(path: str, keep_days: int, today: date) -> list[str]
     return dropped
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_glob: str = "dt=*/flowsrc=*",
+) -> list[str]:
+    """Small-files compaction — the engine's analog of MergeTree's
+    background part merges [P]. Streaming ingest with one micro-batch per
+    5-min rotation necessarily writes one small file per batch per
+    partition; query-side scan cost then grows with file COUNT, not data
+    size. Compaction rewrites each leaf partition into
+    ceil(bytes/target) files, preserving the (ts, sa_num) sort that buys
+    row-group skipping.
+
+    Runs per-leaf-partition (never a global rewrite), so at 100 TB it is
+    driven incrementally: only partitions whose file count exceeds a
+    threshold are rewritten, each an independent job touching one
+    partition's data. Returns the compacted partition dirs."""
+    import glob as _glob
+    import math
+
+    compacted = []
+    for leaf in sorted(_glob.glob(os.path.join(path, partition_glob))):
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        if len(files) <= 1:
+            continue
+        total = sum(os.path.getsize(os.path.join(leaf, f)) for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(files):
+            continue
+        df = spark.read.parquet(leaf)
+        tmp = leaf + "._compact_tmp"
+        (
+            df.repartition(n_out)
+            .sortWithinPartitions("ts", "sa_num")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(tmp)
+        )
+        for f in files:
+            os.remove(os.path.join(leaf, f))
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tmp, f), os.path.join(leaf, f))
+        shutil.rmtree(tmp)
+        compacted.append(leaf)
+    return compacted
+
+
 def jdbc_batch_writer(
     url: str,
     table: str,

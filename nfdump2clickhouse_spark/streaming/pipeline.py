@@ -171,6 +171,99 @@ def run_output_modes(spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def run_transform_with_state(spark: SparkSession) -> DataFrame:
+    """stream_tws: the Spark 4 stateful API (transformWithStateInPandas +
+    StatefulProcessor) for the same flow-stitching semantics as
+    run_stateful_sessions — per (sa, da) key a ValueState of running
+    (n_flows, total_bytes) survives across micro-batches. The typed
+    state-variable API (value/list/map states, timers) is the
+    applyInPandasWithState successor and the intended 100 TB path: state
+    lives in the per-key state store (RocksDB on a cluster), never in the
+    plan.
+
+    Requires google.protobuf (the state-server wire format); raises
+    ImportError where it is unavailable — callers/tests gate on that."""
+    import google.protobuf.descriptor  # noqa: F401  (hard dep of the TWS worker)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("sa", StringType()),
+            StructField("da", StringType()),
+            StructField("n_flows", LongType()),
+            StructField("total_bytes", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", LongType())]
+    )
+
+    class Stitch(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(pdf["ibyt"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "sa": [key[0]],
+                    "da": [key[1]],
+                    "n_flows": [n],
+                    "total_bytes": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    watch, ckpt = _tmp("watch"), _tmp("ckpt")
+    write_flow_files(spark, watch, n_files=3, rows_per_file=150)
+    name = _mem_name()
+    # transformWithState requires the RocksDB state store (the default
+    # HDFS-backed provider does not implement the new state-variable API)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = (
+        _source(spark, watch)
+        .groupBy("sa", "da")
+        .transformWithStateInPandas(
+            Stitch(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted totals per key = the stitched final state
+    return spark.table(name).groupBy("sa", "da").agg(
+        F.max("n_flows").alias("n_flows"), F.max("total_bytes").alias("total_bytes")
+    )
+
+
 def run_stateful_sessions(spark: SparkSession) -> DataFrame:
     """stream_stateful (SURVEY §4.3.4): flow/session stitching across
     micro-batches with applyInPandasWithState — per (sa, da) key, a

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from nfdump2clickhouse_spark.operators.scans import retention_partition_demo
 from nfdump2clickhouse_spark.streaming import pipeline as sp
@@ -46,6 +47,51 @@ def test_stateful_session_stitch_accumulates(spark):
     df = sp.run_stateful_sessions(spark)
     total = df.agg(F.sum("n_flows")).collect()[0][0]
     assert total == 450  # 3 rotations × 150 flows, all credited to keys
+
+
+def test_transform_with_state_accumulates(spark):
+    # the Spark 4 TWS Python worker hard-requires google.protobuf
+    pytest.importorskip("google.protobuf.descriptor")
+    df = sp.run_transform_with_state(spark)
+    total = df.agg(F.sum("n_flows")).collect()[0][0]
+    assert total == 450  # same stitched totals as the applyInPandasWithState path
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from nfdump2clickhouse_spark.service import FlowService, parse_config
+    from nfdump2clickhouse_spark.sources.flows import write_flow_files
+
+    base = str(tmp_path)
+    watch = os.path.join(base, "watch")
+    # 4 rotations in one dt= day → 4 micro-batches → ≥4 small files per leaf
+    write_flow_files(
+        spark,
+        watch,
+        n_files=4,
+        rows_per_file=100,
+        start=datetime(2024, 3, 1, tzinfo=timezone.utc),
+    )
+    conf = os.path.join(base, "c.conf")
+    with open(conf, "w") as fh:
+        fh.write(
+            f"[general]\ntable_path = {base}/flows\ncheckpoint_root = {base}/ckpt\n"
+            f"[src]\nwatchdir = {watch}\n"
+        )
+    svc = FlowService(spark, parse_config(conf))
+    svc.run_once()
+
+    leaf = os.path.join(base, "flows", "dt=2024-03-01", "flowsrc=src")
+    before = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    assert len(before) >= 4
+    total_before = svc.table().count()
+
+    compacted = svc.run_compaction()
+    assert leaf in compacted
+    after = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    assert len(after) == 1  # tiny data → single target file
+    assert svc.table().count() == total_before  # lossless rewrite
 
 
 def test_retention_partition_drop(spark):
