@@ -105,6 +105,138 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2
+      FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph (each doc labeled with the min doc_id reachable
+    from it) — the step every real dedup pipeline runs after pair
+    generation, so 'A≈B, B≈C' keeps one representative of {A,B,C}, not
+    two.
+
+    Iterative min-label propagation as a driver loop over DataFrames:
+    each round joins labels to edges, takes the per-node min, and
+    `localCheckpoint` truncates the growing lineage; rounds ≤ graph
+    diameter (near-dup clusters are shallow — a handful here). The
+    convergence test is one count() per round — the only driver-side
+    action, O(1) result. At massive scale swap the propagation step for
+    the two-phase large-star/small-star contraction, which bounds rounds
+    by O(log n) independent of diameter; the oracle (DuckDB recursive
+    CTE transitive closure) is identical either way."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    edges = pairs.union(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter guard; converges in ~3 rounds here
+        msgs = labels.join(edges, labels.node == edges.src).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             array_to_string(string_split(text, ' ')[1:3], ' ') AS blk,
+             length(text) AS len
+      FROM documents
+    )
+    SELECT a.doc_id AS id1, b2.doc_id AS id2,
+           levenshtein(a.text, b2.text) AS lev
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+    WHERE levenshtein(a.text, b2.text) <= 0.3 * greatest(a.len, b2.len)
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: pairs within 30% relative Levenshtein,
+    candidates blocked on the first 3 words (a cheap canopy — O(n²)
+    string comparison only happens inside a block, and the block join is
+    an ordinary shuffled equi-join, no broadcast, no all-pairs). The
+    distance itself is `F.levenshtein` — JVM-side, identical semantics
+    to the oracle's. At 100 TB, widen recall with multiple block keys
+    (prefix, suffix, length bucket) unioned before the distinct."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", F.slice(words(F.col("text")), 1, 3)).alias("blk"),
+        F.length("text").alias("len"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("id1"),
+        F.col("text").alias("t1"),
+        "blk",
+        F.col("len").alias("len1"),
+    )
+    c = b.select(
+        F.col("doc_id").alias("id2"),
+        F.col("text").alias("t2"),
+        "blk",
+        F.col("len").alias("len2"),
+    )
+    lev = F.levenshtein("t1", "t2")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("lev", lev)
+        .filter(F.col("lev") <= 0.3 * F.greatest("len1", "len2"))
+        .select("id1", "id2", "lev")
+    )
+
+
 @register("dedup_simhash")  # rows-only: xxhash64 family is Spark-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign-aggregated bit votes of

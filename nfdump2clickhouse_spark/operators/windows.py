@@ -184,3 +184,27 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) per
+    nation, ordered by balance with the unique-key tiebreaker the
+    determinism rules require (SURVEY §5.3)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )

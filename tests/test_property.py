@@ -1,0 +1,117 @@
+"""Property-based cross-engine checks (SURVEY §5.4): randomized filter /
+aggregation / grouping queries must agree with DuckDB on the same parquet.
+
+These catch the class of bug the fixed oracle pairs can't: expression
+semantics that only diverge on operator/value combinations nobody wrote
+down (null comparisons, boundary constants, negated ranges). Kept small
+(sf0.001, bounded examples, no shrinking deadline pressure) so the suite
+stays fast; crank `max_examples` for a nightly run.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nfdump2clickhouse_spark.catalog import table
+
+SF = "/root/testdata/sf0.001"
+
+NUM_COLS = {
+    "l_quantity": (1.0, 50.0),
+    "l_extendedprice": (900.0, 105000.0),
+    "l_discount": (0.0, 0.1),
+    "l_tax": (0.0, 0.08),
+}
+STR_COLS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]}
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+
+
+@pytest.fixture(scope="module")
+def ddb_small():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+# thresholds rounded to 6 decimals: a 17-digit literal is typed DECIMAL(18,17)
+# by DuckDB, whose DECIMAL↔DOUBLE comparison rounds differently from Spark's
+# double promotion — a literal-typing divergence, not an engine bug (found by
+# an earlier run of this very test)
+num_pred = st.builds(
+    lambda c, op, frac: (
+        c,
+        op,
+        round(NUM_COLS[c][0] + frac * (NUM_COLS[c][1] - NUM_COLS[c][0]), 6),
+    ),
+    st.sampled_from(sorted(NUM_COLS)),
+    st.sampled_from(OPS),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+str_pred = st.builds(
+    lambda c, i, op: (c, op, None, i),
+    st.sampled_from(sorted(STR_COLS)),
+    st.integers(0, 2),
+    st.sampled_from(["=", "<>"]),
+)
+
+
+def _sql_pred(p) -> str:
+    if len(p) == 3:
+        c, op, v = p
+        return f"{c} {op} {v!r}"
+    c, op, _, i = p
+    return f"{c} {op} '{STR_COLS[c][i % len(STR_COLS[c])]}'"
+
+
+common = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@common
+@given(preds=st.lists(st.one_of(num_pred, str_pred), min_size=1, max_size=3))
+def test_random_conjunctive_filters_agree(spark, ddb_small, preds):
+    where = " AND ".join(_sql_pred(p) for p in preds)
+    expected = ddb_small.execute(f"SELECT COUNT(*) FROM lineitem WHERE {where}").fetchone()[0]
+    got = table(spark, SF, "lineitem").filter(F.expr(where)).count()
+    assert got == expected, where
+
+
+@common
+@given(
+    gcol=st.sampled_from(GROUP_COLS),
+    acol=st.sampled_from(sorted(NUM_COLS)),
+    pred=num_pred,
+)
+def test_random_grouped_aggregates_agree(spark, ddb_small, gcol, acol, pred):
+    where = _sql_pred(pred)
+    q = (
+        f"SELECT {gcol} AS g, COUNT(*) AS n, ROUND(SUM({acol}), 2) AS s "
+        f"FROM lineitem WHERE {where} GROUP BY {gcol}"
+    )
+    expected = {
+        r[0]: (r[1], r[2]) for r in ddb_small.execute(q).fetchall()
+    }
+    rows = (
+        table(spark, SF, "lineitem")
+        .filter(F.expr(where))
+        .groupBy(F.col(gcol).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(acol), 2).alias("s"))
+        .collect()
+    )
+    got = {r.g: (r.n, float(r.s)) for r in rows}
+    assert got.keys() == expected.keys(), q
+    for k in expected:
+        en, es = expected[k]
+        gn, gs = got[k]
+        assert gn == en and abs(gs - float(es)) < 1e-6, (q, k)
