@@ -307,3 +307,36 @@ def filter_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip = F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".7"))
     df = e.select("user_id", ip.alias("ip")).distinct()
     return df.filter(ip_in_cidr(ipv4_to_num(F.col("ip")), "10.0.0.0/20"))
+
+
+@register(
+    "ip6_funcs",
+    oracle="""
+    SELECT DISTINCT user_id,
+           CAST((8193 - 32768) * 281474976710656 + 3512 * 4294967296 AS BIGINT) AS hi6,
+           CAST(user_id - 9223372036854775807 - 1 AS BIGINT) AS lo6,
+           user_id < 128 AS in_dbnet
+    FROM events
+    """,
+)
+def ip6_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 parse + CIDR membership (ClickHouse IPv6StringToNum /
+    isIPAddressInRange [P]): synthesize zero-compressed v6 addresses
+    `2001:db8::<hex user_id>`, run them through the real string parser
+    (functions.ip.ipv6_to_nums — `::` expansion, per-group conv, signed
+    two-long encoding), and test `2001:db8::/121` membership. The oracle
+    derives the expected (hi, lo) arithmetically from user_id — ground
+    truth that never touches a parser, so it hash-checks the parse path
+    itself. Membership is a lexicographic (hi, lo) range: pushdown-able
+    on the hi half at the scan."""
+    from ..functions.ip import ip6_in_cidr, ipv6_to_nums
+
+    e = table(spark, sf_dir, "events")
+    addr = F.concat(F.lit("2001:db8::"), F.lower(F.hex("user_id")))
+    hi, lo = ipv6_to_nums(addr)
+    return e.select(
+        "user_id",
+        hi.alias("hi6"),
+        lo.alias("lo6"),
+        ip6_in_cidr(hi, lo, "2001:db8::/121").alias("in_dbnet"),
+    ).distinct()
