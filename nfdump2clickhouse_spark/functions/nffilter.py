@@ -1,0 +1,221 @@
+"""nfdump filter-language → Spark Column compiler.
+
+The nfdump toolsuite's user-facing query surface is its filter expression
+language (`nfdump -r file 'src net 10.0.0.0/24 and dst port 443'`) [P —
+nfdump documentation]. The reference tool doesn't evaluate filters itself
+(users filter in ClickHouse SQL), but its users come FROM that language;
+compiling it onto the flows table closes the operational loop: every
+`nfdump` filter keeps working against the Spark engine.
+
+Supported subset (the documented common core [P]):
+
+    expr     := or
+    or       := and ('or' and)*
+    and      := not ('and' not)*
+    not      := 'not' not | '(' expr ')' | primary
+    primary  := [dir] 'ip' ADDR            equality on sa/da (v4 or v6)
+              | [dir] 'net' CIDR           numeric range on sa_num/da_num
+              | [dir] 'port' cmp           sp/dp comparison
+              | [dir] 'port' 'in' '[' NUM+ ']'
+              | 'proto' NAME               pr equality (case-insensitive)
+              | 'packets' cmp              ipkt (k/m/g multipliers)
+              | 'bytes' cmp                ibyt (k/m/g multipliers)
+              | 'duration' cmp             td (seconds)
+              | 'flags' LETTERS            flg contains all given letters
+    dir      := 'src' | 'dst'              (absent → src OR dst)
+    cmp      := ('<' | '<=' | '>' | '>=' | '=' | '==')? VALUE
+
+Compilation is to pure Column predicates over the 13-column flows schema
+(§1.2) + derived sa_num/da_num: `net` clauses become [lo, hi] ranges on
+the numeric address columns, so the compiled filter PUSHES DOWN to
+parquet row-group stats — an nfdump filter over 100 TB prunes storage
+the way a hand-written range predicate would (SURVEY §4.3.2).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from .ip import cidr_range
+
+__all__ = ["compile_filter", "NfFilterError"]
+
+
+class NfFilterError(ValueError):
+    """Raised for syntax errors with position context."""
+
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<lbrack>\[)
+      | (?P<rbrack>\])
+      | (?P<op><=|>=|==|=|<|>)
+      | (?P<word>[0-9A-Za-z_.:/]+)
+    )""",
+    re.X,
+)
+
+_MULT = {"k": 1_000, "m": 1_000_000, "g": 1_000_000_000}
+
+_PROTO_ALIASES = {"icmp6": "ICMP6", "ipv6-icmp": "ICMP6"}
+
+
+def _tokenize(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m or m.end() == m.start():
+            if s[pos:].strip():
+                raise NfFilterError(f"bad token at {pos}: {s[pos:pos + 12]!r}")
+            break
+        tok = next(g for g in m.groups() if g is not None)
+        out.append(tok)
+        pos = m.end()
+    return out
+
+
+def _num(tok: str, what: str) -> int:
+    m = re.fullmatch(r"(\d+)([kmg]?)", tok.lower())
+    if not m:
+        raise NfFilterError(f"expected a number for {what}, got {tok!r}")
+    return int(m.group(1)) * _MULT.get(m.group(2), 1)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        tok = self.peek()
+        if tok is None:
+            raise NfFilterError("unexpected end of filter")
+        self.i += 1
+        return tok
+
+    # --- grammar -----------------------------------------------------------
+
+    def expr(self) -> Column:
+        c = self.and_()
+        while self.peek() == "or":
+            self.take()
+            c = c | self.and_()
+        return c
+
+    def and_(self) -> Column:
+        c = self.not_()
+        while self.peek() == "and":
+            self.take()
+            c = c & self.not_()
+        return c
+
+    def not_(self) -> Column:
+        tok = self.peek()
+        if tok == "not":
+            self.take()
+            return ~self.not_()
+        if tok == "(":
+            self.take()
+            c = self.expr()
+            if self.take() != ")":
+                raise NfFilterError("expected ')'")
+            return c
+        return self.primary()
+
+    def _cmp(self, col: Column, what: str) -> Column:
+        tok = self.take()
+        if tok in ("<", "<=", ">", ">=", "=", "=="):
+            v = _num(self.take(), what)
+            return {
+                "<": col < v,
+                "<=": col <= v,
+                ">": col > v,
+                ">=": col >= v,
+            }.get(tok, col == v)
+        return col == _num(tok, what)
+
+    def primary(self) -> Column:
+        tok = self.take()
+        direction = None
+        if tok in ("src", "dst"):
+            direction = tok
+            tok = self.take()
+
+        def sides(src_pred: Column, dst_pred: Column) -> Column:
+            if direction == "src":
+                return src_pred
+            if direction == "dst":
+                return dst_pred
+            return src_pred | dst_pred
+
+        if tok == "ip":
+            addr = self.take()
+            return sides(F.col("sa") == addr, F.col("da") == addr)
+
+        if tok == "net":
+            cidr = self.take()
+            if "/" not in cidr:
+                raise NfFilterError(f"'net' expects a CIDR, got {cidr!r}")
+            lo, hi = cidr_range(cidr)
+            in_net = lambda c: (F.col(c) >= lo) & (F.col(c) <= hi)
+            return sides(in_net("sa_num"), in_net("da_num"))
+
+        if tok == "port":
+            if self.peek() == "in":
+                self.take()
+                if self.take() != "[":
+                    raise NfFilterError("expected '[' after 'port in'")
+                vals = []
+                while self.peek() not in ("]", None):
+                    vals.append(_num(self.take(), "port"))
+                if self.take() != "]":
+                    raise NfFilterError("expected ']'")
+                return sides(F.col("sp").isin(vals), F.col("dp").isin(vals))
+            mark = self.i
+            sp = self._cmp(F.col("sp"), "port")
+            self.i, end = mark, self.i
+            dp = self._cmp(F.col("dp"), "port")
+            assert self.i == end
+            return sides(sp, dp)
+
+        if tok == "proto":
+            name = self.take()
+            name = _PROTO_ALIASES.get(name.lower(), name.upper())
+            return F.upper(F.col("pr")) == name
+
+        if tok == "packets":
+            return self._cmp(F.col("ipkt"), "packets")
+        if tok == "bytes":
+            return self._cmp(F.col("ibyt"), "bytes")
+        if tok == "duration":
+            return self._cmp(F.col("td"), "duration")
+
+        if tok == "flags":
+            letters = self.take()
+            if not re.fullmatch(r"[ASFRPU]+", letters.upper()):
+                raise NfFilterError(f"bad flags {letters!r}")
+            pred = F.lit(True)
+            for ch in letters.upper():
+                pred = pred & F.col("flg").contains(ch)
+            return pred
+
+        raise NfFilterError(f"unexpected token {tok!r}")
+
+
+def compile_filter(text: str) -> Column:
+    """Compile an nfdump filter expression to a Spark Column predicate
+    over the flows schema (+ sa_num/da_num). Raises NfFilterError on
+    syntax errors."""
+    p = _Parser(text)
+    col = p.expr()
+    if p.peek() is not None:
+        raise NfFilterError(f"trailing input at token {p.i}: {p.peek()!r}")
+    return col

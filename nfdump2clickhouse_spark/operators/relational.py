@@ -269,3 +269,61 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _custkeys_by_status(spark, sf_dir, "F").subtract(
         _custkeys_by_status(spark, sf_dir, "O")
     )
+
+
+@register(
+    "filter_nfdump_lang",
+    oracle="""
+    WITH f AS (
+      SELECT event_id,
+             '10.0.' || CAST(user_id % 16 AS VARCHAR) || '.7'       AS sa,
+             '192.168.1.' || CAST(event_id % 8 AS VARCHAR)          AS da,
+             1024 + event_id % 50000                                AS sp,
+             CASE event_id % 3 WHEN 0 THEN 443 WHEN 1 THEN 80 ELSE 53 END AS dp,
+             CASE event_id % 2 WHEN 0 THEN 'TCP' ELSE 'UDP' END     AS pr,
+             (event_id * 37) % 3000                                 AS ipkt
+      FROM events
+    )
+    SELECT event_id, sa, dp, pr, ipkt FROM f
+    WHERE (CAST(split_part(sa, '.', 1) AS BIGINT) * 16777216
+         + CAST(split_part(sa, '.', 2) AS BIGINT) * 65536
+         + CAST(split_part(sa, '.', 3) AS BIGINT) * 256
+         + CAST(split_part(sa, '.', 4) AS BIGINT)
+           BETWEEN 167772160 AND 167774207
+       AND dp = 443 AND pr = 'TCP')
+       OR ipkt > 2000
+    """,
+)
+def filter_nfdump_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nfdump filter language compiled onto Spark
+    (functions/nffilter.py): `src net 10.0.0.0/21 and dst port 443 and
+    proto tcp or packets > 2k` — the query surface nfdump users already
+    have, compiled to Column predicates whose net clause is a numeric
+    range (pushdown-able). Flow columns are synthesized deterministically
+    from events so the oracle reproduces the semantics in plain SQL."""
+    from ..functions.ip import ipv4_to_num
+    from ..functions.nffilter import compile_filter
+
+    e = table(spark, sf_dir, "events")
+    f = e.select(
+        "event_id",
+        F.concat(F.lit("10.0."), (F.col("user_id") % 16).cast("string"), F.lit(".7")).alias("sa"),
+        F.concat(F.lit("192.168.1."), (F.col("event_id") % 8).cast("string")).alias("da"),
+        (F.lit(1024) + F.col("event_id") % 50000).cast("int").alias("sp"),
+        F.when(F.col("event_id") % 3 == 0, 443)
+        .when(F.col("event_id") % 3 == 1, 80)
+        .otherwise(53)
+        .cast("int")
+        .alias("dp"),
+        F.when(F.col("event_id") % 2 == 0, "TCP").otherwise("UDP").alias("pr"),
+        ((F.col("event_id") * 37) % 3000).alias("ipkt"),
+    ).withColumns(
+        {"sa_num": F.expr("0"), "da_num": F.expr("0"), "ibyt": F.lit(0), "td": F.lit(0.0), "flg": F.lit("")}
+    )
+    f = f.withColumn("sa_num", ipv4_to_num(F.col("sa"))).withColumn(
+        "da_num", ipv4_to_num(F.col("da"))
+    )
+    pred = compile_filter(
+        "src net 10.0.0.0/21 and dst port 443 and proto tcp or packets > 2k"
+    )
+    return f.filter(pred).select("event_id", "sa", "dp", "pr", "ipkt")

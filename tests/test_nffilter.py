@@ -1,0 +1,117 @@
+"""nfdump filter-language compiler tests: compiled predicates must agree
+with hand-written Column predicates on synthetic flow data, errors must
+be raised with context, and `net` clauses must push down to the scan."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from nfdump2clickhouse_spark.functions.ip import ipv4_to_num
+from nfdump2clickhouse_spark.functions.nffilter import NfFilterError, compile_filter
+from nfdump2clickhouse_spark.schemas import FLOWS
+from nfdump2clickhouse_spark.sources.flows import write_flow_files
+
+
+@pytest.fixture(scope="module")
+def flows(spark):
+    d = tempfile.mkdtemp(prefix="sf_nff_")
+    write_flow_files(spark, d, n_files=3, rows_per_file=300)
+    raw = spark.read.schema(FLOWS).parquet(os.path.join(d, "*"))
+    return raw.withColumns(
+        {"sa_num": ipv4_to_num(F.col("sa")), "da_num": ipv4_to_num(F.col("da"))}
+    ).cache()
+
+
+CASES = [
+    ("src ip 10.1.2.3", lambda c: c("sa") == "10.1.2.3"),
+    ("ip 192.168.1.5", lambda c: (c("sa") == "192.168.1.5") | (c("da") == "192.168.1.5")),
+    ("src net 10.1.0.0/16", lambda c: (c("sa_num") >= 167837696) & (c("sa_num") <= 167903231)),
+    (
+        "net 192.168.0.0/16",
+        lambda c: ((c("sa_num") >= 3232235520) & (c("sa_num") <= 3232301055))
+        | ((c("da_num") >= 3232235520) & (c("da_num") <= 3232301055)),
+    ),
+    ("dst port 443", lambda c: c("dp") == 443),
+    ("src port > 40000", lambda c: c("sp") > 40000),
+    ("port in [80 443 53]", lambda c: c("sp").isin([80, 443, 53]) | c("dp").isin([80, 443, 53])),
+    ("proto tcp", lambda c: F.upper(c("pr")) == "TCP"),
+    ("packets > 1k", lambda c: c("ipkt") > 1000),
+    ("bytes >= 50k", lambda c: c("ibyt") >= 50000),
+    ("duration < 30", lambda c: c("td") < 30),
+    ("flags AS", lambda c: c("flg").contains("A") & c("flg").contains("S")),
+    (
+        "src net 10.0.0.0/14 and dst port 443 and proto tcp",
+        lambda c: (c("sa_num") >= 167772160)
+        & (c("sa_num") <= 168034303)
+        & (c("dp") == 443)
+        & (F.upper(c("pr")) == "TCP"),
+    ),
+    (
+        "not (proto udp or proto icmp)",
+        lambda c: ~((F.upper(c("pr")) == "UDP") | (F.upper(c("pr")) == "ICMP")),
+    ),
+    (
+        "dst port 53 or dst port 443 and packets > 100",
+        # nfdump precedence: and binds tighter than or
+        lambda c: (c("dp") == 53) | ((c("dp") == 443) & (c("ipkt") > 100)),
+    ),
+]
+
+
+@pytest.mark.parametrize("text,ref", CASES, ids=[c[0] for c in CASES])
+def test_compiled_filter_matches_reference_predicate(flows, text, ref):
+    got = flows.filter(compile_filter(text)).count()
+    want = flows.filter(ref(F.col)).count()
+    assert got == want, text
+    # at least some case in the suite must be non-trivial both ways;
+    # individual cases may legitimately match 0 rows on synthetic data
+
+
+def test_filter_suite_has_selective_cases(flows):
+    """Guard against the whole suite silently matching 0 or all rows."""
+    total = flows.count()
+    nonzero = sum(
+        1
+        for text, _ in CASES
+        if 0 < flows.filter(compile_filter(text)).count() < total
+    )
+    assert nonzero >= 8
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "src",
+        "ip",
+        "net 10.0.0.0",          # not a CIDR
+        "port in [80 443",       # unclosed list
+        "(proto tcp",            # unclosed paren
+        "proto tcp extra",       # trailing input
+        "flags XYZ",             # bad flag letters
+        "packets > fast",        # non-numeric
+    ],
+)
+def test_syntax_errors_raise(bad):
+    with pytest.raises(NfFilterError):
+        compile_filter(bad)
+
+
+def test_net_clause_pushes_down(spark, flows):
+    """The compiled numeric range must reach the parquet scan."""
+    from nfdump2clickhouse_spark.plans import pushed_filters
+    from nfdump2clickhouse_spark.sources.sinks import write_flows_partitioned
+
+    d = tempfile.mkdtemp(prefix="sf_nffpd_")
+    out = os.path.join(d, "flows")
+    enriched = flows.withColumns(
+        {"flowsrc": F.lit("t"), "dt": F.to_date("ts")}
+    )
+    write_flows_partitioned(enriched, out, mode="overwrite")
+    back = spark.read.parquet(out)
+    q = back.filter(compile_filter("src net 10.1.0.0/16")).select("sa", "ipkt")
+    pf = " ".join(pushed_filters(q))
+    assert "sa_num" in pf and "GreaterThanOrEqual" in pf, pf
