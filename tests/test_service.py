@@ -92,3 +92,27 @@ def test_service_retention_drops_old_partitions(spark, tmp_path):
     dropped = svc.run_retention(today=date(2024, 8, 1))
     assert dropped == ["dt=2024-03-01"]
     assert not os.path.isdir(os.path.join(base, "flows", "dt=2024-03-01"))
+
+
+def test_clickhouse_ddl_generated_from_schema():
+    from nfdump2clickhouse_spark.sources.clickhouse import flows_ddl, jdbc_url
+
+    ddl = flows_ddl()
+    # every flows column present, reference-conventional types and layout
+    for frag in (
+        "CREATE TABLE IF NOT EXISTS nfsen.flows",
+        "`ts` DateTime",
+        "`te` DateTime",
+        "`td` Float64",
+        "`sa` String",
+        "`sp` UInt16",
+        "`ipkt` UInt64",
+        "`pr` LowCardinality(Nullable(String))",
+        "`flowsrc` LowCardinality(String)",
+        "ENGINE = MergeTree()",
+        "PARTITION BY toDate(ts)",
+        "ORDER BY (ts, sa, da)",
+        "TTL te + INTERVAL 90 DAY",
+    ):
+        assert frag in ddl, frag
+    assert jdbc_url() == "jdbc:clickhouse://localhost:8123/nfsen"
