@@ -119,6 +119,11 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_stateful_sessions(spark)
 
 
+@register("stream_session_window")  # rows-only: real streaming session windows
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_session_stream(spark)
+
+
 # NOTE: streaming/pipeline.py also implements the Spark 4 successor API
 # (run_transform_with_state / transformWithStateInPandas). Its Python worker
 # needs google.protobuf, absent from this container, so the key is not

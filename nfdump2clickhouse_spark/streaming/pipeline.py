@@ -171,6 +171,41 @@ def run_output_modes(spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def run_session_stream(spark: SparkSession) -> DataFrame:
+    """stream_session_window: per-(sa, da) session windows (5-min gap)
+    under a watermark, in a real StreamingQuery — the streaming form of
+    the batch-checked win_session key. Sessions merge across micro-batches
+    while open and emit exactly once when the watermark passes their
+    close (append mode); state is bounded by the watermark, the 100 TB
+    requirement for an unbounded flow stream."""
+    watch, ckpt = _tmp("watch"), _tmp("ckpt")
+    write_flow_files(spark, watch, n_files=4, rows_per_file=120)
+    name = _mem_name()
+    agg = (
+        _source(spark, watch)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("sa"), F.col("da"))
+        .agg(F.count(F.lit(1)).alias("n_flows"), F.sum("ibyt").alias("bytes"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "sa",
+            "da",
+            "n_flows",
+            "bytes",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_transform_with_state(spark: SparkSession) -> DataFrame:
     """stream_tws: the Spark 4 stateful API (transformWithStateInPandas +
     StatefulProcessor) for the same flow-stitching semantics as

@@ -99,3 +99,14 @@ def test_retention_partition_drop(spark):
     assert dropped == ["dt=2024-03-01"]
     left = sorted(e for e in os.listdir(path) if e.startswith("dt="))
     assert left == ["dt=2024-03-02", "dt=2024-03-03"]
+
+
+def test_streaming_session_windows_emit(spark):
+    df = sp.run_session_stream(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # every emitted session belongs to a (sa, da) pair and counts >= 1 flow
+    assert all(r.n_flows >= 1 and r.bytes > 0 for r in rows)
+    # sessions emitted in append mode are closed & final: no (key, start) dup
+    keys = [(r.sa, r.da, r.session_start) for r in rows]
+    assert len(keys) == len(set(keys))
