@@ -226,3 +226,54 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 4).alias("price_sum"),
     )
+
+
+# --- upsert / merge ----------------------------------------------------------
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, ROUND(c_acctbal + 100, 4) AS acctbal, 'updated' AS src
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.0, 'inserted' FROM customer
+      WHERE c_custkey % 50 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           ROUND(COALESCE(u.acctbal, b.c_acctbal), 4) AS acctbal,
+           COALESCE(u.src, 'unchanged') AS src
+    FROM customer b FULL JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE/upsert semantics (update-matched, insert-unmatched,
+    keep-rest) composed from a full outer join + coalesce — the
+    row-level-update primitive plain parquet lacks (ClickHouse gets it
+    from ReplacingMergeTree merges [P]; lakehouse formats from MERGE).
+    One shuffle per side on the key; applied per dt= partition in
+    production so a trickle of updates never rewrites the whole table."""
+    c = table(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100, 4).alias("acctbal"),
+            F.lit("updated").alias("src"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(0.0).alias("acctbal"),
+                F.lit("inserted").alias("src"),
+            )
+        )
+    )
+    b = c.select("c_custkey", "c_acctbal")
+    u = updates.withColumnRenamed("c_custkey", "u_key")
+    return b.join(u, b.c_custkey == u.u_key, "full").select(
+        F.coalesce("u_key", "c_custkey").alias("c_custkey"),
+        F.round(F.coalesce("acctbal", "c_acctbal"), 4).alias("acctbal"),
+        F.coalesce("src", F.lit("unchanged")).alias("src"),
+    )

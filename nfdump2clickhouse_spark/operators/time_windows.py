@@ -118,3 +118,48 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series with zero-filled gaps (ClickHouse `ORDER BY ...
+    WITH FILL` [P]): hourly event counts per type joined onto a generated
+    per-type hour grid. The grid is derived per group from its own
+    [min, max] span (`sequence` + `explode` — rows generated
+    executor-side, never a driver loop) and the fill join is an equi join
+    on (type, hour); grid size is O(groups × span/step), independent of
+    event count."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return grid.join(c, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
