@@ -119,6 +119,53 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_stateful_sessions(spark)
 
 
+@register("maint_bucketed_join")  # rows-only: plan-shape demo (bucketed tables)
+def maint_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables: lineitem and
+    orders written `bucketBy(8, orderkey)` + bucket-sorted, then joined
+    on the bucket key — the join subtree has no Exchange (asserted in
+    tests/test_plans.py). The recurring-join amortization strategy at
+    100 TB: pay one bucketed write, then every orderkey join is local."""
+    import uuid
+
+    from ..sources.sinks import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="sf_buck_")
+    suffix = uuid.uuid4().hex[:8]
+    li_t, o_t = f"li_b_{suffix}", f"o_b_{suffix}"
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_t,
+        8,
+        "l_orderkey",
+        os.path.join(base, "li"),
+    )
+    write_bucketed(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        o_t,
+        8,
+        "o_orderkey",
+        os.path.join(base, "o"),
+    )
+    return (
+        # merge hint: at fixture scale the dim would broadcast, hiding the
+        # point — at 100 TB both sides are fact-sized and SMJ is the plan;
+        # bucketing removes its two Exchanges
+        spark.table(li_t)
+        .hint("merge")
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 @register("stream_session_window")  # rows-only: real streaming session windows
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_session_stream(spark)

@@ -52,6 +52,29 @@ def drop_expired_partitions(path: str, keep_days: int, today: date) -> list[str]
     return dropped
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    key: str,
+    path: str,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed, bucket-sorted external table (SURVEY §4.2 'co-locate
+    joins via bucketing'): both sides of a recurring equi-join written
+    with the same bucket count and key join with NO shuffle — the scans
+    come up `Bucketed: true` and the Exchange disappears from the join
+    subtree. At 100 TB this converts every repeated fact-to-fact join on
+    the bucket key from a full network shuffle into a local merge."""
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(sort_col or key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

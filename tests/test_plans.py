@@ -96,3 +96,17 @@ def test_sorted_layout_gives_address_range_pushdown(spark):
     # row-group stats actually skip: count under the predicate is correct
     n = q.count()
     assert n >= 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """write_bucketed tables joined on the bucket key: the join subtree
+    must read Bucketed: true scans and contain no Exchange (the only
+    Exchange allowed is the final aggregation's)."""
+    df = SPECS["maint_bucketed_join"].fn(spark, sf_dir)
+    plan = get_plan(df, "simple")  # one tree line per node
+    assert "SortMergeJoin" in plan, plan
+    lines = plan.splitlines()
+    smj = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+    subtree = "\n".join(lines[smj:])
+    assert subtree.count("Bucketed: true") == 2, subtree
+    assert "Exchange" not in subtree, subtree
