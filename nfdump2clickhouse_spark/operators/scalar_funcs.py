@@ -340,3 +340,125 @@ def ip6_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.alias("lo6"),
         ip6_in_cidr(hi, lo, "2001:db8::/121").alias("in_dbnet"),
     ).distinct()
+
+
+@register(
+    "json_struct_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def json_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (`from_json` with a declared StructType,
+    vs json_funcs' per-path get_json_object): one parse per row yields a
+    typed struct whose fields feed aggregation directly. At scale the
+    declared schema wins — get_json_object re-parses the string once per
+    extracted path."""
+    from pyspark.sql.types import IntegerType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    e = table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", ST([StructField("k", IntegerType())]))
+    )
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").alias("k_sum"),
+            F.max("p.k").alias("k_max"),
+        )
+    )
+
+
+@register(
+    "str_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+ing')) AS n_ing,
+           array_to_string(list_sort(regexp_extract_all(text, '[a-z]+ing')), ',')
+             AS ing_words
+    FROM documents
+    WHERE len(regexp_extract_all(text, '[a-z]+ing')) > 0
+    """,
+)
+def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All regex matches per row (`regexp_extract_all`) — POSIX-simple
+    pattern so both engines' regex dialects agree (SURVEY §5.3); output
+    canonicalized by sorting before join to a string."""
+    d = table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]+ing"), 0)
+    return (
+        d.select(
+            "doc_id",
+            F.size(matches).alias("n_ing"),
+            F.array_join(F.array_sort(matches), ",").alias("ing_words"),
+        )
+        .filter(F.col("n_ing") > 0)
+    )
+
+
+@register(
+    "array_set_ops",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(string_split(text, ' ')) AS ws
+      FROM documents WHERE doc_id <= 50
+    ),
+    p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.ws AS w1, b.ws AS w2
+      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT id1, id2,
+           len(list_intersect(w1, w2)) AS n_common,
+           len(list_distinct(list_concat(w1, w2))) AS n_union
+    FROM p
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (`array_intersect` / `array_union`) between
+    adjacent documents' vocabularies — counts only, so element order
+    differences between engines cannot leak into the hash."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    w = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    a = w.select(F.col("doc_id").alias("id1"), F.col("ws").alias("w1"))
+    b = w.select((F.col("doc_id") - 1).alias("id1"), F.col("doc_id").alias("id2"), F.col("ws").alias("w2"))
+    return a.join(b, "id1").select(
+        "id1",
+        "id2",
+        F.size(F.array_intersect("w1", "w2")).alias("n_common"),
+        F.size(F.array_union("w1", "w2")).alias("n_union"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram via arithmetic bucketing (ClickHouse histogram /
+    width_bucket-style) — a plain two-key aggregation, partial+final."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
