@@ -163,3 +163,100 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(c, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+@register(
+    "ts_interpolate",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             AVG(value) AS v
+      FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.h, c.v,
+             epoch(g.h) AS e
+      FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+    ),
+    w AS (
+      SELECT event_type, h, v, e,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+      FROM j
+    )
+    SELECT event_type, h,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (e - pe) / (ne - pe)
+           END, 4) AS v_filled
+    FROM w
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps in a time series (ClickHouse `WITH
+    FILL ... INTERPOLATE` [P]): hourly avg(value) per type — with every
+    7th event removed to create holes — rebuilt on a dense grid, missing
+    points interpolated between the nearest observed neighbors
+    (edge gaps take the nearest value). Two windows per partition
+    (forward + backward ignoreNulls scans), one shuffle on event_type."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 != 0)
+    c = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.avg("value").alias("v")
+    )
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    j = grid.join(c, ["event_type", "h"], "left").withColumn(
+        "e", F.unix_timestamp("h")
+    )
+    back = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ee = F.when(F.col("v").isNotNull(), F.col("e"))
+    w = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pe", F.last(ee, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("ne", F.first(ee, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("e") - F.col("pe"))
+            / (F.col("ne") - F.col("pe"))
+        )
+    )
+    return w.select("event_type", "h", F.round(interp, 4).alias("v_filled"))

@@ -110,3 +110,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     subtree = "\n".join(lines[smj:])
     assert subtree.count("Bucketed: true") == 2, subtree
     assert "Exchange" not in subtree, subtree
+
+
+def test_partition_pruning_on_dt(spark):
+    """A dt= filter on the partitioned flows table must become a
+    PartitionFilter (directory pruning), never a data filter."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.operators.scans import retention_partition_demo
+    from nfdump2clickhouse_spark.plans import get_plan
+
+    path, _ = retention_partition_demo(spark)
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("dt") == "2024-03-02").select("sa", "ibyt")
+    plan = get_plan(q)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "dt" in m[0], plan
+    # pruned to a single partition's files: count only that day's rows
+    assert q.count() == 50
