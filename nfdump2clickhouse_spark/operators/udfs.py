@@ -10,6 +10,7 @@ grouped applyInPandas / partition-wise mapInPandas → SQL UDTFs.
 from __future__ import annotations
 
 import re
+from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -156,4 +157,34 @@ def udtf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL split_words(d.text) t
         WHERE d.doc_id < 100
         """
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) - 1000.0, 4) AS adj_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[Series] → Iterator[Series]):
+    the per-worker expensive-init amortization pattern — the 'model' (here
+    a constant bias standing in for a loaded tokenizer/ONNX session) is
+    built ONCE per Python worker, then applied across every Arrow batch
+    that worker sees, instead of once per batch as a plain SCALAR pandas
+    UDF would."""
+    @pandas_udf("double")
+    def adj(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bias = 1000.0  # stand-in for expensive one-time init per worker
+        for s in batches:
+            yield s - bias
+
+    li = table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(adj(net), 4).alias("adj_price"),
     )

@@ -116,3 +116,30 @@ def test_clickhouse_ddl_generated_from_schema():
     ):
         assert frag in ddl, frag
     assert jdbc_url() == "jdbc:clickhouse://localhost:8123/nfsen"
+
+
+def test_ingest_skips_corrupt_files_when_configured(spark, tmp_path):
+    """Reference parity: a bad rotation file must not wedge the pipeline
+    (the reference logs and moves on [P]). With ignoreCorruptFiles the
+    batch read skips the garbage file and ingests the valid ones."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.schemas import FLOWS
+    from nfdump2clickhouse_spark.sources.flows import write_flow_files
+
+    watch = str(tmp_path / "watch")
+    write_flow_files(spark, watch, n_files=2, rows_per_file=100)
+    with open(os.path.join(watch, "nfcapd.209901010000.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        n = (
+            spark.read.schema(FLOWS)
+            .parquet(os.path.join(watch, "*"))
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert n == 200
