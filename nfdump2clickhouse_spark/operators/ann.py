@@ -10,6 +10,9 @@ vector table partitioned by cell id to get partition pruning.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -118,4 +121,74 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@register("ann_lsh_cosine")  # rows-only: hyperplane family is engine-specific
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-neighbor pairs: 64-bit random-hyperplane
+    signatures (sign of V·H, H seeded-deterministic), candidates from
+    equal 4-bit bands (16 bands — banding tuned for the fixture's ~0.45+
+    similarity regime; collision prob per band ≈ (1-θ/π)^4), then EXACT
+    cosine verification of candidates only. The candidate join is
+    per-(band, key) buckets — never an all-pairs product — which is the
+    shape that scales; at fixture size brute force is cheaper, which is
+    why the exact variants exist alongside (dedup_embedding_cosine).
+
+    Signature computation is one numpy matmul per Arrow batch
+    (iterator-form pandas UDF; hyperplanes built once per worker from a
+    fixed seed)."""
+    from ..functions.similarity import as_double, cosine
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    dim = 64
+    n_bits = 64
+
+    @F.pandas_udf("long")
+    def signature(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        rng = np.random.default_rng(42)  # same planes on every worker
+        H = rng.standard_normal((n_bits, dim))
+        for s in batches:
+            V = np.stack(s.to_numpy())
+            bits = (V @ H.T) > 0  # (n, 64)
+            # pack to signed int64 (bit 63 = sign bit, two's complement)
+            weights = np.left_shift(np.ones(n_bits, dtype=np.uint64), np.arange(n_bits, dtype=np.uint64))
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.Series(sig)
+
+    sigs = e.withColumn("sig", signature("emb"))
+    bands = sigs.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", 4 * i)
+                        .bitwiseAND(F.lit(0xF))
+                        .alias("key"),
+                    )
+                    for i in range(16)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = bands.select(F.col("vec_id").alias("id1"), F.col("emb").alias("e1"), "bk")
+    b = bands.select(F.col("vec_id").alias("id2"), F.col("emb").alias("e2"), "bk")
+    cand = (
+        a.join(b, ["bk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "e1", "e2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("e1"), F.col("e2")), 4))
+        .filter(F.col("cos_sim") >= 0.45)
+        .select("id1", "id2", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), "id1", "id2")
     )

@@ -38,3 +38,18 @@ def test_every_query_has_spec_contract():
     os_ = registry.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) > 0
+
+
+def test_lsh_candidates_cover_exact_pairs(spark, sf_dir):
+    """ann_lsh_cosine (banded candidates + exact verify) must recover at
+    least 90% of the brute-force pair set at the same threshold — the
+    recall contract that justifies the LSH path at scale."""
+    from nfdump2clickhouse_spark import registry
+
+    specs = registry.all_specs()
+    lsh = specs["ann_lsh_cosine"].fn(spark, sf_dir).toPandas()
+    exact = specs["dedup_embedding_cosine"].fn(spark, sf_dir).toPandas()
+    lp = set(zip(lsh.id1, lsh.id2))
+    ep = set(zip(exact.id1, exact.id2))
+    assert lp <= ep or not ep  # verification step admits no false positives
+    assert len(lp & ep) >= 0.9 * len(ep)
