@@ -34,9 +34,10 @@ GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
 @pytest.fixture(scope="module")
 def ddb_small():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
     yield con
     con.close()
 
@@ -115,3 +116,31 @@ def test_random_grouped_aggregates_agree(spark, ddb_small, gcol, acol, pred):
         en, es = expected[k]
         gn, gs = got[k]
         assert gn == en and abs(gs - float(es)) < 1e-6, (q, k)
+
+
+@common
+@given(
+    pred=num_pred,
+    gcol=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+)
+def test_random_filtered_join_aggregates_agree(spark, ddb_small, pred, gcol):
+    """lineitem ⋈ orders under a random lineitem predicate, grouped on an
+    orders column — exercises join + filter + agg interplay that the
+    fixed-key suite covers only at specific constants."""
+    where = _sql_pred(pred)
+    q = (
+        f"SELECT {gcol} AS g, COUNT(*) AS n FROM lineitem l "
+        f"JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE {where} GROUP BY {gcol}"
+    )
+    expected = dict(ddb_small.execute(q).fetchall())
+    li = table(spark, SF, "lineitem").filter(F.expr(where))
+    o = table(spark, SF, "orders")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col(gcol).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r.g: r.n for r in rows}
+    assert got == expected, q
