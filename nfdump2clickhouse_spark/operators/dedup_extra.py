@@ -326,3 +326,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_pair_topk(e, n_blocks=8, per_block_k=None, threshold=0.45).select(
         "id1", "id2", "cos_sim"
     )
+
+
+@register(
+    "dedup_pipeline_e2e",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2
+      FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM labels WHERE node <> label)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+    FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """,
+)
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline a training-data curation run executes:
+    shingle → inverted-index Jaccard pairs → connected components →
+    keep ONE representative per duplicate cluster (the min doc_id label)
+    → surviving-corpus stats. Composes dedup_ngram_jaccard and
+    dedup_cluster_cc; the drop step is a broadcast-able anti-join of the
+    (small) dropped-id set against the corpus — at 100 TB the drop list
+    is duplicates-only, orders of magnitude smaller than the corpus."""
+    labels = dedup_cluster_cc(spark, sf_dir)
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = table(spark, sf_dir, "documents")
+    survivors = d.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
