@@ -172,30 +172,35 @@ def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding)                                     AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4)             AS first_val,
-           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4))
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0         AS first_val,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0)
                                                               AS head3,
            len(list_filter(embedding, x -> x > 0))            AS n_pos,
            ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                                'sum'), 4)                    AS vec_sum
+                                'sum'), 4) + 0                AS vec_sum
     FROM embeddings
     """,
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array builtins + higher-order lambdas on ArrayType(Float) — float32
-    cast to double before arithmetic (SURVEY §5.3.6)."""
+    cast to double before arithmetic (SURVEY §5.3.6). Every rounded value
+    gets `+ 0`: IEEE `-0.0 + 0.0 = +0.0`, so a tiny negative rounded to
+    zero prints identically in both engines (found at sf0.1 — one row's
+    `-0.0` vs `0.0` broke the string hash)."""
     e = table(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0).alias(
+            "first_val"
+        ),
         F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4) + 0
         ).alias("head3"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.round(
-            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        (
+            F.round(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4) + 0
         ).alias("vec_sum"),
     )
 

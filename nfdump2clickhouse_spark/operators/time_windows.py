@@ -202,12 +202,12 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT event_type, h,
-           ROUND(CASE
+           floor((CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NULL THEN nv
              WHEN nv IS NULL THEN pv
              ELSE pv + (nv - pv) * (e - pe) / (ne - pe)
-           END, 4) AS v_filled
+           END) * 10000 + 0.5 + 1e-9) / 10000 AS v_filled
     FROM w
     """,
 )
@@ -259,4 +259,9 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ne") - F.col("pe"))
         )
     )
-    return w.select("event_type", "h", F.round(interp, 4).alias("v_filled"))
+    # epsilon half-up rounding: the interpolated value can land exactly on
+    # a .00005 boundary where the two engines' last-ulp difference flips
+    # the 4th decimal (7 rows at sf0.1); the 1e-9 nudge absorbs ulp noise
+    # (values are positive, so floor(x+0.5) is half-up)
+    eps_round = F.floor(interp * 10000 + 0.5 + 1e-9) / 10000
+    return w.select("event_type", "h", eps_round.alias("v_filled"))
