@@ -298,3 +298,61 @@ def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click'
+                 THEN epoch_us(ts) END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL
+                          AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN first_click IS NOT NULL
+                           AND first_purchase > first_click
+                     THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN first_click IS NOT NULL
+                              THEN 1 ELSE 0 END), 0), 4) AS conv_rate
+    FROM u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (click → later purchase) per user,
+    collapsed to corpus-level rates — the canonical event-analytics
+    query (ClickHouse ships `windowFunnel` for it [P]). One shuffle:
+    conditional-min per user is a partial+final hash aggregate, the
+    final global rollup is a single-row reduce. Timestamps compare as
+    `unix_micros` — both engines floor the fixture's ns parquet to µs,
+    so the strict inequality is bit-identical (SURVEY §5.3.2). The
+    ratio needs no epsilon rounding: it's a quotient of exact ints."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase"
+        ),
+    )
+    clicked = F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+    converted = F.when(
+        F.col("first_click").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click")),
+        1,
+    ).otherwise(0)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(clicked).alias("n_clicked"),
+        F.sum(converted).alias("n_converted"),
+        F.round(
+            F.sum(converted) * 1.0 / F.nullif(F.sum(clicked), F.lit(0)), 4
+        ).alias("conv_rate"),
+    )

@@ -161,6 +161,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", positional_fingerprint(F.col("ws")).alias("fingerprint"))
 
 
+@register(
+    "text_quality_filter_e2e",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    q AS (
+      SELECT lang, len(ws) AS n_words,
+             len(list_distinct(ws)) * 1.0 / len(ws) AS ttr
+      FROM w
+      WHERE len(ws) BETWEEN 20 AND 90
+        AND len(list_distinct(ws)) * 1.0 / len(ws) >= 0.5
+        AND len(list_filter(ws, x -> list_contains({_SW_SQL}, x)))
+            * 1.0 / len(ws) <= 0.6
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           floor(AVG(ttr) * 10000 + 0.5 + 1e-9) / 10000 AS avg_ttr
+    FROM q GROUP BY lang
+    """,
+)
+def text_quality_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter pass of a curation pipeline, end-to-end:
+    Gopher/C4-style rules (token-count bounds, type-token ratio floor,
+    stopword-density ceiling) applied in one codegen'd scan, then
+    surviving-corpus stats per language. One shuffle total (the final
+    tiny groupBy) — the filter itself is embarrassingly parallel, which
+    is exactly why rule-based filtering is the first pass at 100 TB.
+    avg_ttr uses epsilon half-up rounding (ttr > 0): plain round() flips
+    on summation-order ulp noise across engines."""
+    d = table(spark, sf_dir, "documents").withColumn("ws", words(F.col("text")))
+    ttr = F.size(F.array_distinct("ws")) / F.size("ws")
+    sw_ratio = stopword_count(F.col("ws")) / F.size("ws")
+    survivors = d.filter(
+        F.size("ws").between(20, 90) & (ttr >= 0.5) & (sw_ratio <= 0.6)
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_tokens"),
+        (F.floor(F.avg(ttr) * 10000 + 0.5 + 1e-9) / 10000).alias("avg_ttr"),
+    )
+
+
 @register("text_fingerprint_xx")  # rows-only: xxhash64 is Spark-specific
 def text_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strong 64-bit fingerprint: xxhash64 over the normalized token

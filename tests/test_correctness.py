@@ -53,3 +53,27 @@ def test_lsh_candidates_cover_exact_pairs(spark, sf_dir):
     ep = set(zip(exact.id1, exact.id2))
     assert lp <= ep or not ep  # verification step admits no false positives
     assert len(lp & ep) >= 0.9 * len(ep)
+
+
+def test_funnel_invariants(spark, sf_dir):
+    """events_funnel counts must nest: converted ⊆ clicked ⊆ all users."""
+    row = SPECS["events_funnel"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= row.n_converted <= row.n_clicked <= row.n_users
+    if row.n_clicked:
+        assert abs(row.conv_rate - round(row.n_converted / row.n_clicked, 4)) < 1e-9
+
+
+def test_quality_filter_is_subset(spark, sf_dir):
+    """The quality-filter pass can only shrink the corpus, never grow it."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    kept = (
+        SPECS["text_quality_filter_e2e"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    total = table(spark, sf_dir, "documents").count()
+    assert 0 < kept < total
