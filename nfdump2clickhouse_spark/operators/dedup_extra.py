@@ -151,40 +151,40 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation as a driver loop over DataFrames:
     each round joins labels to edges, takes the per-node min, and
     `localCheckpoint` truncates the growing lineage; rounds ≤ graph
-    diameter (near-dup clusters are shallow — a handful here). The
-    convergence test is one count() per round — the only driver-side
-    action, O(1) result. At massive scale swap the propagation step for
-    the two-phase large-star/small-star contraction, which bounds rounds
-    by O(log n) independent of diameter; the oracle (DuckDB recursive
-    CTE transitive closure) is identical either way."""
+    diameter (near-dup clusters are shallow — a handful here). Labels
+    only ever decrease under min-propagation, so convergence is
+    `sum(label)` reaching a fixpoint — one O(1)-result aggregate per
+    round on the already-checkpointed frame, no join against the
+    previous round's labels (which doubled per-round work). At massive
+    scale swap the propagation step for the two-phase large-star/
+    small-star contraction, which bounds rounds by O(log n) independent
+    of diameter; the oracle (DuckDB recursive CTE transitive closure)
+    is identical either way."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
     edges = pairs.union(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    ).toDF("src", "dst")
+    ).toDF("src", "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):  # diameter guard; converges in ~3 rounds here
         msgs = labels.join(edges, labels.node == edges.src).select(
             F.col("dst").alias("node"), "label"
         )
-        new = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
