@@ -1,0 +1,122 @@
+"""Behavioral event analytics: cohort retention and ordered-sequence
+matching — the ClickHouse event-analytics surface (`retention`,
+`sequenceMatch` [P]) that the flows/events table serves, alongside
+`events_funnel` (operators/aggregations.py).
+
+Both are single-shuffle conditional aggregations: per-user state is
+bounded (a set of active days / an ordered type string), so the
+`collect_set`/`collect_list` payloads stay small no matter the corpus
+row count — the property that makes these safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, MIN(d) AS cohort, list(d) AS ds FROM d GROUP BY user_id
+    )
+    SELECT CAST(cohort AS VARCHAR) AS cohort,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN list_contains(ds, cohort + 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+           CAST(SUM(CASE WHEN list_contains(ds, cohort + 7)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_d7,
+           ROUND(SUM(CASE WHEN list_contains(ds, cohort + 1)
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS d1_rate,
+           ROUND(SUM(CASE WHEN list_contains(ds, cohort + 7)
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS d7_rate
+    FROM u GROUP BY cohort
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention table (ClickHouse `retention()` [P]): users
+    grouped by first-seen day; for each cohort, how many came back on
+    day 1 and day 7. Two aggregations but the second reuses the first's
+    hash partitioning on `user_id` (Catalyst exchange reuse): the
+    per-user day set is `collect_set` of calendar DATEs — bounded by the
+    retention horizon (≤ ~30 here, ≤ 90 under the flows TTL [P §2.1]),
+    never by event count, so the aggregation buffer is O(days) per user
+    at any corpus scale. Day flags are then `array_contains` lookups —
+    no self-join of events against events, which is the naive (and at
+    100 TB unrunnable) formulation of retention."""
+    e = table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    u = d.groupBy("user_id").agg(
+        F.min("d").alias("cohort"), F.collect_set("d").alias("ds")
+    )
+    d1 = F.when(
+        F.array_contains("ds", F.date_add(F.col("cohort"), 1)), 1
+    ).otherwise(0)
+    d7 = F.when(
+        F.array_contains("ds", F.date_add(F.col("cohort"), 7)), 1
+    ).otherwise(0)
+    # cohort rendered as an ISO string: DATE round-trips through the two
+    # engines' pandas bridges differently (date vs midnight timestamp)
+    return u.groupBy(F.col("cohort").cast("string").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(d1).alias("n_d1"),
+        F.sum(d7).alias("n_d7"),
+        F.round(F.sum(d1) * 1.0 / F.count(F.lit(1)), 4).alias("d1_rate"),
+        F.round(F.sum(d7) * 1.0 / F.count(F.lit(1)), 4).alias("d7_rate"),
+    )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CASE WHEN regexp_matches(seq, 's.*c.*p')
+                THEN 1 ELSE 0 END AS matched
+    FROM s
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-pattern match over each user's event stream (ClickHouse
+    `sequenceMatch('(?1).*(?2).*(?3)')` [P]): did signup → click →
+    purchase happen in time order? The per-user stream is materialized
+    as a compact type-initial string ('scvpe…') via
+    `array_sort(collect_list(struct(ts_us, event_id, type)))` — struct
+    sort gives (time, unique-id) ordering with no window shuffle — and
+    the pattern is one `rlike` over that string, so arbitrary regex
+    sequences (not just subsequence-exists, which a conditional-min
+    funnel can answer) run in the same single-shuffle plan. Timestamps
+    compare as `unix_micros` and carry the `event_id` tiebreaker
+    (SURVEY §5.3.2-3). Per-user payload is O(events-per-user) — fine
+    for interactive streams; for adversarially hot keys, pre-cap with a
+    per-user `row_number` limit before collecting."""
+    e = table(spark, sf_dir, "events")
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    s = e.groupBy("user_id").agg(evs.alias("evs"))
+    seq = F.concat_ws("", F.transform("evs", lambda x: x["c"]))
+    return s.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        F.when(seq.rlike("s.*c.*p"), 1).otherwise(0).alias("matched"),
+    )

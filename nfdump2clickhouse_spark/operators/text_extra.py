@@ -216,3 +216,58 @@ def text_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xxhash64(F.concat_ws(" ", words(F.col("text")))).alias("fp64"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or call 555-' ||
+             lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') AS full_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text,
+                '[a-z0-9.]+@[a-z][a-z.]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(full_text,
+                '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(full_text,
+                '[a-z0-9.]+@[a-z][a-z.]+', '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+    FROM p
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — a mandatory pass in any training-data pipeline:
+    find-and-mask email addresses and phone-shaped tokens, reporting
+    per-doc match counts for audit. The fixture corpus contains no PII,
+    so a deterministic synthetic contact line (keyed off `doc_id`) is
+    appended first; the scrub itself is the operator under test.
+
+    Pure codegen'd Column ops — `regexp_count` + `regexp_replace`
+    (global replace is Spark's default; the oracle needs the explicit
+    'g' flag) — so the pass is embarrassingly parallel with zero
+    shuffle: precisely the shape a 100 TB redaction sweep needs.
+    Patterns stay in the POSIX-simple intersection of Java regex and
+    RE2 (SURVEY §5.3.5)."""
+    d = table(spark, sf_dir, "documents")
+    email = r"[a-z0-9.]+@[a-z][a-z.]+"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+    )
+    p = d.select("doc_id", full.alias("full_text"))
+    return p.select(
+        "doc_id",
+        F.regexp_count("full_text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("full_text", F.lit(phone)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("full_text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+    )
