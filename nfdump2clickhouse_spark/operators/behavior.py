@@ -120,3 +120,64 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("evs").cast("long").alias("n_events"),
         F.when(seq.rlike("s.*c.*p"), 1).otherwise(0).alias("matched"),
     )
+
+
+@register(
+    "events_path_ngrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT substr(seq, i, 3) AS path
+      FROM (SELECT seq FROM s WHERE len(seq) >= 3),
+           UNNEST(generate_series(1, len(seq) - 2)) AS t(i)
+    )
+    SELECT path, COUNT(*) AS n
+    FROM g GROUP BY path
+    ORDER BY n DESC, path LIMIT 5
+    """,
+)
+def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common 3-step behavioral paths across all user streams —
+    the 'what do users do next' query behind path-flow dashboards.
+    Reuses the sequence-string trick (`events_sequence_match`): per-user
+    ordered type string, sliding 3-grams via a `transform(sequence(…))`
+    HOF (array allocation is per-user-stream, not per-corpus), explode,
+    count, keyed top-5. Two shuffles (per-user collect, trigram count) +
+    a `TakeOrderedAndProject` — no window over the global trigram set.
+    The top-5 order carries the `path` tiebreaker so the result set is
+    deterministic (SURVEY §5.3.4)."""
+    e = table(spark, sf_dir, "events")
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    s = e.groupBy("user_id").agg(evs.alias("evs")).select(
+        F.concat_ws("", F.transform("evs", lambda x: x["c"])).alias("seq")
+    )
+    # explicit len >= 3 guard: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (not empty like generate_series), so short streams must be
+    # filtered out, not clamped
+    g = s.filter(F.length("seq") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(seq) - 2),"
+                " i -> substring(seq, i, 3))"
+            )
+        ).alias("path")
+    )
+    return (
+        g.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(5)
+    )

@@ -287,3 +287,92 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_out="purchase_id",
         right_out="signup_id",
     )
+
+
+# Synthetic routing table over the 10.0.0.0/16 space the synthesized flow
+# addresses (SURVEY §2.8 ip_funcs) live in: mixed prefix lengths, complete
+# disjoint cover, so every event enriches to exactly one network label.
+_PREFIX_TABLE = [
+    ("10.0.0.0/18", "net-a"),
+    ("10.0.64.0/18", "net-b"),
+    ("10.0.128.0/20", "net-c"),
+    ("10.0.144.0/20", "net-d"),
+    ("10.0.160.0/19", "net-e"),
+    ("10.0.192.0/18", "net-f"),
+]
+_BUCKET_BITS = 12  # /20 buckets: no prefix here is longer than /20
+
+
+def _prefix_rows() -> list[tuple[int, int, str]]:
+    from ..functions.ip import cidr_range
+
+    return [(*cidr_range(c), label) for c, label in _PREFIX_TABLE]
+
+
+_PREFIX_VALUES_SQL = ", ".join(
+    f"({lo}, {hi}, '{label}')" for lo, hi, label in _prefix_rows()
+)
+
+
+@register(
+    "join_ip_prefix_lookup",
+    oracle=f"""
+    WITH ips AS (
+      SELECT user_id,
+             167772160 + (user_id % 256) * 256 + 7 AS ip_num
+      FROM events
+    ),
+    px(lo, hi, label) AS (VALUES {_PREFIX_VALUES_SQL})
+    SELECT label, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM ips JOIN px ON ip_num BETWEEN lo AND hi
+    GROUP BY label
+    """,
+)
+def join_ip_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR-prefix enrichment join (GeoIP/ASN lookup — ClickHouse solves
+    this with `ip_trie` dictionaries [P]): every flow address mapped to
+    its covering prefix's label, then traffic aggregated per network.
+
+    The scalable shape, not the naive one: a prefix table joined on
+    `ip BETWEEN lo AND hi` alone is a nested-loop over every (flow,
+    prefix) pair. Instead each prefix is exploded into the fixed-width
+    /20 buckets it covers (`sequence(lo >> 12, hi >> 12)` — a /18 is 4
+    rows, a /20 is 1), the flow side derives its bucket with one shift,
+    and the join is an equi-join on the bucket key with the range kept
+    as a residual predicate. Catalyst broadcasts the exploded dim here;
+    at a full BGP table (~1M routes, ~4M bucket rows) the same plan
+    degrades gracefully to a shuffled hash join co-partitioned on
+    bucket — either way, never O(flows × prefixes). Deeper-than-/20
+    prefixes would shard a bucket; longest-prefix-match tie-breaking is
+    then a `max_by(label, masklen)` per flow — not needed on this
+    disjoint cover."""
+    from ..functions.ip import ipv4_to_num
+
+    e = table(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".7")
+    )
+    flows = e.select(
+        "user_id", ipv4_to_num(ip).alias("ip_num")
+    ).withColumn("bucket", F.shiftright("ip_num", _BUCKET_BITS))
+    px = spark.createDataFrame(
+        _prefix_rows(), "lo BIGINT, hi BIGINT, label STRING"
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright("lo", _BUCKET_BITS),
+                F.shiftright("hi", _BUCKET_BITS),
+            )
+        ),
+    )
+    return (
+        flows.join(F.broadcast(px), "bucket")
+        .filter(F.col("ip_num").between(F.col("lo"), F.col("hi")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
