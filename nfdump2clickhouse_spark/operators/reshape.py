@@ -277,3 +277,78 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("acctbal", "c_acctbal"), 4).alias("acctbal"),
         F.coalesce("src", F.lit("unchanged")).alias("src"),
     )
+
+
+@register(
+    "pack_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM t
+    )
+    SELECT CAST(FLOOR(st / 2048.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents, in canonical
+    doc_id order, to fixed token-budget bins (budget 2048; a bin may
+    overrun by at most its last doc — contiguous greedy packing, the
+    standard pre-tokenization batching pass).
+
+    The primitive is a GLOBAL exclusive prefix sum, and the naive
+    formulation — a window with ORDER BY and no PARTITION BY — funnels
+    the whole corpus through one task, the classic 100 TB deadlock.
+    Instead, the two-phase scan pattern: range-partition on doc_id and
+    sort within partitions; aggregate one token subtotal per partition
+    (P rows — driver-side prefix over those is O(P), the one legitimate
+    collect in this engine); broadcast the per-partition start offsets
+    back; and run the running sum as a window PARTITIONED BY partition
+    id, so every task computes its slice independently. Bin assignment
+    depends only on the doc_id-ordered prefix, so the result is
+    identical however the range partitioner splits."""
+    from pyspark.sql import Window
+
+    from ..functions.text import words
+
+    budget = 2048
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words(F.col("text"))).alias("n_tok")
+    )
+    parts = d.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    parts = parts.withColumn("pid", F.spark_partition_id())
+    subtotals = (
+        parts.groupBy("pid").agg(F.sum("n_tok").alias("tot")).orderBy("pid").collect()
+    )
+    offsets, acc = {}, 0
+    for row in subtotals:
+        offsets[row["pid"]] = acc
+        acc += row["tot"]
+    off = F.coalesce(
+        *[F.when(F.col("pid") == p, F.lit(o)) for p, o in offsets.items()],
+        F.lit(0),
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st = off + F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        parts.withColumn("bin_id", F.floor(st / budget))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
