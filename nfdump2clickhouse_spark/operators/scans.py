@@ -99,6 +99,11 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_foreachbatch(spark)
 
 
+@register("stream_restart_resume")  # rows-only: checkpoint-recovery integration
+def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_restart_resume(spark)
+
+
 @register("stream_watermark")  # rows-only
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_watermark(spark)

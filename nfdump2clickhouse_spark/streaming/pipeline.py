@@ -344,3 +344,46 @@ def run_stateful_sessions(spark: SparkSession) -> DataFrame:
     return spark.table(name).groupBy("sa", "da").agg(
         F.max("n_flows").alias("n_flows"), F.max("total_bytes").alias("total_bytes")
     )
+
+
+def run_restart_resume(spark: SparkSession) -> DataFrame:
+    """stream_foreachbatch across a RESTART: the operational guarantee the
+    reference daemon gets from file-level retry [P §3.1 E2], here from the
+    checkpoint. Run 1 drains rotations 0-1 and terminates (availableNow —
+    the systemd-timer deployment mode); two more rotations land; run 2
+    starts from the SAME checkpoint and must process exactly the two new
+    files; run 3 with nothing new must add zero rows. The seen-files log
+    in the checkpoint is what replaces the reference's watcher state, so
+    this is the test that it survives process death."""
+    watch, ckpt, out, ledger = _tmp("watch"), _tmp("ckpt"), _tmp("out"), _tmp("ledger")
+    sink = parquet_batch_writer(os.path.join(out, "flows"), ledger_path=ledger)
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+
+    def drain() -> None:
+        q = (
+            _source(spark, watch)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_flow_files(spark, watch, n_files=2, rows_per_file=120, start=start)
+    drain()
+    import time
+
+    time.sleep(1.1)  # later mod-time: the new rotations list after run 1's
+    from datetime import timedelta
+
+    write_flow_files(
+        spark, watch, n_files=2, rows_per_file=120,
+        start=start + timedelta(minutes=10),
+    )
+    drain()  # restart from the same checkpoint: must pick up exactly 2 files
+    drain()  # nothing new: must be a no-op
+    return (
+        spark.read.parquet(os.path.join(out, "flows"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -128,3 +128,24 @@ def test_partition_pruning_on_dt(spark):
     assert m and "dt" in m[0], plan
     # pruned to a single partition's files: count only that day's rows
     assert q.count() == 50
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark):
+    """Join-driven pruning (AQE/DPP): filtering a dim table must prune the
+    partitioned fact's dt= directories at runtime via a dynamicpruning
+    subquery — the mechanism that keeps a '1 day of 90' enrichment join
+    from scanning the whole at-rest table at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.operators.scans import retention_partition_demo
+    from nfdump2clickhouse_spark.plans import get_plan
+
+    path, _ = retention_partition_demo(spark)
+    back = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-03-02", "incident-7")], "dt STRING, tag STRING"
+    ).filter(F.col("tag") == "incident-7")
+    q = back.join(dim, back.dt.cast("string") == dim.dt).select("sa", "ibyt", "tag")
+    plan = get_plan(q)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert q.count() == 50  # only the incident day's partition rows

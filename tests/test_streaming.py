@@ -110,3 +110,13 @@ def test_streaming_session_windows_emit(spark):
     # sessions emitted in append mode are closed & final: no (key, start) dup
     keys = [(r.sa, r.da, r.session_start) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_restart_resumes_from_checkpoint_exactly_once(spark):
+    df = sp.run_restart_resume(spark).orderBy("batch_id")
+    rows = df.collect()
+    # run 1: batches 0-1; run 2 (restarted, same checkpoint): batches 2-3
+    # picking up ONLY the two new rotations; run 3: no-op. 4 files total,
+    # each exactly once — across three separate StreamingQuery lifetimes.
+    assert [r.batch_id for r in rows] == [0, 1, 2, 3]
+    assert all(r.n_rows == 120 for r in rows)
