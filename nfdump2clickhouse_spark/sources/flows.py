@@ -147,6 +147,7 @@ def write_flow_files(
     rows_per_file: int = 200,
     start: datetime | None = None,
     fmt: str = "parquet",
+    tag: str = "",
 ) -> list[str]:
     """Materialize nfcapd-style rotated files (`nfcapd.YYYYMMDDhhmm.*`),
     ONE real file per simulated 5-min window (exactly like one nfcapd
@@ -161,7 +162,10 @@ def write_flow_files(
     paths = []
     for fidx in range(n_files):
         fstart = start + timedelta(minutes=5 * fidx)
-        name = f"nfcapd.{fstart:%Y%m%d%H%M}"
+        # `tag` distinguishes replayed/late rotations (nfcapd.…​.retry-style)
+        # from the original: without it a replay would silently OVERWRITE
+        # the on-time file instead of arriving as a new one
+        name = f"nfcapd.{fstart:%Y%m%d%H%M}" + (f".{tag}" if tag else "")
         rows = flow_rows(fidx, rows_per_file, fstart.replace(tzinfo=None))
         cols = {k: [r[k] for r in rows] for k in rows[0]}
         tbl = pa.Table.from_pydict(cols, schema=schema)

@@ -85,17 +85,23 @@ def run_foreachbatch(spark: SparkSession) -> DataFrame:
 
 def run_watermark(spark: SparkSession) -> DataFrame:
     """stream_watermark: 10-min watermark on 5-min tumbling counts; the
-    third file replays rows from the first rotation's window (>10 min
-    late by then) — in append mode those land in no emitted window."""
+    last file replays rows from the first rotation's window (far past the
+    watermark by then) — those land in no emitted window, so the [0,5)
+    window emits exactly its 100 on-time rows, never the 50 replays.
+    Five on-time rotations so the watermark (max_ts - 10 min, advanced at
+    batch boundaries) actually passes the first windows' ends before the
+    availableNow run terminates — with fewer files nothing ever emits in
+    append mode and the scenario asserts nothing."""
     watch, ckpt = _tmp("watch"), _tmp("ckpt")
     start = datetime(2024, 3, 1, tzinfo=timezone.utc)
-    write_flow_files(spark, watch, n_files=3, rows_per_file=100, start=start)
-    # late file: same event times as rotation 0, arriving 3 rotations later
+    write_flow_files(spark, watch, n_files=5, rows_per_file=100, start=start)
+    # late file: same event times as rotation 0, arriving 5 rotations later
     import time
 
     time.sleep(1.1)  # later mod-time → listed (and processed) last
     write_flow_files(
-        spark, os.path.join(watch), n_files=1, rows_per_file=50, start=start
+        spark, os.path.join(watch), n_files=1, rows_per_file=50, start=start,
+        tag="late",
     )
     name = _mem_name()
     agg = (
@@ -129,8 +135,12 @@ def run_dedup_watermark(spark: SparkSession) -> DataFrame:
     import time
 
     time.sleep(1.1)
-    # duplicate of rotation 0 (same rows incl. ts) arriving later
-    write_flow_files(spark, watch, n_files=1, rows_per_file=100, start=start)
+    # duplicate of rotation 0 (same rows incl. ts) arriving later as its
+    # OWN file — tag keeps it from overwriting the on-time rotation, so
+    # the dedup operator really sees the 100 rows a second time
+    write_flow_files(
+        spark, watch, n_files=1, rows_per_file=100, start=start, tag="replay"
+    )
     name = _mem_name()
     dedup = (
         _source(spark, watch)
