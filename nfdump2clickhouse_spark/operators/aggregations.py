@@ -356,3 +356,19 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(converted) * 1.0 / F.nullif(F.sum(clicked), F.lit(0)), 4
         ).alias("conv_rate"),
     )
+
+
+@register("agg_freq_items")  # rows-only: Karp one-pass sketch, engine-specific sets
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (ClickHouse `topK` [P]): single-pass
+    Karp-Schenker-Papadimitriou frequent-items sketch over two columns at
+    once (`df.stat.freqItems`) — the constant-memory scan you run instead
+    of a full groupBy-count when you only need 'which values are hot'
+    (support 5%). One job, no shuffle of the raw rows; the exact
+    verification path for small keyspaces is `topk_global`."""
+    l = table(spark, sf_dir, "lineitem")
+    out = l.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.05)
+    return out.select(
+        F.array_sort(F.col("l_returnflag_freqItems")).alias("hot_returnflags"),
+        F.array_sort(F.col("l_linestatus_freqItems")).alias("hot_linestatuses"),
+    )

@@ -467,3 +467,47 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "str_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT event_id,
+             'https://cdn' || CAST(user_id % 4 AS VARCHAR) ||
+             '.example.org/assets/u' || CAST(user_id AS VARCHAR) ||
+             '/item?ref=' || event_type AS url
+      FROM events
+    )
+    SELECT event_id,
+           split_part(split_part(url, '://', 2), '/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'ref=([a-z]+)', 1) AS ref
+    FROM u
+    """,
+)
+def str_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (ClickHouse `domain`/`path`/
+    `extractURLParameter` [P] — referrer/CDN analytics over the events
+    table): host, path, and one query parameter. Spark's `parse_url` is
+    the real Hive-compatible parser; the oracle recomputes the same
+    pieces with split/regexp arithmetic, so the hash check validates the
+    parser against first principles, not another parser. Fixtures carry
+    no URLs; a deterministic one is synthesized per event (same recipe
+    as `ip_funcs`/`text_pii_scrub`). Zero shuffle, pure codegen."""
+    e = table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit(".example.org/assets/u"),
+        F.col("user_id").cast("string"),
+        F.lit("/item?ref="),
+        F.col("event_type"),
+    )
+    u = e.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
