@@ -21,14 +21,32 @@ TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the events fixture stores ``ts`` as TIMESTAMP(NANOS)."""
+    cached = _TS_NANOS_CACHE.get(path)
+    if cached is None:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        ts_type = pq.read_schema(path).field("ts").type
+        cached = pat.is_timestamp(ts_type) and ts_type.unit == "ns"
+        _TS_NANOS_CACHE[path] = cached
+    return cached
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pinned schema (no inference) — required for the streaming source and
     # keeps TimestampType (not NTZ) uniform across Spark versions/configs.
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # events.ts is TIMESTAMP(NANOS): illegal for Spark's reader, so read
+    if name == "events" and _events_ts_is_nanos(path):
+        # events.ts as TIMESTAMP(NANOS) is illegal for Spark's reader, so read
         # the physical int64 (nanosAsLong, session.py) and truncate ns→µs —
         # same floor-division DuckDB applies when comparing at µs precision.
+        # (Fixture generations vary: ns and µs have both been observed, so
+        # sniff the footer once per path instead of hard-coding either.)
         raw = StructType(
             [
                 StructField("ts", LongType())

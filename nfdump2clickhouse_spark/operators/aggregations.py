@@ -372,3 +372,85 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.col("l_returnflag_freqItems")).alias("hot_returnflags"),
         F.array_sort(F.col("l_linestatus_freqItems")).alias("hot_linestatuses"),
     )
+
+
+@register(
+    "agg_bit_ops",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(l_partkey) AS key_bit_and,
+           BIT_OR(l_partkey)  AS key_bit_or,
+           BIT_XOR(l_partkey) AS key_bit_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (ClickHouse `groupBitAnd/Or/Xor` [P]) — used on
+    flag masks / feature bitmaps. Pure partial+final hash agg: the shuffle
+    carries one 64-bit state per (group, agg), independent of row count."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.bit_and("l_partkey").alias("key_bit_and"),
+        F.bit_or("l_partkey").alias("key_bit_or"),
+        F.bit_xor("l_partkey").alias("key_bit_xor"),
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY event_type, hr
+    )
+    SELECT event_type,
+           ROUND(LOG2(SUM(n)) - SUM(n * LOG2(n)) / SUM(n), 4) AS hour_entropy
+    FROM c GROUP BY event_type
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the hour-of-day distribution per event type
+    (ClickHouse `entropy` [P]) — the 'is this traffic periodic or uniform'
+    detector. Formulated as H = log2(N) - sum(n*log2 n)/N over per-value
+    counts: two cascaded hash aggs (the second over ≤ 24·|types| rows), no
+    window, no second scan."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n, logn = F.sum("n"), F.sum(F.col("n") * F.log2("n"))
+    return c.groupBy("event_type").agg(
+        F.round(F.log2(n) - logn / n, 4).alias("hour_entropy")
+    )
+
+
+@register(
+    "agg_sum_map",
+    oracle="""
+    WITH per AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY day, event_type
+    )
+    SELECT day,
+           list(event_type ORDER BY event_type) AS map_keys,
+           list(v ORDER BY event_type)          AS map_vals
+    FROM per GROUP BY day
+    """,
+)
+def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sumMap` analog: per day, sum `value` by `event_type` key
+    and emit the result as parallel sorted key/value arrays (the canonical
+    sumMap output shape). Two shuffles, the second over one row per
+    (day, type) pair — cheap at any scale; the map never materializes
+    per-row, only per-group."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    pairs = F.array_sort(F.collect_list(F.struct("event_type", "v")))
+    return per.groupBy("day").agg(
+        F.transform(pairs, lambda p: p.event_type).alias("map_keys"),
+        F.transform(pairs, lambda p: p.v).alias("map_vals"),
+    )
