@@ -6,6 +6,7 @@ Importing this package registers every query key in the registry.
 from . import aggregations  # noqa: F401
 from . import ann  # noqa: F401
 from . import behavior  # noqa: F401
+from . import curation  # noqa: F401
 from . import dedup_extra  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm_pipeline  # noqa: F401

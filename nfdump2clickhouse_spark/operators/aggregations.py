@@ -454,3 +454,120 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(pairs, lambda p: p.event_type).alias("map_keys"),
         F.transform(pairs, lambda p: p.v).alias("map_vals"),
     )
+
+
+@register(
+    "agg_delta_sum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             value - LAG(value) OVER (PARTITION BY event_type ORDER BY event_id) AS dv
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END), 4) AS delta_sum
+    FROM d GROUP BY event_type
+    """,
+)
+def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `deltaSum` [P]: sum of positive deltas along each
+    type's event sequence — the counter-reset-tolerant rate metric
+    (SNMP/NetFlow counters wrap; only upward movement counts). Ordered
+    by the unique event_id (arrival sequence), not raw ts, so the lag
+    window is deterministic across engines regardless of the fixture's
+    timestamp precision (SURVEY §5.3.2). One shuffle for the window,
+    then the groupBy reuses the same partitioning — Catalyst plans no
+    second Exchange."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    return (
+        e.select("event_type", dv.alias("dv"))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("dv") > 0, F.col("dv")).otherwise(0.0)), 4
+            ).alias("delta_sum")
+        )
+    )
+
+
+@register(
+    "agg_quantile_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value, (user_id % 10) + 1 AS wt, event_id FROM events
+    ),
+    c AS (
+      SELECT event_type, value,
+             SUM(wt) OVER (PARTITION BY event_type ORDER BY value, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY event_type) AS tw
+      FROM w
+    )
+    SELECT event_type, ROUND(MIN(value), 4) AS wmedian
+    FROM c WHERE cw >= 0.5 * tw GROUP BY event_type
+    """,
+)
+def agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `quantileExactWeighted(0.5)` [P]: weighted median —
+    smallest value whose cumulative weight reaches half the total
+    (weights synthesized from user_id; in flows terms, byte-weighted
+    median packet size). The cumulative and total sums are integer, so
+    the threshold comparison is exact; (value, event_id) ordering makes
+    the scan order engine-independent. One shuffle: both windows and
+    the final groupBy share the event_type partitioning."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "value", ((F.col("user_id") % 10) + 1).alias("wt"), "event_id"
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    c = e.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(cum).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        c.filter(F.col("cw") >= 0.5 * F.col("tw"))
+        .groupBy("event_type")
+        .agg(F.round(F.min("value"), 4).alias("wmedian"))
+    )
+
+
+@register(
+    "agg_avg_foreach",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    a AS (
+      SELECT label, pos, ROUND(AVG(val), 4) AS v FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(v ORDER BY pos) AS centroid FROM a GROUP BY label
+    """,
+)
+def agg_avg_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `avgForEach` [P]: element-wise mean of array columns
+    per group — the centroid builder (also the k-means update step the
+    IVF index in ann.py iterates). posexplode → two cascaded hash aggs;
+    the shuffle carries (label, pos) partials — |labels|·dim rows —
+    never whole vectors, so it is flat in corpus size."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val")
+    )
+    a = e.groupBy("label", "pos").agg(F.round(F.avg("val"), 4).alias("v"))
+    pairs = F.array_sort(F.collect_list(F.struct("pos", "v")))
+    return a.groupBy("label").agg(
+        F.transform(pairs, lambda p: p.v).alias("centroid")
+    )

@@ -511,3 +511,80 @@ def str_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
     )
+
+
+@register(
+    "array_cumsum",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding[1:6], x -> CAST(x AS DOUBLE)) AS l
+      FROM embeddings
+    )
+    SELECT vec_id,
+           [ROUND(list_aggregate(l[1:i], 'sum'), 4)
+            for i in generate_series(1, len(l))] AS cumsum
+    FROM e
+    """,
+)
+def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `arrayCumSum` [P]: per-row running sum along an array
+    (CDF-style transforms over per-row series). A left fold with an
+    array accumulator (`aggregate` + `concat`) — one pass per row, pure
+    codegen, zero shuffle; `F.get` (not `element_at`) reads the running
+    tail NULL-safely under ANSI mode. Truncated to the first 6 dims so
+    the oracle's O(n²) slice-sum formulation stays cheap."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 6), lambda x: x.cast("double")).alias("l"),
+    )
+    cum = F.aggregate(
+        "l",
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc, F.array(F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0.0)) + x)
+        ),
+    )
+    return e.select(
+        "vec_id", F.transform(cum, lambda x: F.round(x, 4)).alias("cumsum")
+    )
+
+
+@register(
+    "str_human_bytes",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN b >= 1073741824 THEN 'GiB'
+                WHEN b >= 1048576    THEN 'MiB'
+                WHEN b >= 1024       THEN 'KiB'
+                ELSE 'B' END AS unit,
+           ROUND(b / CASE WHEN b >= 1073741824 THEN 1073741824.0
+                          WHEN b >= 1048576    THEN 1048576.0
+                          WHEN b >= 1024       THEN 1024.0
+                          ELSE 1.0 END, 2) AS scaled
+    FROM (SELECT o_orderkey, CAST(o_totalprice * 1000 AS BIGINT) AS b FROM orders)
+    """,
+)
+def str_human_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `formatReadableSize` [P] semantics (the flows-dashboard
+    byte formatter), split into (unit, scaled) columns instead of one
+    rendered string — double→string rendering differs across engines,
+    the numeric pieces don't. Byte counts synthesized from o_totalprice
+    (fixtures carry no ibyt). Scan-local CASE arithmetic, zero shuffle."""
+    o = table(spark, sf_dir, "orders")
+    b = (F.col("o_totalprice") * 1000).cast("bigint")
+    unit = (
+        F.when(b >= 1073741824, "GiB")
+        .when(b >= 1048576, "MiB")
+        .when(b >= 1024, "KiB")
+        .otherwise("B")
+    )
+    div = (
+        F.when(b >= 1073741824, 1073741824.0)
+        .when(b >= 1048576, 1048576.0)
+        .when(b >= 1024, 1024.0)
+        .otherwise(1.0)
+    )
+    return o.select(
+        "o_orderkey", unit.alias("unit"), F.round(b / div, 2).alias("scaled")
+    )

@@ -271,3 +271,32 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("full_text", email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("scrubbed"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS n FROM c GROUP BY doc_id, ch)
+    SELECT doc_id,
+           ROUND(LOG2(SUM(n)) - SUM(n * LOG2(n)) / SUM(n), 4) AS char_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish/boilerplate detector (mojibake and repeated-char spam sit
+    far below natural-text entropy; random bytes far above). Same
+    H = log2(N) − Σn·log2(n)/N two-level aggregation as agg_entropy;
+    the explode is n_chars rows per doc but the first partial agg
+    collapses them map-side to ≤ |alphabet| rows per doc before any
+    shuffle."""
+    d = table(spark, sf_dir, "documents")
+    c = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    cnt = c.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    n, logn = F.sum("n"), F.sum(F.col("n") * F.log2("n"))
+    return cnt.groupBy("doc_id").agg(
+        F.round(F.log2(n) - logn / n, 4).alias("char_entropy")
+    )
