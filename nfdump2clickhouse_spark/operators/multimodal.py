@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -118,4 +120,89 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"substring(content, frame_no * {frame_size} + 1, {frame_size})").alias(
             "frame_bytes"
         ),
+    )
+
+
+@register(
+    "mm_feature_extract",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           [ROUND(len(list_filter(bytes, x -> x // 16 = i)) * 1.0 / len(bytes), 4)
+            for i in generate_series(0, 15)] AS hist
+    FROM b WHERE len(bytes) > 0
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media: a normalized 16-bin byte
+    histogram per blob (the stand-in for an image/audio embedding — the
+    real extractor swaps into the same UDF body). Arrow-batched pandas
+    UDF over the BinaryType column: one numpy bincount per blob, the
+    batch shape a GPU feature extractor needs. The oracle recomputes the
+    histogram from first principles in SQL, so the hash check validates
+    the whole binary → vector path, not just row counts. Zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def byte_hist(content: pd.Series) -> pd.Series:
+        out = []
+        for b in content:
+            a = np.frombuffer(b, dtype=np.uint8)
+            if len(a) == 0:
+                out.append(None)
+                continue
+            h = np.bincount(a >> 4, minlength=16).astype(np.float64) / len(a)
+            out.append(np.floor(h * 10000 + 0.5) / 10000)  # half-up, h ≥ 0
+        return pd.Series(out)
+
+    blobs = _with_blob(table(spark, sf_dir, "documents"))
+    return blobs.filter(F.octet_length("content") > 0).select(
+        "doc_id", byte_hist("content").alias("hist")
+    )
+
+
+@register("mm_resize_stub")  # rows-only: stubbed resample, Spark plumbing real
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing: each blob is 'resampled' to a fixed 64-byte
+    thumbnail by strided byte selection (a real resize would decode →
+    interpolate → re-encode in this same mapInPandas body — the guarded
+    NotImplementedError marks the swap point). Demonstrates the
+    fixed-size-output contract GPU preprocessing needs: every output row
+    carries exactly TARGET bytes regardless of input size."""
+    TARGET = 64
+
+    def resize_batch(batches, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "image resize needs PIL/opencv; not available in this "
+                "environment — wire the decoder here on a real cluster"
+            )
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            thumbs, widths = [], []
+            for b in pdf["content"]:
+                a = np.frombuffer(b, dtype=np.uint8)
+                if len(a) == 0:
+                    thumbs.append(bytes(TARGET))
+                else:
+                    idx = (np.arange(TARGET) * len(a)) // TARGET
+                    thumbs.append(a[idx].tobytes())
+                widths.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": widths,
+                    "thumb": thumbs,
+                }
+            )
+
+    blobs = _with_blob(table(spark, sf_dir, "documents"))
+    return blobs.mapInPandas(
+        resize_batch, "doc_id long, orig_bytes int, thumb binary"
     )

@@ -149,3 +149,30 @@ def test_dynamic_partition_pruning_from_dim_filter(spark):
     plan = get_plan(q)
     assert "dynamicpruning" in plan.lower(), plan
     assert q.count() == 50  # only the incident day's partition rows
+
+
+def test_delta_sum_single_exchange(spark, sf_dir):
+    """agg_delta_sum's lag window and groupBy share the event_type
+    partitioning — Catalyst must plan exactly one Exchange, not two."""
+    plan = get_plan(SPECS["agg_delta_sum"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_embedding_postprocess_no_shuffle(spark, sf_dir):
+    """Scan-local array transforms must plan zero Exchange: quantization,
+    normalization, and cumsum are all per-row codegen."""
+    for key in ("emb_quantize_int8", "emb_normalize", "array_cumsum"):
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        assert "Exchange" not in plan, f"{key} shuffles:\n{plan}"
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast — a shuffled join here
+    would move the full corpus inverted index at 100 TB."""
+    assert has_broadcast_join(SPECS["text_decontaminate"].fn(spark, sf_dir))
+
+
+def test_train_split_partial_agg(spark, sf_dir):
+    """The split-stats aggregation must be partial+final so the shuffle
+    carries 3 rows per task, not the corpus."""
+    assert has_partial_aggregate(SPECS["sample_train_split"].fn(spark, sf_dir))
