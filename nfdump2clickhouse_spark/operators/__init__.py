@@ -8,6 +8,7 @@ from . import ann  # noqa: F401
 from . import behavior  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup_extra  # noqa: F401
+from . import flows_analytics  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm_pipeline  # noqa: F401
 from . import multimodal  # noqa: F401

@@ -1,0 +1,100 @@
+"""Flows-domain analytical queries: the security/ops questions nfsen
+dashboards ask of the ClickHouse flows table [P — the reference's whole
+query surface is user-side SQL over `nfsen.flows`, SURVEY §0].
+
+Fixtures carry no flow tuples, so endpoints/ports/bytes are synthesized
+deterministically from events columns (same recipe as `ip_funcs` /
+`str_url_funcs`) — the oracle re-derives them identically, so the hash
+check exercises the full query, not the synthesis.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "flows_biflow",
+    oracle="""
+    WITH f AS (
+      SELECT '10.0.' || CAST(user_id % 50 AS VARCHAR)                 AS sa,
+             '10.0.' || CAST((user_id + event_id) % 50 AS VARCHAR)    AS da,
+             CAST(FLOOR(value * 1000) AS BIGINT)                      AS ibyt
+      FROM events
+    )
+    SELECT least(sa, da)    AS ep1,
+           greatest(sa, da) AS ep2,
+           COUNT(*)                                        AS n_flows,
+           CAST(SUM(CASE WHEN sa <= da THEN ibyt ELSE 0 END) AS BIGINT) AS fwd_bytes,
+           CAST(SUM(CASE WHEN sa >  da THEN ibyt ELSE 0 END) AS BIGINT) AS rev_bytes
+    FROM f WHERE sa <> da
+    GROUP BY ep1, ep2
+    """,
+)
+def flows_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nfdump `-B` bidirectional aggregation [P]: unidirectional flow
+    records between the same endpoint pair collapse into one biflow row
+    keyed on the canonical (least, greatest) pair, with per-direction
+    byte counters. One partial+final hash agg on the canonical key — at
+    100 TB the shuffle carries one row per endpoint pair, and the
+    canonicalization is scan-side codegen, so request and reply meet in
+    the same reducer without any self-join."""
+    e = table(spark, sf_dir, "events")
+    f = e.select(
+        F.concat(F.lit("10.0."), (F.col("user_id") % 50).cast("string")).alias("sa"),
+        F.concat(
+            F.lit("10.0."), ((F.col("user_id") + F.col("event_id")) % 50).cast("string")
+        ).alias("da"),
+        # explicit floor: DuckDB's double→bigint cast rounds, Spark's
+        # truncates — floor() is the one semantics both engines share
+        F.floor(F.col("value") * 1000).cast("bigint").alias("ibyt"),
+    ).filter(F.col("sa") != F.col("da"))
+    return f.groupBy(
+        F.least("sa", "da").alias("ep1"), F.greatest("sa", "da").alias("ep2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum(F.when(F.col("sa") <= F.col("da"), F.col("ibyt")).otherwise(0)).alias(
+            "fwd_bytes"
+        ),
+        F.sum(F.when(F.col("sa") > F.col("da"), F.col("ibyt")).otherwise(0)).alias(
+            "rev_bytes"
+        ),
+    )
+
+
+@register(
+    "flows_portscan",
+    oracle="""
+    WITH f AS (
+      SELECT '10.0.' || CAST(user_id % 50 AS VARCHAR) AS sa,
+             date_trunc('hour', ts)                   AS hr,
+             CAST(event_id % 1024 AS INT)             AS dp
+      FROM events
+    )
+    SELECT sa, hr, COUNT(DISTINCT dp) AS n_ports
+    FROM f GROUP BY sa, hr HAVING COUNT(DISTINCT dp) >= 8
+    """,
+)
+def flows_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port-scan detector (the canonical nfsen security query [P]): a
+    source touching ≥ 8 distinct destination ports within one hour.
+    Spark plans distinct-within-group as a two-phase aggregation
+    ((sa, hr, dp) partial dedup map-side, then the count) — no window,
+    no self-join, and the HAVING filter runs on the tiny aggregated
+    side. The hour bucket (not raw ts) keeps the key deterministic
+    across fixture timestamp precisions (SURVEY §5.3.2)."""
+    e = table(spark, sf_dir, "events")
+    f = e.select(
+        F.concat(F.lit("10.0."), (F.col("user_id") % 50).cast("string")).alias("sa"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        (F.col("event_id") % 1024).cast("int").alias("dp"),
+    )
+    return (
+        f.groupBy("sa", "hr")
+        .agg(F.countDistinct("dp").alias("n_ports"))
+        .filter(F.col("n_ports") >= 8)
+    )

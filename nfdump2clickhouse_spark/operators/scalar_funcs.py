@@ -562,7 +562,7 @@ def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHEN b >= 1048576    THEN 1048576.0
                           WHEN b >= 1024       THEN 1024.0
                           ELSE 1.0 END, 2) AS scaled
-    FROM (SELECT o_orderkey, CAST(o_totalprice * 1000 AS BIGINT) AS b FROM orders)
+    FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 1000) AS BIGINT) AS b FROM orders)
     """,
 )
 def str_human_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,7 +572,8 @@ def str_human_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the numeric pieces don't. Byte counts synthesized from o_totalprice
     (fixtures carry no ibyt). Scan-local CASE arithmetic, zero shuffle."""
     o = table(spark, sf_dir, "orders")
-    b = (F.col("o_totalprice") * 1000).cast("bigint")
+    # explicit floor: DuckDB's double→bigint cast rounds, Spark's truncates
+    b = F.floor(F.col("o_totalprice") * 1000).cast("bigint")
     unit = (
         F.when(b >= 1073741824, "GiB")
         .when(b >= 1048576, "MiB")
@@ -587,4 +588,35 @@ def str_human_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey", unit.alias("unit"), F.round(b / div, 2).alias("scaled")
+    )
+
+
+@register(
+    "str_hash_codec",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                          AS md5_hex,
+           sha256(text)                       AS sha256_hex,
+           base64(CAST(text AS BLOB))         AS b64,
+           lower(hex(substr(text, 1, 8)))     AS head_hex
+    FROM documents
+    """,
+)
+def str_hash_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digests + codecs (ClickHouse `MD5`/`SHA256`/`base64Encode`/
+    `hex` [P]) — the manifest primitives of every curation pipeline
+    (stable doc identity across re-crawls, byte-exact transfer checks).
+    All JVM builtins in codegen, zero shuffle; both engines emit
+    canonical lowercase-hex/base64 so the hash check is exact."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        # Spark's base64 is Java's MIME encoder (CRLF every 76 chars);
+        # strip the chunking to get the canonical unwrapped form
+        F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "").alias(
+            "b64"
+        ),
+        F.lower(F.hex(F.substring("text", 1, 8))).alias("head_hex"),
     )
