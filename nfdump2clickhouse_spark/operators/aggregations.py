@@ -571,3 +571,33 @@ def agg_avg_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("label").agg(
         F.transform(pairs, lambda p: p.v).alias("centroid")
     )
+
+
+@register(
+    "agg_group_concat",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `groupUniqArray` → `arrayStringConcat` (SQL
+    STRING_AGG/GROUP_CONCAT [P]): distinct values per group rendered as
+    one sorted delimited string — deterministic because the list is
+    de-duplicated and sorted before joining (raw collect order is
+    partition-dependent and never hashable, SURVEY §5.3). The distinct
+    set rides the partial agg; the shuffle carries ≤ |priorities| values
+    per group."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag", "l_linestatus", "o_orderpriority"
+    )
+    return j.groupBy("l_returnflag", "l_linestatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities")
+    )

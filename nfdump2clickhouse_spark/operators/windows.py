@@ -208,3 +208,43 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@register(
+    "win_fill_forward",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE ROUND(value, 4) END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM s
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward — pandas `ffill`,
+    ClickHouse `anyLast` over ordered frames [P]): sensor/counter gaps
+    take the most recent non-null reading per key. `F.last(ignorenulls)`
+    over a running frame — one shuffle on user_id, the frame never
+    rescans (Spark keeps a running last per partition). Nulls are
+    synthesized from 'error' events so the fill path is actually
+    exercised; event_id ordering keeps the frame deterministic."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.round("value", 4))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(v, ignorenulls=True).over(w).alias("v_ffill"),
+    )

@@ -77,3 +77,44 @@ def test_quality_filter_is_subset(spark, sf_dir):
     )
     total = table(spark, sf_dir, "documents").count()
     assert 0 < kept < total
+
+
+def test_quantize_roundtrip_bounds(spark, sf_dir):
+    """int8 quantization invariants: q in [-127, 127], scale > 0, and the
+    dequantization error is bounded by (scale/254)² per element — i.e.
+    mse ≤ (scale/254)² + rounding slack."""
+    pdf = SPECS["emb_quantize_int8"].fn(spark, sf_dir).toPandas()
+    assert (pdf["scale"] > 0).all()
+    for c in ("q0", "q1", "q2"):
+        assert pdf[c].abs().max() <= 127
+    bound = (pdf["scale"] / 254.0) ** 2 + 1e-6
+    assert (pdf["mse"] <= bound).all()
+
+
+def test_train_split_partitions_corpus(spark, sf_dir):
+    """The split must partition the corpus exactly (no doc lost or doubled)
+    and hold the test+valid fraction near the configured 15%."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["sample_train_split"].fn(spark, sf_dir).toPandas()
+    total = table(spark, sf_dir, "documents").count()
+    assert int(pdf["n_docs"].sum()) == total
+    heldout = int(pdf[pdf["split"] != "train"]["n_docs"].sum())
+    assert 0.05 <= heldout / total <= 0.30
+
+
+def test_decontaminate_excludes_benchmark(spark, sf_dir):
+    """Flagged docs are train-side only — benchmark members must never be
+    flagged against themselves."""
+    pdf = SPECS["text_decontaminate"].fn(spark, sf_dir).toPandas()
+    assert (pdf["doc_id"] % 97 != 0).all()
+    assert (pdf["n_shared"] >= 1).all()
+
+
+def test_normalize_unit_norm(spark, sf_dir):
+    """Normalized components must be consistent with the reported norm:
+    u_i ≈ raw_i / l2, and |u| ≤ 1 component-wise."""
+    pdf = SPECS["emb_normalize"].fn(spark, sf_dir).toPandas()
+    for c in ("u0", "u1", "u2"):
+        assert pdf[c].abs().max() <= 1.0 + 1e-9
+    assert (pdf["l2"] > 0).all()
