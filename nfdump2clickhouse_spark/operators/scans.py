@@ -266,3 +266,42 @@ def retention_partition_demo(spark: SparkSession) -> tuple[str, list[str]]:
     write_flows_partitioned(flows, out, mode="overwrite")
     dropped = drop_expired_partitions(out, keep_days=1, today=date(2024, 3, 3))
     return out, dropped
+
+
+@register(
+    "scan_jsonl",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip — the de-facto interchange format of
+    LLM training corpora (one JSON doc per line). Documents are written
+    to jsonl and read back with an EXPLICIT schema (never
+    `inferSchema`: on a 100 TB corpus schema inference is a full extra
+    pass, and a single malformed line silently widens types); the
+    aggregate over the round-tripped frame must match the oracle's over
+    the original parquet, proving the jsonl path is lossless for typed
+    fields. PERMISSIVE mode + explicit schema is also the
+    corrupt-line-tolerant production configuration."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="sf_jsonl_"), "docs")
+    d.write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -265,3 +265,32 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (values are positive, so floor(x+0.5) is half-up)
     eps_round = F.floor(interp * 10000 + 0.5 + 1e-9) / 10000
     return w.select("event_type", "h", eps_round.alias("v_filled"))
+
+
+@register(
+    "win_sliding_distinct",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' * off
+               AS win_start,
+             user_id
+      FROM events, UNNEST([0, 1]) AS t(off)
+    )
+    SELECT win_start, COUNT(DISTINCT user_id) AS uniq_users
+    FROM b GROUP BY win_start
+    """,
+)
+def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique users per 10-minute window sliding every 5 — the live
+    'active users' dashboard tile (ClickHouse `uniq` over overlapping
+    buckets [P]). Spark's `window(ts, 10m, 5m)` assigns each row to its
+    2 covering windows scan-side (an Expand, no join); the distinct
+    aggregation is then the standard two-phase plan. The oracle
+    re-derives window starts arithmetically (each row appears in the
+    bucket it starts and the one 5 minutes earlier)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), )
+        .agg(F.countDistinct("user_id").alias("uniq_users"))
+        .select(F.col("w.start").alias("win_start"), "uniq_users")
+    )
