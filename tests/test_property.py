@@ -144,3 +144,98 @@ def test_random_filtered_join_aggregates_agree(spark, ddb_small, pred, gcol):
     )
     got = {r.g: r.n for r in rows}
     assert got == expected, q
+
+
+WIN_FUNCS = ["row_number()", "rank()", "dense_rank()", "count(*)"]
+
+
+@common
+@given(
+    fn=st.sampled_from(WIN_FUNCS),
+    gcol=st.sampled_from(["l_returnflag", "l_linestatus"]),
+    ocol=st.sampled_from(["l_extendedprice", "l_quantity"]),
+    desc=st.booleans(),
+)
+def test_random_window_ranks_agree(spark, ddb_small, fn, gcol, ocol, desc):
+    """Randomized ranking-window queries vs DuckDB: partition key, order
+    column, direction, and function drawn at random. The window ORDER BY
+    carries enough tiebreakers for a total order within partitions
+    (SURVEY §5.3.3). NOTE: (l_orderkey, l_linenumber) is NOT unique in
+    the fixtures (the generator reuses keys — found by this very test),
+    so results are compared as canonically sorted full tuples, not by
+    positional alignment on a non-unique output key."""
+    d = "DESC" if desc else "ASC"
+    over = (
+        f"OVER (PARTITION BY {gcol} ORDER BY {ocol} {d}, "
+        f"l_orderkey, l_linenumber, l_partkey, l_suppkey)"
+    )
+    q = (
+        f"SELECT l_orderkey, l_linenumber, l_partkey, {fn} {over} AS w "
+        f"FROM lineitem"
+    )
+    expected = sorted(tuple(r) for r in ddb_small.execute(q).fetchall())
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            q.replace("lineitem", "parquet.`" + SF + "/lineitem.parquet`")
+        ).collect()
+    )
+    assert got == expected, q
+
+
+@common
+@given(
+    lo=st.integers(-3, 0),
+    hi=st.integers(0, 3),
+    gcol=st.sampled_from(["l_returnflag", "l_linestatus"]),
+)
+def test_random_window_frames_agree(spark, ddb_small, lo, hi, gcol):
+    """Randomized ROWS BETWEEN frames: SUM over [lo, hi] rows around the
+    current row must agree exactly (integer sums of l_linenumber — no
+    float ordering noise)."""
+    frame = (
+        f"ROWS BETWEEN {-lo} PRECEDING AND {hi} FOLLOWING"
+        if lo < 0
+        else f"ROWS BETWEEN CURRENT ROW AND {hi} FOLLOWING"
+    )
+    # (l_orderkey, l_linenumber) is not unique in the fixtures; adding
+    # l_partkey/l_suppkey makes the frame's neighbor set deterministic
+    over = (
+        f"OVER (PARTITION BY {gcol} ORDER BY l_orderkey, l_linenumber, "
+        f"l_partkey, l_suppkey {frame})"
+    )
+    q = (
+        f"SELECT l_orderkey, l_linenumber, l_partkey, SUM(l_linenumber) {over} AS s "
+        f"FROM lineitem"
+    )
+    expected = sorted(tuple(r) for r in ddb_small.execute(q).fetchall())
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            q.replace("lineitem", "parquet.`" + SF + "/lineitem.parquet`")
+        ).collect()
+    )
+    assert got == expected, q
+
+
+@common
+@given(
+    unit=st.sampled_from(["hour", "day", "week", "month"]),
+)
+def test_random_date_trunc_buckets_agree(spark, ddb_small, unit):
+    """date_trunc bucketing parity across units (week start, month
+    boundaries are classic cross-engine divergence points). The explicit
+    TIMESTAMP cast normalizes return types: DuckDB's date_trunc on a
+    coarse unit yields DATE, Spark always yields TIMESTAMP."""
+    q = (
+        f"SELECT CAST(date_trunc('{unit}', o_orderdate) AS TIMESTAMP) AS b, "
+        f"COUNT(*) AS n FROM orders GROUP BY b ORDER BY b"
+    )
+    expected = ddb_small.execute(q).fetchall()
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            q.replace("orders", "parquet.`" + SF + "/orders.parquet`")
+        ).collect()
+    ]
+    assert got == [tuple(r) for r in expected], q
