@@ -601,3 +601,38 @@ def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set("o_orderpriority")), ","
         ).alias("priorities")
     )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)              AS n,
+           ROUND(skewness(value), 4) AS skew,
+           ROUND(kurtosis(value), 4) AS kurt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape per event type (ClickHouse `skewSamp`/
+    `kurtSamp` [P] — burst/heavy-tail detection on traffic counters).
+    Spark's builtins return POPULATION moments (g1 = m3/m2^1.5, excess
+    g2); DuckDB/ClickHouse return bias-corrected SAMPLE statistics, so
+    the exact conversions G1 = g1·√(n(n−1))/(n−2) and
+    G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)) are applied — same partial
+    +final one-pass aggregation, just a scalar transform on top."""
+    e = table(spark, sf_dir, "events")
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.skewness("value").alias("g1"),
+        F.kurtosis("value").alias("g2"),
+    )
+    n = F.col("n").cast("double")
+    G1 = F.col("g1") * F.sqrt(n * (n - 1)) / (n - 2)
+    G2 = ((n + 1) * F.col("g2") + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return base.select(
+        "event_type",
+        "n",
+        F.round(G1, 4).alias("skew"),
+        F.round(G2, 4).alias("kurt"),
+    )

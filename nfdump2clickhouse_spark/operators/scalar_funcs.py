@@ -620,3 +620,47 @@ def str_hash_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lower(F.hex(F.substring("text", 1, 8))).alias("head_hex"),
     )
+
+
+@register(
+    "geo_haversine",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             (user_id % 140) - 70 + 0.5          AS lat,
+             ((user_id * 7) % 360) - 180 + 0.5   AS lon
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(52.37 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(52.37))
+               * pow(sin(radians(4.89 - lon) / 2), 2)
+           )), 2) AS dist_km
+    FROM p
+    """,
+)
+def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance (ClickHouse `geoDistance` [P] — GeoIP
+    enrichment distance-to-POP queries over flows). Coordinates are
+    synthesized per user (fixtures carry none); the haversine formula is
+    written identically in both engines — pure codegen math, zero
+    shuffle after the distinct. Rounded to 10 m so the last-ulp of the
+    trig chain can't flip the hash."""
+    e = table(spark, sf_dir, "events")
+    p = e.select(
+        "user_id",
+        ((F.col("user_id") % 140) - 70 + 0.5).alias("lat"),
+        (((F.col("user_id") * 7) % 360) - 180 + 0.5).alias("lon"),
+    ).distinct()
+    lat, lon = F.col("lat"), F.col("lon")
+    h = (
+        F.pow(F.sin(F.radians(F.lit(52.37) - lat) / 2), 2)
+        + F.cos(F.radians(lat))
+        * F.cos(F.radians(F.lit(52.37)))
+        * F.pow(F.sin(F.radians(F.lit(4.89) - lon) / 2), 2)
+    )
+    return p.select(
+        "user_id",
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 2).alias("dist_km"),
+    )
