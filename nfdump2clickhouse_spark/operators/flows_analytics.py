@@ -98,3 +98,54 @@ def flows_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("dp").alias("n_ports"))
         .filter(F.col("n_ports") >= 8)
     )
+
+
+@register(
+    "flows_top_talkers",
+    oracle="""
+    WITH f AS (
+      SELECT '10.0.' || CAST(user_id % 50 AS VARCHAR) AS sa,
+             CAST(FLOOR(value * 1000) AS BIGINT)      AS ibyt
+      FROM events
+    ),
+    agg AS (
+      SELECT sa, COUNT(*) AS n_flows, CAST(SUM(ibyt) AS BIGINT) AS total_bytes
+      FROM f GROUP BY sa
+    )
+    SELECT sa, n_flows, total_bytes,
+           ROUND(total_bytes * 100.0 / SUM(total_bytes) OVER (), 2) AS pct_bytes
+    FROM agg
+    ORDER BY total_bytes DESC, sa LIMIT 10
+    """,
+)
+def flows_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`nfdump -s srcip/bytes` / the nfsen front-page top-talkers table
+    [P]: top-10 sources by volume with share-of-total. The share uses an
+    empty-frame window over the ALREADY-AGGREGATED per-source rows
+    (|sources| rows, one tiny single-partition window), never over raw
+    flows; the top-10 is TakeOrderedAndProject on the same aggregate.
+    At 100 TB: one partial+final agg over the corpus, then statistics on
+    a frame the driver could hold."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    f = e.select(
+        F.concat(F.lit("10.0."), (F.col("user_id") % 50).cast("string")).alias("sa"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("ibyt"),
+    )
+    agg = f.groupBy("sa").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ibyt").alias("total_bytes"),
+    )
+    total = Window.partitionBy()
+    return (
+        agg.select(
+            "sa",
+            "n_flows",
+            "total_bytes",
+            F.round(F.col("total_bytes") * 100.0 / F.sum("total_bytes").over(total), 2)
+            .alias("pct_bytes"),
+        )
+        .orderBy(F.col("total_bytes").desc(), "sa")
+        .limit(10)
+    )

@@ -176,3 +176,25 @@ def test_train_split_partial_agg(spark, sf_dir):
     """The split-stats aggregation must be partial+final so the shuffle
     carries 3 rows per task, not the corpus."""
     assert has_partial_aggregate(SPECS["sample_train_split"].fn(spark, sf_dir))
+
+
+def test_headline_shuffle_budgets(spark, sf_dir):
+    """Exchange-count regression budget for headline plans: a formulation
+    change that adds a shuffle to a hot-path query is a 100 TB
+    regression even if results stay correct. Budgets are the audited
+    plan shapes (PLANS.md), not aspirations."""
+    budgets = {
+        "agg_pricing_summary": 1,   # partial+final agg
+        "agg_groupby_time": 1,
+        "dedup_keep_first": 1,      # one window shuffle
+        "win_running_sum": 1,
+        "agg_delta_sum": 1,         # window + agg share partitioning
+        "dedup_ngram_jaccard": 2,   # postings groupBy + pair groupBy
+        "sample_hash_bucket": 0,    # scan-local predicate
+        "str_hash_codec": 0,
+        "flows_biflow": 1,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
