@@ -28,6 +28,7 @@ primary key (SURVEY §4.3.1).
 from __future__ import annotations
 
 import configparser
+import logging
 import os
 from dataclasses import dataclass, field
 from datetime import date
@@ -63,6 +64,7 @@ class ServiceConfig:
     sources: tuple[SourceConfig, ...] = field(default_factory=tuple)
     keep_days: int = 90  # reference DDL: TTL ≈ 90 days [P]
     max_files_per_trigger: int = 1  # one nfcapd rotation per micro-batch
+    log_dir: str | None = None  # the reference's file-log dir [S log/.gitignore:1]
 
 
 def parse_config(path: str) -> ServiceConfig:
@@ -100,6 +102,7 @@ def parse_config(path: str) -> ServiceConfig:
         sources=sources,
         keep_days=g.getint("keep_days", 90),
         max_files_per_trigger=g.getint("max_files_per_trigger", 1),
+        log_dir=g.get("log_dir") or None,
     )
 
 
@@ -133,6 +136,18 @@ class FlowService:
         self.spark = spark
         self.config = config
         self._write_lock = threading.Lock()
+        self._queries: list[StreamingQuery] = []
+        self._log = logging.getLogger(f"flows.{id(self):x}")
+        if config.log_dir and not self._log.handlers:
+            # the reference writes file logs into log/ [S log/.gitignore:1]
+            os.makedirs(config.log_dir, exist_ok=True)
+            h = logging.FileHandler(os.path.join(config.log_dir, "flows.log"))
+            h.setFormatter(
+                logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+            )
+            self._log.addHandler(h)
+            self._log.setLevel(logging.INFO)
+            self._log.propagate = False
 
     # --- streams -----------------------------------------------------------
 
@@ -159,12 +174,14 @@ class FlowService:
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             marker = os.path.join(ledger, f"batch_{batch_id}.done")
             if os.path.exists(marker):  # replayed batch after restart
+                self._log.info("source=%s batch=%d replay skipped", src.name, batch_id)
                 return
             with self._write_lock:
                 write_flows_partitioned(batch_df, table_path, mode="append")
             os.makedirs(ledger, exist_ok=True)
             with open(marker, "w") as fh:
                 fh.write("ok")
+            self._log.info("source=%s batch=%d committed", src.name, batch_id)
 
         return write_batch
 
@@ -187,7 +204,27 @@ class FlowService:
             else:
                 writer = writer.trigger(processingTime="5 minutes")
             queries.append(writer.start())
+        self._queries = queries
         return queries
+
+    def status(self) -> list[dict]:
+        """Operational metrics per stream (the nfsen monitoring surface):
+        last-batch rows, processing rate, and batch duration, straight
+        from Structured Streaming's progress reporting — no extra jobs."""
+        out = []
+        for q in self._queries:
+            p = q.lastProgress or {}
+            out.append(
+                {
+                    "query": q.name,
+                    "active": q.isActive,
+                    "batch_id": p.get("batchId"),
+                    "input_rows": p.get("numInputRows"),
+                    "rows_per_sec": p.get("processedRowsPerSecond"),
+                    "batch_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                }
+            )
+        return out
 
     def run_once(self) -> None:
         """Drain all new files across all sources, then return (the

@@ -143,3 +143,32 @@ def test_ingest_skips_corrupt_files_when_configured(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     assert n == 200
+
+
+def test_service_logging_and_status(spark, tmp_path):
+    """Operational surface parity: the reference logs each conversion to
+    log/ [S log/.gitignore:1] and operators watch it. The service must
+    write per-batch commit lines to the configured log_dir, and status()
+    must expose per-stream progress after a drain."""
+    base = str(tmp_path)
+    watch = os.path.join(base, "watch")
+    write_flow_files(spark, watch, n_files=2, rows_per_file=60)
+    conf_path = os.path.join(base, "c.conf")
+    with open(conf_path, "w") as fh:
+        fh.write(
+            f"[general]\ntable_path = {base}/flows\n"
+            f"checkpoint_root = {base}/ckpt\nlog_dir = {base}/log\n"
+            f"[edge]\nwatchdir = {watch}\n"
+        )
+    svc = FlowService(spark, parse_config(conf_path))
+    svc.run_once()
+
+    log_file = os.path.join(base, "log", "flows.log")
+    assert os.path.exists(log_file)
+    lines = open(log_file).read().splitlines()
+    assert any("source=edge" in ln and "committed" in ln for ln in lines)
+
+    st = svc.status()
+    assert len(st) == 1 and st[0]["query"] == "flows-edge"
+    assert not st[0]["active"]  # availableNow drained and stopped
+    assert st[0]["input_rows"] is not None
