@@ -664,3 +664,36 @@ def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 2).alias("dist_km"),
     )
+
+
+@register(
+    "array_difference",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding[1:6], x -> CAST(x AS DOUBLE)) AS l
+      FROM embeddings
+    )
+    SELECT vec_id,
+           [ROUND(CASE WHEN i = 1 THEN 0.0 ELSE l[i] - l[i-1] END, 4)
+            for i in generate_series(1, len(l))] AS diffs
+    FROM e
+    """,
+)
+def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `arrayDifference` [P]: adjacent deltas along an array
+    (first element 0) — the inverse of `array_cumsum`, used on per-row
+    counter series. Expressed as a 2-arg `transform` lambda (value,
+    index) with a null-safe `F.get` of the predecessor — single pass,
+    pure codegen, zero shuffle."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 6), lambda x: x.cast("double")).alias("l"),
+    )
+    diffs = F.transform(
+        "l",
+        lambda x, i: F.round(
+            F.when(i == 0, F.lit(0.0)).otherwise(x - F.get("l", i - 1)), 4
+        ),
+    )
+    return e.select("vec_id", diffs.alias("diffs"))

@@ -102,8 +102,14 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows). pandas std(ddof=1) ≡ stddev_samp."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf["value"]
-        z = ((v - v.mean()) / v.std(ddof=1)).round(4)
+        z = (v - v.mean()) / v.std(ddof=1)
+        # sign-aware half-away rounding: pandas .round is half-even, SQL
+        # ROUND is half away from zero — z-scores are signed, so the
+        # half-up floor trick needs the sign factored out
+        z = np.sign(z) * np.floor(np.abs(z) * 10000 + 0.5) / 10000
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z}
         )
