@@ -205,3 +205,38 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("qv", 2).alias("q2"),
         eps_round.alias("mse"),
     )
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    SELECT doc_id,
+           CAST((s - 1) / 150 AS BIGINT)       AS chunk_id,
+           s                                    AS start_char,
+           length(substring(text, s, 200))      AS chunk_len,
+           md5(substring(text, s, 200))         AS chunk_md5
+    FROM documents, UNNEST(generate_series(1, greatest(n_chars, 1), 150)) AS t(s)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char windows, 150 stride →
+    50-char overlap): the context-window prep step of every training/RAG
+    pipeline, with stable chunk ids derived arithmetically from the
+    start offset (no ordinality needed, so re-chunking is reproducible
+    shard-by-shard). One `sequence` + `explode` per row — scan-local,
+    zero shuffle; chunks are verified by md5 so the hash check proves
+    byte-exact window placement, not just counts."""
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_chars"), F.lit(1)).cast("int"), F.lit(150)
+    )
+    ch = d.select(
+        "doc_id", "text", F.explode(starts).alias("s")
+    ).withColumn("chunk", F.expr("substring(text, s, 200)"))
+    return ch.select(
+        "doc_id",
+        ((F.col("s") - 1) / 150).cast("bigint").alias("chunk_id"),
+        F.col("s").cast("bigint").alias("start_char"),
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    )
