@@ -552,7 +552,7 @@ def agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     a AS (
-      SELECT label, pos, ROUND(AVG(val), 4) AS v FROM ex GROUP BY label, pos
+      SELECT label, pos, ROUND(AVG(val), 4) + 0 AS v FROM ex GROUP BY label, pos
     )
     SELECT label, list(v ORDER BY pos) AS centroid FROM a GROUP BY label
     """,
@@ -566,7 +566,8 @@ def agg_avg_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val")
     )
-    a = e.groupBy("label", "pos").agg(F.round(F.avg("val"), 4).alias("v"))
+    # "+ 0" canonicalizes -0.0 → 0.0 (SURVEY §8 recipe)
+    a = e.groupBy("label", "pos").agg((F.round(F.avg("val"), 4) + 0).alias("v"))
     pairs = F.array_sort(F.collect_list(F.struct("pos", "v")))
     return a.groupBy("label").agg(
         F.transform(pairs, lambda p: p.v).alias("centroid")

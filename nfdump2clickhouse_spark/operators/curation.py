@@ -115,9 +115,9 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     )
     SELECT vec_id, ROUND(nrm, 4) AS l2,
-           ROUND(emb[1] / nrm, 4) AS u0,
-           ROUND(emb[2] / nrm, 4) AS u1,
-           ROUND(emb[3] / nrm, 4) AS u2
+           ROUND(emb[1] / nrm, 4) + 0 AS u0,
+           ROUND(emb[2] / nrm, 4) + 0 AS u1,
+           ROUND(emb[3] / nrm, 4) + 0 AS u2
     FROM n
     """,
 )
@@ -131,12 +131,13 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("emb")
     )
     nrm = l2_norm(F.col("emb"))
+    # "+ 0" canonicalizes -0.0 → 0.0 in both engines (SURVEY §8 recipe)
     return e.select(
         "vec_id",
         F.round(nrm, 4).alias("l2"),
-        F.round(F.get("emb", 0) / nrm, 4).alias("u0"),
-        F.round(F.get("emb", 1) / nrm, 4).alias("u1"),
-        F.round(F.get("emb", 2) / nrm, 4).alias("u2"),
+        (F.round(F.get("emb", 0) / nrm, 4) + 0).alias("u0"),
+        (F.round(F.get("emb", 1) / nrm, 4) + 0).alias("u1"),
+        (F.round(F.get("emb", 2) / nrm, 4) + 0).alias("u2"),
     )
 
 

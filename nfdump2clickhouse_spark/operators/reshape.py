@@ -324,7 +324,13 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(words(F.col("text"))).alias("n_tok")
     )
     parts = d.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
-    parts = parts.withColumn("pid", F.spark_partition_id())
+    # materialize ONE partitioning: repartitionByRange samples its split
+    # points per execution, so without this the subtotal collect below and
+    # the final query could run under DIFFERENT pid boundaries — broadcast
+    # offsets applied to the wrong partitions (observed at sf0.1 as an
+    # extra phantom bin). At 100 TB this materialization is the persisted
+    # stage-partitioned table you'd write anyway.
+    parts = parts.withColumn("pid", F.spark_partition_id()).localCheckpoint()
     subtotals = (
         parts.groupBy("pid").agg(F.sum("n_tok").alias("tot")).orderBy("pid").collect()
     )

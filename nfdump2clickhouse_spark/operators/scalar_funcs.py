@@ -522,7 +522,7 @@ def str_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           [ROUND(list_aggregate(l[1:i], 'sum'), 4)
+           [ROUND(list_aggregate(l[1:i], 'sum'), 4) + 0
             for i in generate_series(1, len(l))] AS cumsum
     FROM e
     """,
@@ -545,8 +545,10 @@ def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc, F.array(F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0.0)) + x)
         ),
     )
+    # "+ 0" canonicalizes -0.0 → 0.0 (both engines) so a rounded -1e-9
+    # cannot hash-diverge as "-0.0" vs "0.0" (SURVEY §8 recipe)
     return e.select(
-        "vec_id", F.transform(cum, lambda x: F.round(x, 4)).alias("cumsum")
+        "vec_id", F.transform(cum, lambda x: F.round(x, 4) + 0).alias("cumsum")
     )
 
 
@@ -675,7 +677,7 @@ def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           [ROUND(CASE WHEN i = 1 THEN 0.0 ELSE l[i] - l[i-1] END, 4)
+           [ROUND(CASE WHEN i = 1 THEN 0.0 ELSE l[i] - l[i-1] END, 4) + 0
             for i in generate_series(1, len(l))] AS diffs
     FROM e
     """,
@@ -694,6 +696,7 @@ def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l",
         lambda x, i: F.round(
             F.when(i == 0, F.lit(0.0)).otherwise(x - F.get("l", i - 1)), 4
-        ),
+        )
+        + 0,  # -0.0 → 0.0 canonicalization
     )
     return e.select("vec_id", diffs.alias("diffs"))
