@@ -287,7 +287,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 4)              AS sd_qty,
            ROUND(var_samp(l_discount), 4)                 AS var_disc,
-           ROUND(corr(l_quantity, l_extendedprice), 4)    AS corr_qty_price
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -296,7 +296,8 @@ def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        # "+ 0": corr can round to -0.0 (SURVEY §8 recipe)
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0).alias("corr_qty_price"),
     )
 
 
@@ -609,8 +610,8 @@ def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*)              AS n,
-           ROUND(skewness(value), 4) AS skew,
-           ROUND(kurtosis(value), 4) AS kurt
+           ROUND(skewness(value), 4) + 0 AS skew,
+           ROUND(kurtosis(value), 4) + 0 AS kurt
     FROM events GROUP BY event_type
     """,
 )
@@ -634,8 +635,8 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_type",
         "n",
-        F.round(G1, 4).alias("skew"),
-        F.round(G2, 4).alias("kurt"),
+        (F.round(G1, 4) + 0).alias("skew"),
+        (F.round(G2, 4) + 0).alias("kurt"),
     )
 
 

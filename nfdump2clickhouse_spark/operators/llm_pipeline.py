@@ -35,7 +35,7 @@ from ..registry import register
       FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
       GROUP BY ex.vec_id, ex.label
     )
-    SELECT vec_id, label, ROUND(dp / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    SELECT vec_id, label, ROUND(dp / (sqrt(na) * sqrt(nb)), 4) + 0 AS cos_sim
     FROM dots
     """,
 )
@@ -59,7 +59,8 @@ def sim_cosine_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
-        F.round(cosine(F.col("emb"), F.col("centroid")), 4).alias("cos_sim"),
+        # "+ 0": near-orthogonal cosines can round to -0.0 (SURVEY §8)
+        (F.round(cosine(F.col("emb"), F.col("centroid")), 4) + 0).alias("cos_sim"),
     )
 
 

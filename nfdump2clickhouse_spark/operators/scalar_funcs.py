@@ -210,7 +210,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            generate_subscripts(embedding, 1) - 1        AS pos,
-           ROUND(CAST(unnest(embedding) AS DOUBLE), 4)  AS val
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4) + 0  AS val
     FROM embeddings
     WHERE vec_id < 50
     """,
@@ -222,7 +222,8 @@ def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("pos").cast("bigint").alias("pos"),
-        F.round(F.col("raw").cast("double"), 4).alias("val"),
+        # "+ 0" canonicalizes -0.0 → 0.0 (SURVEY §8 recipe)
+        (F.round(F.col("raw").cast("double"), 4) + 0).alias("val"),
     )
 
 
