@@ -130,3 +130,15 @@ def test_ivf_probe_recall_contract(spark, sf_dir):
     ip = set(zip(ivf.query_id, ivf.neighbor_id))
     bp = set(zip(bf.query_id, bf.neighbor_id))
     assert len(ip & bp) >= 0.5 * len(bp)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHashLSH candidates (same word-3-gram shingles, distance ≤ 0.7
+    ⇔ Jaccard ≥ 0.3) must recover ≥ 90% of the exact inverted-index
+    pair set — the contract that lets the banded join replace the exact
+    path at scale."""
+    mh = SPECS["dedup_near_minhash"].fn(spark, sf_dir).toPandas()
+    ex = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).toPandas()
+    mp = set(zip(mh.id1, mh.id2))
+    ep = set(zip(ex.id1, ex.id2))
+    assert len(mp & ep) >= 0.9 * len(ep)
