@@ -248,3 +248,53 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(v, ignorenulls=True).over(w).alias("v_ffill"),
     )
+
+
+@register(
+    "win_ema",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(list_aggregate(
+                   [l[j] * pow(0.8, len(l) - j)
+                    for j in generate_series(1, len(l))],
+                   'sum'), 4) + 0 AS ema
+    FROM w
+    """,
+)
+def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing sum (ClickHouse
+    `exponentialMovingAverage` [P] — the burst-smoothing rate metric):
+    weight 0.8^age over the last 16 observations per user in event_id
+    order. The recursive EMA definition doesn't fit a SQL frame, but the
+    BOUNDED formulation does: `collect_list` over a ROWS frame (order
+    deterministic — the frame is ordered by the unique event_id), then
+    one aggregate HOF with positional weights. State per row is 16
+    doubles — constant, so the window scales like any other ROWS frame;
+    one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    e = table(spark, sf_dir, "events")
+    l = F.collect_list("value").over(w)
+    d = e.select("user_id", "event_id", l.alias("l"))
+    ema = F.aggregate(
+        F.transform(
+            "l",
+            lambda x, i: x * F.pow(F.lit(0.8), F.size("l") - i - 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "user_id", "event_id", (F.round(ema, 4) + 0).alias("ema")
+    )
