@@ -13,14 +13,20 @@ Supported subset (the documented common core [P]):
     or       := and ('or' and)*
     and      := not ('and' not)*
     not      := 'not' not | '(' expr ')' | primary
-    primary  := [dir] 'ip' ADDR            equality on sa/da (v4 or v6)
+    primary  := 'any'                      matches every record
+              | [dir] ('ip'|'host') ADDR   equality on sa/da (v4 or v6)
+              | [dir] ('ip'|'host') 'in' '[' ADDR+ ']'
               | [dir] 'net' CIDR           numeric range on sa_num/da_num
+              | [dir] 'net' ADDR MASK      classic dotted-mask form
               | [dir] 'port' cmp           sp/dp comparison
               | [dir] 'port' 'in' '[' NUM+ ']'
-              | 'proto' NAME               pr equality (case-insensitive)
+              | 'proto' NAME_OR_NUM        pr equality (name, or IANA number)
               | 'packets' cmp              ipkt (k/m/g multipliers)
               | 'bytes' cmp                ibyt (k/m/g multipliers)
               | 'duration' cmp             td (seconds)
+              | 'pps' cmp                  ipkt/td (derived packets/second)
+              | 'bps' cmp                  8*ibyt/td (derived bits/second)
+              | 'bpp' cmp                  ibyt/ipkt (derived bytes/packet)
               | 'flags' LETTERS            flg contains all given letters
     dir      := 'src' | 'dst'              (absent → src OR dst)
     cmp      := ('<' | '<=' | '>' | '>=' | '=' | '==')? VALUE
@@ -63,6 +69,9 @@ _TOKEN = re.compile(
 _MULT = {"k": 1_000, "m": 1_000_000, "g": 1_000_000_000}
 
 _PROTO_ALIASES = {"icmp6": "ICMP6", "ipv6-icmp": "ICMP6"}
+
+# IANA protocol numbers the nfdump docs use (`proto 6` ≡ `proto tcp`) [P]
+_PROTO_NUMS = {"1": "ICMP", "6": "TCP", "17": "UDP", "47": "GRE", "50": "ESP", "58": "ICMP6"}
 
 
 def _tokenize(s: str) -> list[str]:
@@ -156,15 +165,46 @@ class _Parser:
                 return dst_pred
             return src_pred | dst_pred
 
-        if tok == "ip":
+        if tok == "any":
+            # 'any' takes no direction; it is the match-all predicate
+            if direction is not None:
+                raise NfFilterError("'any' takes no src/dst qualifier")
+            return F.lit(True)
+
+        if tok in ("ip", "host"):  # 'host' is the documented synonym [P]
+            if self.peek() == "in":
+                self.take()
+                if self.take() != "[":
+                    raise NfFilterError("expected '[' after 'ip in'")
+                addrs = []
+                while self.peek() not in ("]", None):
+                    addrs.append(self.take())
+                if self.take() != "]":
+                    raise NfFilterError("expected ']'")
+                return sides(F.col("sa").isin(addrs), F.col("da").isin(addrs))
             addr = self.take()
             return sides(F.col("sa") == addr, F.col("da") == addr)
 
         if tok == "net":
-            cidr = self.take()
-            if "/" not in cidr:
-                raise NfFilterError(f"'net' expects a CIDR, got {cidr!r}")
-            lo, hi = cidr_range(cidr)
+            spec = self.take()
+            if "/" in spec:
+                lo, hi = cidr_range(spec)
+            else:
+                # classic 'net ADDR MASK' dotted form (`net 10.0.0.0
+                # 255.255.0.0`) — convert the mask to a prefix length
+                mask = self.peek()
+                if mask is None or not re.fullmatch(r"(\d+\.){3}\d+", mask):
+                    raise NfFilterError(
+                        f"'net' expects CIDR or ADDR MASK, got {spec!r}"
+                    )
+                self.take()
+                mask_num = sum(
+                    int(o) << (8 * (3 - i)) for i, o in enumerate(mask.split("."))
+                )
+                bits = bin(mask_num).count("1")
+                if mask_num != (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF:
+                    raise NfFilterError(f"non-contiguous netmask {mask!r}")
+                lo, hi = cidr_range(f"{spec}/{bits}")
             in_net = lambda c: (F.col(c) >= lo) & (F.col(c) <= hi)
             return sides(in_net("sa_num"), in_net("da_num"))
 
@@ -188,7 +228,7 @@ class _Parser:
 
         if tok == "proto":
             name = self.take()
-            name = _PROTO_ALIASES.get(name.lower(), name.upper())
+            name = _PROTO_NUMS.get(name, _PROTO_ALIASES.get(name.lower(), name.upper()))
             return F.upper(F.col("pr")) == name
 
         if tok == "packets":
@@ -197,6 +237,20 @@ class _Parser:
             return self._cmp(F.col("ibyt"), "bytes")
         if tok == "duration":
             return self._cmp(F.col("td"), "duration")
+        # derived rate filters [P nfdump docs]: guarded against td=0 /
+        # ipkt=0 (rates are undefined there → the record never matches)
+        if tok == "pps":
+            return (F.col("td") > 0) & self._cmp(
+                F.col("ipkt") / F.col("td"), "pps"
+            )
+        if tok == "bps":
+            return (F.col("td") > 0) & self._cmp(
+                8 * F.col("ibyt") / F.col("td"), "bps"
+            )
+        if tok == "bpp":
+            return (F.col("ipkt") > 0) & self._cmp(
+                F.col("ibyt") / F.col("ipkt"), "bpp"
+            )
 
         if tok == "flags":
             letters = self.take()

@@ -115,3 +115,48 @@ def test_net_clause_pushes_down(spark, flows):
     q = back.filter(compile_filter("src net 10.1.0.0/16")).select("sa", "ipkt")
     pf = " ".join(pushed_filters(q))
     assert "sa_num" in pf and "GreaterThanOrEqual" in pf, pf
+
+
+EXT_CASES = [
+    ("any", lambda c: F.lit(True)),
+    ("src host 10.1.2.3", lambda c: c("sa") == "10.1.2.3"),
+    (
+        "ip in [10.1.2.3 10.4.5.6]",
+        lambda c: c("sa").isin(["10.1.2.3", "10.4.5.6"])
+        | c("da").isin(["10.1.2.3", "10.4.5.6"]),
+    ),
+    ("proto 6", lambda c: F.upper(c("pr")) == "TCP"),
+    ("proto 17", lambda c: F.upper(c("pr")) == "UDP"),
+    (
+        "src net 10.1.0.0 255.255.0.0",
+        lambda c: (c("sa_num") >= 167837696) & (c("sa_num") <= 167903231),
+    ),
+    ("pps > 10", lambda c: (c("td") > 0) & (c("ipkt") / c("td") > 10)),
+    ("bps < 1m", lambda c: (c("td") > 0) & (8 * c("ibyt") / c("td") < 1000000)),
+    ("bpp >= 500", lambda c: (c("ipkt") > 0) & (c("ibyt") / c("ipkt") >= 500)),
+    (
+        "any and not proto 1",
+        lambda c: F.lit(True) & ~(F.upper(c("pr")) == "ICMP"),
+    ),
+]
+
+
+@pytest.mark.parametrize("text,expected", EXT_CASES, ids=[c[0] for c in EXT_CASES])
+def test_extended_grammar_agrees(flows, text, expected):
+    got = flows.filter(compile_filter(text)).count()
+    want = flows.filter(expected(F.col)).count()
+    assert got == want, f"{text}: {got} != {want}"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "src any",                      # any takes no direction
+        "net 10.0.0.0 255.0.255.0",     # non-contiguous mask
+        "net 10.0.0.0",                 # net needs CIDR or mask
+        "ip in [10.1.2.3",              # unclosed list
+    ],
+)
+def test_extended_grammar_errors(bad):
+    with pytest.raises(NfFilterError):
+        compile_filter(bad)
