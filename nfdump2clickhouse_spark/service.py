@@ -252,3 +252,15 @@ class FlowService:
     def table(self) -> DataFrame:
         """The queryable at-rest table (the reference's `nfsen.flows`)."""
         return self.spark.read.parquet(self.config.table_path)
+
+    def query_filter(self, nfdump_filter: str) -> DataFrame:
+        """Run an nfdump filter expression against the at-rest table —
+        the one-liner that lets a reference user bring their existing
+        filter strings (`'src net 10.0.0.0/24 and dst port 443'`)
+        unchanged. Compiled `net` clauses are numeric ranges on
+        sa_num/da_num, so they push down to parquet row-group stats
+        (SURVEY §4.3.2) — the filter prunes storage, it doesn't scan
+        and discard."""
+        from .functions.nffilter import compile_filter
+
+        return self.table().filter(compile_filter(nfdump_filter))

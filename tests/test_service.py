@@ -172,3 +172,26 @@ def test_service_logging_and_status(spark, tmp_path):
     assert len(st) == 1 and st[0]["query"] == "flows-edge"
     assert not st[0]["active"]  # availableNow drained and stopped
     assert st[0]["input_rows"] is not None
+
+
+def test_service_query_filter_pushes_down(spark, tmp_path):
+    """FlowService.query_filter must run an nfdump filter against the
+    at-rest table AND push the compiled net-range to the parquet scan."""
+    from nfdump2clickhouse_spark.plans import pushed_filters
+
+    base = str(tmp_path)
+    watch = os.path.join(base, "watch")
+    write_flow_files(spark, watch, n_files=1, rows_per_file=200)
+    conf_path = os.path.join(base, "c.conf")
+    with open(conf_path, "w") as fh:
+        fh.write(
+            f"[general]\ntable_path = {base}/flows\n"
+            f"checkpoint_root = {base}/ckpt\n[edge]\nwatchdir = {watch}\n"
+        )
+    svc = FlowService(spark, parse_config(conf_path))
+    svc.run_once()
+
+    q = svc.query_filter("src net 10.0.0.0/8 and dst port 443")
+    assert q.count() >= 0  # executes
+    pf = " ".join(pushed_filters(q.select("sa", "ibyt")))
+    assert "sa_num" in pf, pf
