@@ -142,3 +142,56 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     mp = set(zip(mh.id1, mh.id2))
     ep = set(zip(ex.id1, ex.id2))
     assert len(mp & ep) >= 0.9 * len(ep)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL sketch quality contract: approx_count_distinct (default rsd
+    0.05) must land within 15% of the exact distinct count per group —
+    the bound that makes the sketch usable as a dashboard substitute."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.15 * max(r.exact, 1), r
+
+
+def test_percentile_approx_error_bound(spark, sf_dir):
+    """Approximate-quantile contract: percentile_approx(accuracy 10000)
+    must sit between the exact p45 and p55 when asked for p50."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    row = e.agg(
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert row.lo <= row.approx <= row.hi, row
+
+
+def test_freq_items_contains_true_mode(spark, sf_dir):
+    """Heavy-hitters sketch contract: the true most-frequent value must
+    appear in the reported frequent-item set (freqItems guarantees no
+    false negatives above the support threshold)."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    true_mode = (
+        li.groupBy("l_returnflag").count().orderBy(F.desc("count")).first()[0]
+    )
+    hot = SPECS["agg_freq_items"].fn(spark, sf_dir).collect()[0].hot_returnflags
+    assert true_mode in hot, (true_mode, hot)
