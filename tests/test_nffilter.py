@@ -160,3 +160,66 @@ def test_extended_grammar_agrees(flows, text, expected):
 def test_extended_grammar_errors(bad):
     with pytest.raises(NfFilterError):
         compile_filter(bad)
+
+
+# --- randomized round-trip: random AST → (filter text, reference Column) ----
+
+
+def _rand_ast(rng, depth=0):
+    """Random filter AST node: (text, predicate-builder) pairs built
+    together so the compiler is checked against an independently
+    constructed reference predicate."""
+    if depth < 2 and rng.random() < 0.4:
+        kind = rng.choice(["and", "or", "not"])
+        if kind == "not":
+            t, p = _rand_ast(rng, depth + 1)
+            return f"not ({t})", lambda c, p=p: ~p(c)
+        lt, lp = _rand_ast(rng, depth + 1)
+        rt, rp = _rand_ast(rng, depth + 1)
+        if kind == "and":
+            return f"({lt}) and ({rt})", lambda c, lp=lp, rp=rp: lp(c) & rp(c)
+        return f"({lt}) or ({rt})", lambda c, lp=lp, rp=rp: lp(c) | rp(c)
+    leaf = rng.choice(["port", "net", "proto", "packets", "bytes", "pps"])
+    if leaf == "port":
+        d = rng.choice(["src ", "dst ", ""])
+        v = rng.choice([53, 80, 443, 8080, 40000])
+        op = rng.choice(["", "< ", "> ", ">= ", "<= "])
+        ops = {"": lambda x: x == v, "< ": lambda x: x < v, "> ": lambda x: x > v,
+               ">= ": lambda x: x >= v, "<= ": lambda x: x <= v}[op]
+        def p(c, d=d, ops=ops):
+            sp, dp = ops(c("sp")), ops(c("dp"))
+            return sp if d == "src " else dp if d == "dst " else sp | dp
+        return f"{d}port {op}{v}", p
+    if leaf == "net":
+        d = rng.choice(["src ", "dst ", ""])
+        oct2 = rng.choice([0, 1, 4])
+        lo = 10 * 16777216 + oct2 * 65536
+        hi = lo + 65535
+        def p(c, d=d, lo=lo, hi=hi):
+            s = (c("sa_num") >= lo) & (c("sa_num") <= hi)
+            t = (c("da_num") >= lo) & (c("da_num") <= hi)
+            return s if d == "src " else t if d == "dst " else s | t
+        return f"{d}net 10.{oct2}.0.0/16", p
+    if leaf == "proto":
+        name = rng.choice(["tcp", "udp", "icmp", "6", "17"])
+        want = {"6": "TCP", "17": "UDP"}.get(name, name.upper())
+        return f"proto {name}", lambda c, w=want: F.upper(c("pr")) == w
+    if leaf == "packets":
+        v = rng.choice([100, 1000, 5000])
+        return f"packets > {v}", lambda c, v=v: c("ipkt") > v
+    if leaf == "bytes":
+        v = rng.choice([10, 50, 200])
+        return f"bytes >= {v}k", lambda c, v=v: c("ibyt") >= v * 1000
+    v = rng.choice([1, 10, 100])
+    return f"pps < {v}", lambda c, v=v: (c("td") > 0) & (c("ipkt") / c("td") < v)
+
+
+def test_random_filter_roundtrip(flows):
+    import random
+
+    rng = random.Random(99)
+    for _ in range(40):
+        text, pred = _rand_ast(rng)
+        got = flows.filter(compile_filter(text)).count()
+        want = flows.filter(pred(F.col)).count()
+        assert got == want, f"{text}: {got} != {want}"
