@@ -249,6 +249,23 @@ class FlowService:
                 self.spark, self.config.table_path, target_file_bytes
             )
 
+    def backfill(self, corrected: DataFrame) -> None:
+        """Replace the (dt, flowsrc) partitions covered by ``corrected``
+        with its rows — the late-data / reprocessing path (a replayed
+        rotation, a fixed decoder). Serialized with ingest via the same
+        write lock; untouched partitions keep their files byte-identical
+        (sources/sinks.overwrite_day_partitions)."""
+        from .sources.sinks import overwrite_day_partitions
+
+        with self._write_lock:
+            overwrite_day_partitions(
+                _with_layout_columns(corrected)
+                if "dt" not in corrected.columns
+                else corrected,
+                self.config.table_path,
+            )
+            self._log.info("backfill committed")
+
     def table(self) -> DataFrame:
         """The queryable at-rest table (the reference's `nfsen.flows`)."""
         return self.spark.read.parquet(self.config.table_path)

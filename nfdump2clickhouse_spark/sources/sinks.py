@@ -32,6 +32,23 @@ def write_flows_partitioned(df: DataFrame, path: str, mode: str = "append") -> N
     )
 
 
+def overwrite_day_partitions(df: DataFrame, path: str) -> None:
+    """Backfill/correction path: replace exactly the (dt, flowsrc)
+    partitions present in ``df``, leaving every other partition's files
+    untouched — Spark's dynamic partition-overwrite mode scoped to this
+    one write. This is how replayed or corrected rotations land without
+    rewriting the table and without the duplicate rows a plain append
+    would create; at 100 TB an overwrite touches only the affected
+    day/source leaves (same layout and sort as the normal sink)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_flows_partitioned(df, path, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def drop_expired_partitions(path: str, keep_days: int, today: date) -> list[str]:
     """TTL expiry as partition drop (SURVEY §3.2 E3') — O(partitions)
     metadata work, never a row rewrite. Local-FS implementation; on a real

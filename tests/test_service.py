@@ -195,3 +195,41 @@ def test_service_query_filter_pushes_down(spark, tmp_path):
     assert q.count() >= 0  # executes
     pf = " ".join(pushed_filters(q.select("sa", "ibyt")))
     assert "sa_num" in pf, pf
+
+
+def test_service_backfill_replaces_only_target_partitions(spark, tmp_path):
+    """backfill() must replace exactly the day partitions present in the
+    corrected frame: target day rows swapped, other days untouched."""
+    from datetime import datetime, timezone
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path)
+    watch = os.path.join(base, "watch")
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    write_flow_files(spark, watch, n_files=2, rows_per_file=100, start=start)
+    conf_path = os.path.join(base, "c.conf")
+    with open(conf_path, "w") as fh:
+        fh.write(
+            f"[general]\ntable_path = {base}/flows\n"
+            f"checkpoint_root = {base}/ckpt\n[edge]\nwatchdir = {watch}\n"
+        )
+    svc = FlowService(spark, parse_config(conf_path))
+    svc.run_once()
+    tbl = svc.table()
+    days = sorted(r.dt for r in tbl.select("dt").distinct().collect())
+    target = days[0]
+    before_other = tbl.filter(F.col("dt") != target).count()
+
+    # corrected replay of the target day: half the rows, ibyt doubled
+    corrected = (
+        svc.table()
+        .filter(F.col("dt") == target)
+        .limit(50)
+        .withColumn("ibyt", F.col("ibyt") * 2)
+    )
+    svc.backfill(corrected)
+
+    after = svc.table()
+    assert after.filter(F.col("dt") == target).count() == 50
+    assert after.filter(F.col("dt") != target).count() == before_other
