@@ -181,3 +181,54 @@ def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(5)
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH dau AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY day
+    ),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+      FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+      JOIN events e
+        ON date_trunc('day', e.ts) > d.day - INTERVAL 7 DAY
+       AND date_trunc('day', e.ts) <= d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the front-page
+    product metric. The WAU side is a (distinct day) × events range join
+    on the day key: the build side is |days| rows (broadcast), and each
+    event lands in ≤ 7 day-windows, so the expansion is bounded ×7 — a
+    per-day distinct state, never an all-pairs product. The exact
+    distinct is two-phase; at 100 TB swap in HLL partials merged across
+    the 7-day frame."""
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    dau = e.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    days = e.select("day").distinct().withColumnRenamed("day", "d")
+    wau = (
+        e.join(
+            F.broadcast(days),
+            (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("d", "day")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+    )
