@@ -689,3 +689,62 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("mad"), 4).alias("mad"),
         F.count(F.when(is_out, 1)).alias("n_outliers"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'b' ELSE 'a' END AS grp,
+             value
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    m AS (
+      SELECT grp, COUNT(*) AS n, AVG(value) AS mean, var_samp(value) AS v
+      FROM g GROUP BY grp
+    )
+    SELECT ROUND(a.mean - b.mean, 4) AS mean_diff,
+           ROUND((a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           CAST(FLOOR(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)))
+             AS BIGINT) AS df_floor
+    FROM (SELECT * FROM m WHERE grp = 'a') a, (SELECT * FROM m WHERE grp = 'b') b
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (ClickHouse `welchTTest` [P] — the
+    A/B-test primitive): click-vs-purchase value difference, t statistic,
+    and Welch–Satterthwaite degrees of freedom. One grouped moment pass
+    (count/mean/variance partials), then scalar arithmetic on a 2-row
+    frame — the full test costs one aggregation however large the fact
+    table. The df is floored: the fractional part is where engine ulp
+    noise lives, and the floor is what t-tables index anyway."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = e.select(
+        F.when(F.col("event_type") == "purchase", "b").otherwise("a").alias("grp"),
+        "value",
+    )
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("v"),
+    )
+    a = m.filter(F.col("grp") == "a").select(
+        F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("v").alias("va")
+    )
+    b = m.filter(F.col("grp") == "b").select(
+        F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("v").alias("vb")
+    )
+    j = a.crossJoin(b)
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return j.select(
+        F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.floor(df).cast("bigint").alias("df_floor"),
+    )

@@ -232,3 +232,49 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+@register(
+    "events_markov_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM c
+    """,
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: P(next event type |
+    current) per user stream (the input to next-action prediction and
+    anomaly scoring over flows/event logs). One lead window per user,
+    then a |types|²-row aggregate; the probability normalization runs on
+    the aggregated matrix, not the raw stream. Ordered by the unique
+    event_id so the chain is engine-deterministic."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    )
