@@ -748,3 +748,62 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4).alias("t_stat"),
         F.floor(df).cast("bigint").alias("df_floor"),
     )
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS a, EXTRACT(hour FROM ts) AS b, COUNT(*) AS n
+      FROM events GROUP BY a, b
+    ),
+    tot AS (SELECT SUM(n) AS N FROM c),
+    r AS (SELECT a, SUM(n) AS rn FROM c GROUP BY a),
+    col AS (SELECT b, SUM(n) AS cn FROM c GROUP BY b),
+    chi AS (
+      SELECT SUM(pow(c.n - r.rn * col.cn / tot.N, 2)
+                 / (r.rn * col.cn / tot.N))       AS chi2,
+             ANY_VALUE(tot.N)                     AS N,
+             (SELECT COUNT(*) FROM r)             AS R,
+             (SELECT COUNT(*) FROM col)           AS C
+      FROM c JOIN r USING (a) JOIN col USING (b) CROSS JOIN tot
+    )
+    SELECT ROUND(sqrt(chi2 / (N * (least(R, C) - 1))), 4) AS cramers_v,
+           ROUND(chi2, 4) AS chi2
+    FROM chi
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and hour-of-day
+    (ClickHouse `cramersV` [P] — 'is this traffic class time-of-day
+    dependent'). The χ² runs entirely on the CONTINGENCY TABLE
+    (|types|·24 rows), never the fact table: one partial+final count
+    agg over the corpus, then broadcast joins of the tiny marginal
+    frames. Cell order in the χ² sum is engine-dependent but the ~120
+    addends are O(1)-magnitude, absorbed by round(4)."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("event_type").alias("a"), F.hour("ts").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    c = c.localCheckpoint()  # reused by 3 aggregates + the join
+    r = c.groupBy("a").agg(F.sum("n").alias("rn"))
+    col = c.groupBy("b").agg(F.sum("n").alias("cn"))
+    tot = c.agg(F.sum("n").alias("n_total"))  # not "N": Spark resolution is case-insensitive vs cell count "n"
+    j = (
+        c.join(F.broadcast(r), "a")
+        .join(F.broadcast(col), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("rn") * F.col("cn") / F.col("n_total")
+    chi = j.agg(
+        F.sum(F.pow(F.col("n") - exp, 2) / exp).alias("chi2"),
+        F.first("n_total").alias("n_total"),
+        F.countDistinct("a").alias("R"),
+        F.countDistinct("b").alias("C"),
+    )
+    return chi.select(
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_total") * (F.least("R", "C") - 1))), 4
+        ).alias("cramers_v"),
+        F.round("chi2", 4).alias("chi2"),
+    )
