@@ -298,3 +298,36 @@ def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "user_id", "event_id", (F.round(ema, 4) + 0).alias("ema")
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           nth_value(c_acctbal, 2) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_bal
+    FROM customer
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`nth_value` with a full frame: every customer row annotated with
+    its nation's second-highest balance (runner-up benchmarking —
+    ClickHouse `nth_value` [P]). Full-frame spec is explicit: the SQL
+    default frame stops at CURRENT ROW, which silently turns nth_value
+    into 'nth so far' — a classic cross-engine footgun both engines
+    agree on only when spelled out. One shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.nth_value("c_acctbal", 2).over(w).alias("second_bal"),
+    )
