@@ -228,6 +228,10 @@ class _Parser:
 
         if tok == "proto":
             name = self.take()
+            if name.isdigit() and name not in _PROTO_NUMS:
+                # an unmapped IANA number would otherwise compile to
+                # pr == '<digits>' and silently match nothing (ADVICE r1)
+                raise NfFilterError(f"unknown protocol number: {name}")
             name = _PROTO_NUMS.get(name, _PROTO_ALIASES.get(name.lower(), name.upper()))
             return F.upper(F.col("pr")) == name
 

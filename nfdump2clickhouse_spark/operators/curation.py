@@ -81,7 +81,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/valid/test split (90/10/5) by multiplicative
+    """Deterministic 85/10/5 train/valid/test split by multiplicative
     key hash — membership is a pure function of doc_id, so re-runs,
     backfills, and distributed readers all agree without coordination
     (`df.randomSplit` is partition-layout-dependent and irreproducible
@@ -150,7 +150,8 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT vec_id, emb,
-             list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+             greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'),
+                      1e-30) AS scale
       FROM e
     ),
     q AS (
@@ -177,7 +178,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    scale = F.array_max(F.transform("emb", F.abs))
+    # greatest(·, 1e-30): an all-zero embedding would otherwise divide by
+    # zero — NaN q-values here, a hard NaN→INT cast error in the oracle
+    # (ADVICE r1); with the floor the degenerate vector quantizes to all
+    # zeros with mse 0 on both engines
+    scale = F.greatest(F.array_max(F.transform("emb", F.abs)), F.lit(1e-30))
     # internal name deliberately differs from the output alias "scale":
     # with identical names, Spark's implicit LATERAL column alias
     # resolution would bind the mse expression below to the ROUNDED

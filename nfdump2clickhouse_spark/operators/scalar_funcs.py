@@ -173,8 +173,8 @@ def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding)                                     AS dim,
            ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0         AS first_val,
-           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0)
-                                                              AS head3,
+           ROUND(CAST(embedding[2] AS DOUBLE), 4) + 0         AS second_val,
+           ROUND(CAST(embedding[3] AS DOUBLE), 4) + 0         AS third_val,
            len(list_filter(embedding, x -> x > 0))            AS n_pos,
            ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                 'sum'), 4) + 0                AS vec_sum
@@ -186,18 +186,23 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to double before arithmetic (SURVEY §5.3.6). Every rounded value
     gets `+ 0`: IEEE `-0.0 + 0.0 = +0.0`, so a tiny negative rounded to
     zero prints identically in both engines (found at sf0.1 — one row's
-    `-0.0` vs `0.0` broke the string hash)."""
+    `-0.0` vs `0.0` broke the string hash). The slice head is emitted as
+    three scalar columns, not an array — the driver canonicalizer cannot
+    sort list cells (VERDICT r1 wrong-#1); `slice`/`transform` are still
+    exercised to build them."""
     e = table(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head3 = F.transform(
+        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4) + 0
+    )
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0).alias(
             "first_val"
         ),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4) + 0
-        ).alias("head3"),
+        F.element_at(head3, 2).alias("second_val"),
+        F.element_at(head3, 3).alias("third_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         (
             F.round(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4) + 0
@@ -516,16 +521,19 @@ def str_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_cumsum",
+    # Flat (vec_id, pos, cs) rows, not an array column — the driver
+    # canonicalizer cannot sort list cells (VERDICT r1 wrong-#1). The
+    # array-accumulator fold is still the computation; only the output
+    # shape is exploded.
     oracle="""
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding[1:6], x -> CAST(x AS DOUBLE)) AS l
       FROM embeddings
     )
-    SELECT vec_id,
-           [ROUND(list_aggregate(l[1:i], 'sum'), 4) + 0
-            for i in generate_series(1, len(l))] AS cumsum
-    FROM e
+    SELECT vec_id, CAST(i AS BIGINT) AS pos,
+           ROUND(list_aggregate(l[1:i], 'sum'), 4) + 0 AS cs
+    FROM e, UNNEST(generate_series(1, len(l))) AS t(i)
     """,
 )
 def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,8 +556,9 @@ def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # "+ 0" canonicalizes -0.0 → 0.0 (both engines) so a rounded -1e-9
     # cannot hash-diverge as "-0.0" vs "0.0" (SURVEY §8 recipe)
-    return e.select(
-        "vec_id", F.transform(cum, lambda x: F.round(x, 4) + 0).alias("cumsum")
+    rounded = F.transform(cum, lambda x: F.round(x, 4) + 0)
+    return e.select("vec_id", F.posexplode(rounded).alias("pos", "cs")).select(
+        "vec_id", (F.col("pos") + 1).cast("long").alias("pos"), "cs"
     )
 
 
@@ -671,16 +680,17 @@ def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_difference",
+    # Flat (vec_id, pos, diff) rows, not an array column — the driver
+    # canonicalizer cannot sort list cells (VERDICT r1 wrong-#1).
     oracle="""
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding[1:6], x -> CAST(x AS DOUBLE)) AS l
       FROM embeddings
     )
-    SELECT vec_id,
-           [ROUND(CASE WHEN i = 1 THEN 0.0 ELSE l[i] - l[i-1] END, 4) + 0
-            for i in generate_series(1, len(l))] AS diffs
-    FROM e
+    SELECT vec_id, CAST(i AS BIGINT) AS pos,
+           ROUND(CASE WHEN i = 1 THEN 0.0 ELSE l[i] - l[i-1] END, 4) + 0 AS diff
+    FROM e, UNNEST(generate_series(1, len(l))) AS t(i)
     """,
 )
 def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,4 +710,6 @@ def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 0,  # -0.0 → 0.0 canonicalization
     )
-    return e.select("vec_id", diffs.alias("diffs"))
+    return e.select("vec_id", F.posexplode(diffs).alias("pos", "diff")).select(
+        "vec_id", (F.col("pos") + 1).cast("long").alias("pos"), "diff"
+    )

@@ -89,41 +89,6 @@ def retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("src_stream_dir")  # rows-only: real streaming integration
-def src_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_stream_dir(spark)
-
-
-@register("stream_foreachbatch")  # rows-only
-def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_foreachbatch(spark)
-
-
-@register("stream_restart_resume")  # rows-only: checkpoint-recovery integration
-def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_restart_resume(spark)
-
-
-@register("stream_watermark")  # rows-only
-def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_watermark(spark)
-
-
-@register("stream_dedup_watermark")  # rows-only
-def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_dedup_watermark(spark)
-
-
-@register("stream_output_modes")  # rows-only
-def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_output_modes(spark)
-
-
-@register("stream_stateful")  # rows-only
-def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_stateful_sessions(spark)
-
-
 @register("maint_bucketed_join")  # rows-only: plan-shape demo (bucketed tables)
 def maint_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via bucketed tables: lineitem and
@@ -171,33 +136,36 @@ def maint_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_session_window")  # rows-only: real streaming session windows
-def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sp.run_session_stream(spark)
-
-
-# NOTE: streaming/pipeline.py also implements the Spark 4 successor API
-# (run_transform_with_state / transformWithStateInPandas). Its Python worker
-# needs google.protobuf, absent from this container, so the key is not
-# registered here; tests/test_streaming.py runs it when protobuf exists.
-
-
-@register("sink_jdbc_clickhouse")  # rows-only: no ClickHouse in this env
+@register("sink_jdbc_clickhouse")  # rows-only: JDBC when a server exists
 def sink_jdbc_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-parity sink: foreachBatch + batch-id ledger idempotence
-    (SURVEY §4.3.5). The JDBC writer itself is sources.sinks.
-    jdbc_batch_writer; with no JDBC endpoint in this container the demo
-    run uses the same protocol against parquet, and proves idempotence by
-    re-offering batch 0 (the rerun is a no-op)."""
-    import uuid
-
-    from ..sources.sinks import parquet_batch_writer
+    (SURVEY §4.3.5). When a server is configured AND reachable
+    (CLICKHOUSE_HOST/_PORT + TCP probe — sources.clickhouse.
+    clickhouse_reachable), the writer is the real `df.write.jdbc` against
+    the generated MergeTree DDL; otherwise (this container: no server,
+    no JDBC driver jar) the same batch-id protocol runs against parquet.
+    Both paths prove idempotence by re-offering batch 0 (a no-op)."""
+    from ..sources.clickhouse import clickhouse_reachable, flows_ddl  # noqa: F401
+    from ..sources.sinks import jdbc_batch_writer, parquet_batch_writer
 
     out = tempfile.mkdtemp(prefix="sf_jdbc_")
     ledger = os.path.join(out, "ledger")
+    flows = table(spark, sf_dir, "events").limit(500)
+    if clickhouse_reachable():
+        from ..sources.clickhouse import jdbc_properties, jdbc_url
+
+        writer = jdbc_batch_writer(
+            jdbc_url(), "nfsen.events_demo", jdbc_properties(), ledger_path=ledger
+        )
+        writer(flows, 0)
+        writer(flows, 1)
+        writer(flows, 0)  # duplicate offer — ledger makes it a no-op
+        back = spark.read.jdbc(
+            jdbc_url(), "nfsen.events_demo", properties=jdbc_properties()
+        )
+        return back.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n"))
     target = os.path.join(out, "table")
     writer = parquet_batch_writer(target, ledger_path=ledger)
-    flows = table(spark, sf_dir, "events").limit(500)
     writer(flows, 0)
     writer(flows, 1)
     writer(flows, 0)  # duplicate offer — ledger makes it a no-op
@@ -305,3 +273,57 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ── streaming keys ──────────────────────────────────────────────────────
+# Registered LAST in this module (and the module itself registers late):
+# each one runs a real multi-micro-batch StreamingQuery, the most
+# expensive keys in the sweep — keeping them at the back of the registry
+# maximizes how many cheap hash-checked keys a time-budgeted driver sweep
+# certifies before reaching them.
+
+
+@register("src_stream_dir")  # rows-only: real streaming integration
+def src_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_stream_dir(spark)
+
+
+@register("stream_foreachbatch")  # rows-only
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_foreachbatch(spark)
+
+
+@register("stream_restart_resume")  # rows-only: checkpoint-recovery integration
+def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_restart_resume(spark)
+
+
+@register("stream_watermark")  # rows-only
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_watermark(spark)
+
+
+@register("stream_dedup_watermark")  # rows-only
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_dedup_watermark(spark)
+
+
+@register("stream_output_modes")  # rows-only
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_output_modes(spark)
+
+
+@register("stream_stateful")  # rows-only
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_stateful_sessions(spark)
+
+
+@register("stream_session_window")  # rows-only: real streaming session windows
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_session_stream(spark)
+
+
+# NOTE: streaming/pipeline.py also implements the Spark 4 successor API
+# (run_transform_with_state / transformWithStateInPandas). Its Python worker
+# needs google.protobuf, absent from this container, so the key is not
+# registered here; tests/test_streaming.py runs it when protobuf exists.

@@ -55,6 +55,14 @@ class SourceConfig:
     watch_dir: str
     flowsrc: str
     fmt: str = "parquet"  # "parquet" (staged) or "csv" (raw nfdump -o csv)
+    # Per-file decode command, the reference's hot path (`nfdump -r
+    # <file> -o csv` [P SURVEY §3.1 E2]): a template with {file} and
+    # {out} placeholders, run once per NEW file in watch_dir; its CSV
+    # output lands in a staging dir that the streaming source watches.
+    # None → watch_dir already holds decoded csv/parquet (staged mode).
+    # No nfdump binary exists in this container, so tests exercise the
+    # seam with a stand-in command (`cp {file} {out}`).
+    decode_cmd: str | None = None
 
 
 @dataclass(frozen=True)
@@ -92,6 +100,7 @@ def parse_config(path: str) -> ServiceConfig:
             watch_dir=cp[sec]["watchdir"],
             flowsrc=cp[sec].get("flowsrc", sec),
             fmt=cp[sec].get("format", "parquet"),
+            decode_cmd=cp[sec].get("decode_cmd") or None,
         )
         for sec in cp.sections()
         if sec != "general"
@@ -137,17 +146,84 @@ class FlowService:
         self.config = config
         self._write_lock = threading.Lock()
         self._queries: list[StreamingQuery] = []
-        self._log = logging.getLogger(f"flows.{id(self):x}")
-        if config.log_dir and not self._log.handlers:
+        # keyed by log_dir, not id(self): loggers live forever in the
+        # registry, and a new service whose id() collided with a dead one
+        # would inherit (and keep writing to) the dead service's
+        # FileHandler (ADVICE r1). One logger per log_dir is also the
+        # correct sharing unit — two services on the same log_dir SHOULD
+        # append to the same file, like two reference daemons would.
+        log_key = config.log_dir or "null"
+        self._log = logging.getLogger(f"flows.{log_key}")
+        if config.log_dir:
             # the reference writes file logs into log/ [S log/.gitignore:1]
             os.makedirs(config.log_dir, exist_ok=True)
-            h = logging.FileHandler(os.path.join(config.log_dir, "flows.log"))
-            h.setFormatter(
-                logging.Formatter("%(asctime)s %(levelname)s %(message)s")
-            )
-            self._log.addHandler(h)
+            path = os.path.join(config.log_dir, "flows.log")
+            stale = [
+                h
+                for h in self._log.handlers
+                if not (
+                    isinstance(h, logging.FileHandler) and h.baseFilename == path
+                )
+            ]
+            for h in stale:  # handlers pointing anywhere else are replaced
+                self._log.removeHandler(h)
+                h.close()
+            if not self._log.handlers:
+                h = logging.FileHandler(path)
+                h.setFormatter(
+                    logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+                )
+                self._log.addHandler(h)
             self._log.setLevel(logging.INFO)
             self._log.propagate = False
+
+    # --- decode stage ------------------------------------------------------
+
+    def _staging_dir(self, src: SourceConfig) -> str:
+        return os.path.join(self.config.checkpoint_root, src.name, "decoded")
+
+    def decode_new_files(self, src: SourceConfig) -> list[str]:
+        """Run `decode_cmd` once per not-yet-decoded file in watch_dir —
+        the reference's nfcapd→CSV subprocess step [P SURVEY §3.1 E2].
+
+        Decoded CSVs land in the per-source staging dir that the
+        streaming source watches; a `.done` marker per input file is the
+        decode ledger (success-only, so a failed decode retries on the
+        next run — the reference's file-level retry). Driver-side
+        subprocess per 5-min rotation, exactly like the reference daemon;
+        at higher fan-in, run the same template through
+        `spark.sparkContext.parallelize(files).pipe(...)` to decode on
+        executors."""
+        import shlex
+        import subprocess
+
+        assert src.decode_cmd
+        staging = self._staging_dir(src)
+        ledger = os.path.join(staging, "_decoded")
+        os.makedirs(ledger, exist_ok=True)
+        done = []
+        for name in sorted(os.listdir(src.watch_dir)):
+            path = os.path.join(src.watch_dir, name)
+            marker = os.path.join(ledger, f"{name}.done")
+            if not os.path.isfile(path) or os.path.exists(marker):
+                continue
+            out = os.path.join(staging, f"{name}.csv")
+            cmd = [
+                part.replace("{file}", path).replace("{out}", out)
+                for part in shlex.split(src.decode_cmd)
+            ]
+            res = subprocess.run(cmd, capture_output=True, text=True)
+            if res.returncode != 0:
+                self._log.warning(
+                    "source=%s decode failed file=%s rc=%d stderr=%s",
+                    src.name, name, res.returncode, res.stderr[-500:],
+                )
+                continue
+            with open(marker, "w") as fh:
+                fh.write("ok")
+            done.append(name)
+            self._log.info("source=%s decoded file=%s", src.name, name)
+        return done
 
     # --- streams -----------------------------------------------------------
 
@@ -155,11 +231,13 @@ class FlowService:
         reader = self.spark.readStream.option(
             "maxFilesPerTrigger", self.config.max_files_per_trigger
         )
-        if src.fmt == "csv":
+        if src.decode_cmd or src.fmt == "csv":
+            # decode_cmd output is always csv (`nfdump -o csv` shape)
+            watch = self._staging_dir(src) if src.decode_cmd else src.watch_dir
             raw = (
                 reader.schema(NFDUMP_CSV_RAW)
                 .option("header", True)
-                .csv(src.watch_dir)
+                .csv(watch)
             )
             return _with_layout_columns(project_flows(raw, src.flowsrc))
         flows = reader.schema(FLOWS).parquet(src.watch_dir)
@@ -190,6 +268,8 @@ class FlowService:
         mode [S .gitignore:132]); `available_now=True` drains and stops."""
         queries = []
         for src in self.config.sources:
+            if src.decode_cmd:
+                self.decode_new_files(src)
             writer = (
                 self._source_stream(src)
                 .writeStream.foreachBatch(self._sink(src))

@@ -86,3 +86,34 @@ def jdbc_properties(user: str = "default", password: str = "") -> dict[str, str]
 
 def jdbc_url(host: str = "localhost", port: int = 8123, database: str = "nfsen") -> str:
     return f"jdbc:clickhouse://{host}:{port}/{database}"
+
+
+def clickhouse_endpoint() -> tuple[str, int] | None:
+    """(host, port) of a configured ClickHouse, or None.
+
+    Reads ``CLICKHOUSE_HOST`` / ``CLICKHOUSE_PORT`` (HTTP port, default
+    8123) — the standard env knobs a deployment sets; unset means this
+    environment has no server (the test container) and JDBC paths should
+    fall back to the parquet protocol demo."""
+    import os
+
+    host = os.environ.get("CLICKHOUSE_HOST")
+    if not host:
+        return None
+    return host, int(os.environ.get("CLICKHOUSE_PORT", "8123"))
+
+
+def clickhouse_reachable(timeout_s: float = 1.0) -> bool:
+    """True iff a configured ClickHouse answers a TCP connect. Probe-only
+    (no query): callers gate real JDBC round-trips on this and skip
+    cleanly — with a log line, not a hard error — when absent."""
+    import socket
+
+    ep = clickhouse_endpoint()
+    if ep is None:
+        return False
+    try:
+        with socket.create_connection(ep, timeout=timeout_s):
+            return True
+    except OSError:
+        return False

@@ -161,7 +161,11 @@ def jdbc_batch_writer(
             marker = os.path.join(ledger_path, f"batch_{batch_id}.done")
             if os.path.exists(marker):
                 return
-        batch_df.write.mode("append").jdbc(url, table, properties=properties)
+        # batch_id rides along (same contract as parquet_batch_writer):
+        # the provenance column replays/audits need downstream
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).jdbc(url, table, properties=properties)
         if ledger_path is not None:
             os.makedirs(ledger_path, exist_ok=True)
             with open(marker, "w") as fh:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 import pandas as pd
@@ -26,6 +27,24 @@ from ..sources.sinks import parquet_batch_writer
 
 def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"sf_{prefix}_")
+
+
+@contextmanager
+def _demo_state_partitions(spark: SparkSession, n: int = 8):
+    """Size the state store for the demo's data, not the session default.
+
+    Streaming aggregation locks its state-partition count to
+    `spark.sql.shuffle.partitions` at the FIRST start of a checkpoint, and
+    every micro-batch commits one state file per partition — 64 partitions
+    × 6 micro-batches of a few hundred rows is pure fixed overhead. On a
+    production checkpoint you'd size this once for peak key cardinality;
+    the demos run on fresh checkpoints so a small count is correct."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _mem_name() -> str:
@@ -95,13 +114,11 @@ def run_watermark(spark: SparkSession) -> DataFrame:
     watch, ckpt = _tmp("watch"), _tmp("ckpt")
     start = datetime(2024, 3, 1, tzinfo=timezone.utc)
     write_flow_files(spark, watch, n_files=5, rows_per_file=100, start=start)
-    # late file: same event times as rotation 0, arriving 5 rotations later
-    import time
-
-    time.sleep(1.1)  # later mod-time → listed (and processed) last
+    # late file: same event times as rotation 0, arriving 5 rotations
+    # later (arrival=1 → mod-time an hour after the on-time rotations)
     write_flow_files(
         spark, os.path.join(watch), n_files=1, rows_per_file=50, start=start,
-        tag="late",
+        tag="late", arrival=1,
     )
     name = _mem_name()
     agg = (
@@ -112,15 +129,16 @@ def run_watermark(spark: SparkSession) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("wstart"), "n")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _demo_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -132,14 +150,13 @@ def run_dedup_watermark(spark: SparkSession) -> DataFrame:
     watch, ckpt = _tmp("watch"), _tmp("ckpt")
     start = datetime(2024, 3, 1, tzinfo=timezone.utc)
     write_flow_files(spark, watch, n_files=2, rows_per_file=100, start=start)
-    import time
-
-    time.sleep(1.1)
     # duplicate of rotation 0 (same rows incl. ts) arriving later as its
-    # OWN file — tag keeps it from overwriting the on-time rotation, so
-    # the dedup operator really sees the 100 rows a second time
+    # OWN file (arrival=1 → later mod-time) — tag keeps it from
+    # overwriting the on-time rotation, so the dedup operator really sees
+    # the 100 rows a second time
     write_flow_files(
-        spark, watch, n_files=1, rows_per_file=100, start=start, tag="replay"
+        spark, watch, n_files=1, rows_per_file=100, start=start, tag="replay",
+        arrival=1,
     )
     name = _mem_name()
     dedup = (
@@ -147,15 +164,16 @@ def run_dedup_watermark(spark: SparkSession) -> DataFrame:
         .withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(["sa", "da", "sp", "dp", "ts"])
     )
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _demo_state_partitions(spark):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).groupBy("ra").agg(F.count(F.lit(1)).alias("n_unique"))
 
 
@@ -169,15 +187,16 @@ def run_output_modes(spark: SparkSession) -> DataFrame:
     agg = _source(spark, watch).groupBy("dp").agg(
         F.count(F.lit(1)).alias("n"), F.sum("ibyt").alias("bytes")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _demo_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -204,15 +223,16 @@ def run_session_stream(spark: SparkSession) -> DataFrame:
             "bytes",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _demo_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -294,15 +314,16 @@ def run_transform_with_state(spark: SparkSession) -> DataFrame:
             timeMode="None",
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _demo_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # last emitted totals per key = the stitched final state
     return spark.table(name).groupBy("sa", "da").agg(
         F.max("n_flows").alias("n_flows"), F.max("total_bytes").alias("total_bytes")
@@ -341,15 +362,16 @@ def run_stateful_sessions(spark: SparkSession) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _demo_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # final state per key = last emitted row (max n_flows)
     return spark.table(name).groupBy("sa", "da").agg(
         F.max("n_flows").alias("n_flows"), F.max("total_bytes").alias("total_bytes")
@@ -381,11 +403,10 @@ def run_restart_resume(spark: SparkSession) -> DataFrame:
 
     write_flow_files(spark, watch, n_files=2, rows_per_file=120, start=start)
     drain()
-    import time
-
-    time.sleep(1.1)  # later mod-time: the new rotations list after run 1's
     from datetime import timedelta
 
+    # rotations 2-3: later start → later explicit mtime, listed after run
+    # 1's files (no wall-clock sleep needed — mtimes are set, not sampled)
     write_flow_files(
         spark, watch, n_files=2, rows_per_file=120,
         start=start + timedelta(minutes=10),

@@ -194,4 +194,4 @@ def test_freq_items_contains_true_mode(spark, sf_dir):
         li.groupBy("l_returnflag").count().orderBy(F.desc("count")).first()[0]
     )
     hot = SPECS["agg_freq_items"].fn(spark, sf_dir).collect()[0].hot_returnflags
-    assert true_mode in hot, (true_mode, hot)
+    assert true_mode in hot.split(","), (true_mode, hot)

@@ -93,6 +93,7 @@ def test_filter_suite_has_selective_cases(flows):
         "proto tcp extra",       # trailing input
         "flags XYZ",             # bad flag letters
         "packets > fast",        # non-numeric
+        "proto 41",              # unmapped IANA number (would match nothing)
     ],
 )
 def test_syntax_errors_raise(bad):

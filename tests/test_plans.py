@@ -178,6 +178,63 @@ def test_train_split_partial_agg(spark, sf_dir):
     assert has_partial_aggregate(SPECS["sample_train_split"].fn(spark, sf_dir))
 
 
+def test_tfidf_no_mandatory_broadcast(spark, sf_dir):
+    """text_tfidf's tf→df join must carry NO broadcast hint: at 100 TB
+    the distinct-token table is billions of rows and a mandatory
+    broadcast OOMs the executors. AQE is free to pick broadcast at
+    runtime when df turns out small — the assertion is on the analyzed
+    logical plan (where user hints surface as ResolvedHint/hints=), not
+    the physical join strategy."""
+    df = SPECS["text_tfidf"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_ivf_assignment_zero_exchange(spark, sf_dir):
+    """IVF cell assignment must be a pure Column argmin over the inlined
+    codebook literal — zero Exchange. (The crossJoin + row_number window
+    it replaced shuffled the ×k-exploded corpus once per Lloyd
+    iteration.)"""
+    from nfdump2clickhouse_spark.catalog import table as cat_table
+    from nfdump2clickhouse_spark.functions.similarity import as_double
+    from nfdump2clickhouse_spark.operators.ann import ivf_assign, seed_codebook
+
+    e = cat_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cb = seed_codebook(e, 8)
+    plan = get_plan(ivf_assign(e, cb), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """A stop-shingle (df ≫ cap) must be DROPPED before pair generation:
+    a Zipfian corpus otherwise emits O(df²) pairs from one bucket. 60
+    docs all sharing one stop-shingle but otherwise unique → with the
+    cap the stop-bucket contributes nothing; pair count is bounded by
+    the genuinely-similar pairs (here: the two near-identical docs)."""
+    import pandas as pd
+
+    from nfdump2clickhouse_spark.operators.dedup_extra import _ngram_jaccard_pairs
+
+    # 60 IDENTICAL docs: without the cap every shingle bucket has df=60
+    # and the upper triangle emits C(60,2)=1770 pairs at jaccard 1.0
+    docs = [(i, "the quick brown fox jumps over the lazy dog") for i in range(60)]
+    # one true near-dup pair whose shingles stay under the cap
+    docs.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    docs.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        capped = _ngram_jaccard_pairs(spark, d, max_df=50).collect()
+        uncapped = _ngram_jaccard_pairs(spark, d, max_df=10_000).collect()
+    assert len(uncapped) == 1770 + 1  # proof the blowup is real
+    got = {(r.id1, r.id2) for r in capped}
+    # with the cap, the df=60 buckets are dropped before pair generation
+    assert got == {(100, 101)}, got
+
+
 def test_headline_shuffle_budgets(spark, sf_dir):
     """Exchange-count regression budget for headline plans: a formulation
     change that adds a shuffle to a hot-path query is a 100 TB

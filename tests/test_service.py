@@ -70,6 +70,51 @@ def test_service_end_to_end(spark, tmp_path):
     assert svc.table().count() == 250 + 50
 
 
+def test_service_decode_cmd_end_to_end(spark, tmp_path):
+    """The reference's per-file decode hot path (`nfdump -r {file} -o
+    csv` [P SURVEY §3.1 E2]) as a conf-driven seam: raw rotations in
+    watchdir are run through decode_cmd into the staging dir, the csv
+    stream projects 48→13, rows land in the partitioned table. nfdump
+    itself doesn't exist in this container, so the stand-in decoder is
+    `cp` over files that are already csv — the seam (per-file subprocess,
+    success ledger, retry semantics) is what's under test."""
+    base = str(tmp_path)
+    watch = os.path.join(base, "raw")
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    # "raw nfcapd" stand-ins: already-csv files WITHOUT a .csv suffix, so
+    # only the decode stage can make them visible to the csv source
+    paths = write_flow_files(
+        spark, watch, n_files=2, rows_per_file=80, start=start, fmt="csv"
+    )
+    for p in paths:
+        os.rename(p, p[: -len(".csv")])
+
+    conf_path = os.path.join(base, "c.conf")
+    with open(conf_path, "w") as fh:
+        fh.write(
+            f"[general]\ntable_path = {base}/flows\n"
+            f"checkpoint_root = {base}/ckpt\n"
+            f"[router-raw]\nwatchdir = {watch}\n"
+            "decode_cmd = cp {file} {out}\n"
+        )
+    cfg = parse_config(conf_path)
+    assert cfg.sources[0].decode_cmd == "cp {file} {out}"
+
+    svc = FlowService(spark, cfg)
+    svc.run_once()
+    tbl = svc.table()
+    assert tbl.count() == 160
+    assert tbl.select("flowsrc").distinct().collect()[0][0] == "router-raw"
+    # the 48→13 projection + layout columns came through the decode path
+    for c in ("sa", "da", "ipkt", "ibyt", "dt", "sa_num"):
+        assert c in tbl.columns
+
+    # second run: decode ledger skips all files, stream adds nothing
+    assert svc.decode_new_files(cfg.sources[0]) == []
+    svc.run_once()
+    assert svc.table().count() == 160
+
+
 def test_service_retention_drops_old_partitions(spark, tmp_path):
     base = str(tmp_path)
     watch = os.path.join(base, "watch")
