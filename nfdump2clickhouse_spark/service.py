@@ -361,3 +361,58 @@ class FlowService:
         from .functions.nffilter import compile_filter
 
         return self.table().filter(compile_filter(nfdump_filter))
+
+
+def generate_systemd_units(
+    conf_path: str,
+    *,
+    unit_name: str = "nfdump2clickhouse-spark",
+    python: str = "/usr/bin/python3",
+    spark_submit: str | None = None,
+    user: str = "netflow",
+    interval: str = "5min",
+) -> dict[str, str]:
+    """Render the systemd deployment the reference ships ([S
+    .gitignore:131-132]: a conf file + generated unit file per instance):
+    a oneshot .service that drains all sources (`FlowService.run_once`,
+    the availableNow trigger) and a .timer that fires it every nfcapd
+    rotation interval. Returns {filename: contents} — the operator writes
+    them under /etc/systemd/system and enables the timer; nothing here
+    touches the filesystem.
+
+    A timer-driven oneshot is deliberately the default over a long-lived
+    daemon: each run is a bounded unit of work with checkpoint recovery,
+    so a crash loses nothing and upgrades are a timer tick away — the
+    same operational contract as the reference's per-rotation loop. Set
+    `spark_submit` to deploy against a cluster master instead of a local
+    JVM."""
+    runner = (
+        f"{spark_submit} --deploy-mode client"
+        if spark_submit
+        else f"{python} -m nfdump2clickhouse_spark"
+    )
+    service = f"""[Unit]
+Description=nfdump flow ingest to partitioned parquet (Spark)
+After=network-online.target
+
+[Service]
+Type=oneshot
+User={user}
+ExecStart={runner} run-once --conf {conf_path}
+SyslogIdentifier={unit_name}
+
+[Install]
+WantedBy=multi-user.target
+"""
+    timer = f"""[Unit]
+Description=Run {unit_name} every {interval} (one nfcapd rotation)
+
+[Timer]
+OnBootSec=1min
+OnUnitActiveSec={interval}
+Persistent=true
+
+[Install]
+WantedBy=timers.target
+"""
+    return {f"{unit_name}.service": service, f"{unit_name}.timer": timer}

@@ -25,6 +25,54 @@ def test_query_vs_oracle(key, spark, ddb, sf_dir):
     compare_frames(spark_pdf, oracle_pdf, key)
 
 
+# The r2-reworked keys (array outputs flattened for the driver
+# canonicalizer) re-checked at the OTHER two scale factors: scale-dependent
+# bugs (-0.0 flips, rounding-boundary ulps, phantom partitions) hide from
+# any single SF (SURVEY §8 bug catalog; VERDICT r1 next-#9).
+_REWORKED = [
+    "agg_quantile",
+    "agg_collect_sorted",
+    "agg_sum_map",
+    "agg_avg_foreach",
+    "array_funcs",
+    "array_cumsum",
+    "array_difference",
+    "mm_feature_extract",
+]
+
+
+@pytest.fixture(scope="session")
+def ddb_by_sf():
+    import duckdb
+
+    from tests.conftest import TABLES
+
+    cons = {}
+
+    def get(sfd: str):
+        if sfd not in cons:
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfd}/{t}.parquet')"
+                )
+            cons[sfd] = con
+        return cons[sfd]
+
+    yield get
+    for c in cons.values():
+        c.close()
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _REWORKED)
+def test_reworked_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -115,6 +115,46 @@ def test_service_decode_cmd_end_to_end(spark, tmp_path):
     assert svc.table().count() == 160
 
 
+def test_systemd_units_and_cli_run_once(spark, tmp_path):
+    """Packaging parity with the reference's systemd deployment: the unit
+    generator renders a oneshot .service + .timer pair whose ExecStart is
+    the real CLI, and the CLI's run-once drains sources end-to-end."""
+    from nfdump2clickhouse_spark.__main__ import main
+    from nfdump2clickhouse_spark.service import generate_systemd_units
+
+    base = str(tmp_path)
+    watch = os.path.join(base, "watch")
+    write_flow_files(
+        spark, watch, n_files=1, rows_per_file=40,
+        start=datetime(2024, 3, 1, tzinfo=timezone.utc),
+    )
+    conf = os.path.join(base, "c.conf")
+    with open(conf, "w") as fh:
+        fh.write(
+            f"[general]\ntable_path = {base}/flows\n"
+            f"checkpoint_root = {base}/ckpt\n"
+            # fixture dates are fixed (2024-03-01); a real keep_days
+            # would expire them relative to today's date
+            "keep_days = 100000\n"
+            f"[router-x]\nwatchdir = {watch}\n"
+        )
+
+    units = generate_systemd_units(conf, interval="5min")
+    assert set(units) == {
+        "nfdump2clickhouse-spark.service",
+        "nfdump2clickhouse-spark.timer",
+    }
+    svc_unit = units["nfdump2clickhouse-spark.service"]
+    assert "Type=oneshot" in svc_unit
+    assert f"run-once --conf {conf}" in svc_unit
+    assert "OnUnitActiveSec=5min" in units["nfdump2clickhouse-spark.timer"]
+
+    # the ExecStart command is real: run it in-process
+    assert main(["run-once", "--conf", conf]) == 0
+    flows = spark.read.parquet(os.path.join(base, "flows"))
+    assert flows.count() == 40
+
+
 def test_service_retention_drops_old_partitions(spark, tmp_path):
     base = str(tmp_path)
     watch = os.path.join(base, "watch")
