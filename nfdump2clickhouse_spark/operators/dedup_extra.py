@@ -70,6 +70,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, max_df: int = 10_000
 ) -> DataFrame:
+    # PPJoin length filter: J = c/(n1+n2-c) ≤ min(n1,n2)/max(n1,n2), so a
+    # pair whose set sizes differ by more than the threshold ratio can
+    # never reach J ≥ 0.3 — lossless prune of the pair shuffle
+    inter = shingle_pair_counts(spark, sf_dir, max_df, min_len_ratio=0.3)
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return inter.filter(jac >= 0.3).select(
+        "id1", "id2", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def shingle_pair_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int = 10_000,
+    min_len_ratio: float | None = None,
+) -> DataFrame:
+    """Candidate doc pairs sharing ≥1 word-3-gram with intersection count:
+    (id1, id2, n1, n2, c) — the shared core of dedup_ngram_jaccard and
+    text_containment (wave4). `min_len_ratio` applies the PPJoin length
+    filter map-side (valid for resemblance thresholds, NOT for
+    containment — a contained doc is legitimately much smaller)."""
     d = table(spark, sf_dir, "documents")
     # no repartition before the explode: parquet scans split on
     # maxPartitionBytes so the shingle compute is already wide, and the
@@ -112,12 +133,13 @@ def _ngram_jaccard_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    inter = pairs.groupBy("id1", "id2", "n1", "n2").agg(
+    if min_len_ratio is not None:
+        # same stage as the explode → pruned pairs never enter the shuffle
+        pairs = pairs.filter(
+            F.least("n1", "n2") >= min_len_ratio * F.greatest("n1", "n2")
+        )
+    return pairs.groupBy("id1", "id2", "n1", "n2").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
-    return inter.filter(jac >= 0.3).select(
-        "id1", "id2", F.round(jac, 4).alias("jaccard")
     )
 
 

@@ -243,3 +243,85 @@ def test_freq_items_contains_true_mode(spark, sf_dir):
     )
     hot = SPECS["agg_freq_items"].fn(spark, sf_dir).collect()[0].hot_returnflags
     assert true_mode in hot.split(","), (true_mode, hot)
+
+
+# --- wave-4 (round 2) --------------------------------------------------------
+
+_WAVE4_HASH = [
+    "sample_reservoir",
+    "cdc_scd2",
+    "join_interval_bin",
+    "zorder_layout",
+    "join_bloom_prefilter",
+    "flows_ddos_amplification",
+    "ts_resample_ohlc",
+    "events_anomaly_zscore",
+    "graph_pagerank",
+    "text_containment",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE4_HASH)
+def test_wave4_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF discipline for the round-2 keys: rounding-boundary and
+    scale-dependent bugs have only ever shown up off the sf0.01 gate."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    """emb_pca_project (rows-only) pinned against numpy's full PCA on the
+    collected fixture: per-component projections must correlate ~1 and
+    the engine's top-4 variance share must match numpy's eigenspectrum."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["emb_pca_project"].fn(spark, sf_dir).toPandas()
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    X = X - X.mean(axis=0)
+    vals, vecs = np.linalg.eigh(np.cov(X.T, bias=True))
+    order = np.argsort(vals)[::-1]
+    ref = X @ vecs[:, order[:4]]
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    emb_ids = emb.sort_values("vec_id").reset_index(drop=True)
+    assert (pdf["vec_id"].to_numpy() == emb_ids["vec_id"].to_numpy()).all()
+    ours = pdf[["pc1", "pc2", "pc3", "pc4"]].to_numpy()
+    for j in range(4):
+        c = np.corrcoef(ours[:, j], ref[:, j])[0, 1]
+        assert abs(abs(c) - 1.0) < 1e-3, f"pc{j+1} corr {c}"
+    # variance share agrees with the eigenspectrum
+    total_var = X.var(axis=0).sum()
+    ref_share = vals[order[:4]].sum() / (vals.sum())
+    ours_share = ours.var(axis=0).sum() / total_var
+    assert abs(ours_share - ref_share) < 1e-3
+
+
+def test_bloom_prefilter_selectivity(spark, sf_dir):
+    """The Bloom prefilter must (a) never drop a true match — superset of
+    the dim keys' rows — and (b) actually prune: pass rate ≈ dim share +
+    false-positive rate, far below 1."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+    from nfdump2clickhouse_spark.operators.wave4 import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    filt = bloom_build(dim, "s_suppkey")
+    pre = li.filter(bloom_might_contain(filt, "l_suppkey"))
+    n_pre, n_tot = pre.count(), li.count()
+    n_true = li.join(dim, li.l_suppkey == dim.s_suppkey).count()
+    assert n_true <= n_pre  # no false negatives
+    assert n_pre <= 0.3 * n_tot, f"bloom passed {n_pre}/{n_tot} rows"

@@ -255,3 +255,59 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_zorder_layout_improves_rowgroup_skipping(spark, sf_dir):
+    """SURVEY §2.13 zorder_layout: sorting by the Morton key must make
+    parquet row-group min/max stats prune a 2-D box on BOTH dimensions,
+    where a single-column sort serves only its leading column. Measured
+    on real files: fraction of row groups whose stats overlap the box."""
+    import pyarrow.parquet as pq
+
+    from nfdump2clickhouse_spark.catalog import table
+    from nfdump2clickhouse_spark.operators.wave4 import _z_col
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+
+    def eligible_fraction(df, order_col):
+        out = tempfile.mkdtemp(prefix="sf_zorder_")
+        (
+            df.withColumn("_k", order_col)
+            .repartitionByRange(32, "_k")
+            .sortWithinPartitions("_k")
+            .drop("_k")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        # the box: a 32x32 tile in (partkey % 256, suppkey % 256) space
+        hit = total = 0
+        for f in os.listdir(out):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            for rg in range(md.num_row_groups):
+                stats = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(
+                        rg
+                    ).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                total += 1
+                sp, ss = stats["l_partkey"], stats["l_orderkey"]
+                if sp.min <= 95 and sp.max >= 64 and ss.min <= 95 and ss.max >= 64:
+                    hit += 1
+        return hit / total
+
+    # modulo-folded coordinates so the box predicate matches the z key space
+    df = li.select(
+        (F.pmod("l_partkey", F.lit(256))).alias("l_partkey"),
+        (F.pmod("l_orderkey", F.lit(256))).alias("l_orderkey"),
+    )
+    frac_z = eligible_fraction(df, _z_col(F.col("l_partkey"), F.col("l_orderkey")))
+    frac_1d = eligible_fraction(df, F.col("l_partkey"))
+    # 1-D sort: partkey range is tight per group but orderkey spans fully →
+    # every partkey-eligible group stays eligible on the orderkey bound;
+    # z-order clusters both dims and must prune strictly harder (the
+    # aligned 32x32 tile is one contiguous z run = ~1-2 of 32 groups).
+    assert frac_z < frac_1d, (frac_z, frac_1d)
+    assert frac_z <= 0.5, f"z-order layout pruned nothing: {frac_z}"
