@@ -325,3 +325,82 @@ def test_bloom_prefilter_selectivity(spark, sf_dir):
     n_true = li.join(dim, li.l_suppkey == dim.s_suppkey).count()
     assert n_true <= n_pre  # no false negatives
     assert n_pre <= 0.3 * n_tot, f"bloom passed {n_pre}/{n_tot} rows"
+
+
+# --- wave-5 (round 2) --------------------------------------------------------
+
+_WAVE5_HASH = [
+    "stats_corr_matrix",
+    "agg_linreg",
+    "ts_autocorr",
+    "ts_seasonal_decompose",
+    "graph_triangle_count",
+    "agg_partial_merge",
+    "data_profile",
+    "sample_weighted",
+    "text_ngram_lm",
+    "curation_manifest_e2e",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE5_HASH)
+def test_wave5_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF discipline for the wave-5 keys (caught sample_weighted's
+    -0.0 at sf0.1 before the driver did)."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_minhash_pure_precision_and_recall(spark, sf_dir):
+    """dedup_minhash_pure (rows-only): every emitted pair must be a true
+    J>=0.8 pair (precision 1.0 — guaranteed by the exact verify step, so
+    a violation means the verify join broke), and banding must catch
+    >=90% of the exact key's J>=0.8 pairs (b=8, r=4 gives ~0.985 per
+    pair at the threshold; deterministic seeds make this stable)."""
+    got = {
+        (r.id1, r.id2)
+        for r in SPECS["dedup_minhash_pure"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.id1, r.id2)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.8
+    }
+    assert got <= exact, f"false positives: {got - exact}"
+    assert len(got) >= 0.9 * len(exact), (len(got), len(exact))
+
+
+def test_partial_merge_equals_direct(spark, sf_dir):
+    """The merged two-level aggregate must reconstruct the direct
+    single-level answer (same rounding) — the invariant that makes
+    incremental rollup maintenance sound."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    merged = {
+        r.l_returnflag: r
+        for r in SPECS["agg_partial_merge"].fn(spark, sf_dir).collect()
+    }
+    direct = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.round(
+                F.sum("l_extendedprice") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .collect()
+    )
+    for r in direct:
+        m = merged[r.l_returnflag]
+        assert (m.n, m.min_price, m.max_price) == (r.n, r.min_price, r.max_price)
+        assert abs(m.total - r.total) < 0.01 * max(1.0, abs(r.total)) * 1e-6 + 0.011
+        assert abs(m.avg_price - r.avg_price) < 1e-3

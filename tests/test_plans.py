@@ -311,3 +311,41 @@ def test_zorder_layout_improves_rowgroup_skipping(spark, sf_dir):
     # aligned 32x32 tile is one contiguous z run = ~1-2 of 32 groups).
     assert frac_z < frac_1d, (frac_z, frac_1d)
     assert frac_z <= 0.5, f"z-order layout pruned nothing: {frac_z}"
+
+
+# --- wave-5 plan shapes ------------------------------------------------------
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """sample_weighted must plan as TakeOrderedAndProject (per-task
+    k-heaps, no corpus sort/shuffle) — same contract as
+    sample_reservoir."""
+    assert has_take_ordered(SPECS["sample_weighted"].fn(spark, sf_dir))
+
+
+def test_corr_matrix_single_pass(spark, sf_dir):
+    """All 6 correlation pairs must come from ONE scan + one partial/final
+    aggregate — the per-pair-loop formulation would be 6 scans."""
+    df = SPECS["stats_corr_matrix"].fn(spark, sf_dir)
+    plan = get_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert has_partial_aggregate(df)
+
+
+def test_profile_single_pass(spark, sf_dir):
+    """data_profile reads the table once (multi-distinct via Expand), not
+    once per column."""
+    plan = get_plan(SPECS["data_profile"].fn(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan  # exact multi-column distinct
+
+
+def test_ngram_lm_model_join_not_mandatory_broadcast(spark, sf_dir):
+    """The LM score join must carry no mandatory broadcast hint: char-
+    bigram vocab is small (AQE will broadcast it), but the same pipeline
+    with word n-grams has a corpus-sized model — same rule as
+    text_tfidf."""
+    from nfdump2clickhouse_spark.plans import get_plan as gp
+
+    logical = SPECS["text_ngram_lm"].fn(spark, sf_dir)._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
