@@ -323,6 +323,47 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_session_stream(spark)
 
 
+@register("stream_stream_join")  # rows-only: real watermarked 2-stream join
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_stream_stream_join(spark)
+
+
+@register("maint_compaction")  # rows-only: writes temp files; counts vary
+# with parquet encoding, so no cross-engine oracle
+def maint_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every file-rotation
+    ingest needs (the reference's 5-min nfcapd rotations produce 288
+    files/day/source; parquet readers die by a thousand footer reads).
+    Write a deliberately over-partitioned copy of events, then compact
+    to ceil(bytes / 8 MiB) files with repartition (round-robin keeps
+    sizes even; coalesce would skew) and verify row preservation.
+    At 100 TB this runs per-partition (dt=...) so compaction touches one
+    day at a time and serializes with ingest via the same ledger lock
+    the service uses."""
+    import glob
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="sf_compact_")
+    frag_dir, out_dir = os.path.join(base, "frag"), os.path.join(base, "out")
+    e = table(spark, sf_dir, "events")
+    e.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frags = glob.glob(os.path.join(frag_dir, "*.parquet"))
+    n_before = len(frags)
+    bytes_before = sum(os.path.getsize(p) for p in frags)
+    target = max(1, -(-bytes_before // (8 * 1024 * 1024)))  # ceil div
+    df = spark.read.parquet(frag_dir)
+    df.repartition(target).write.mode("overwrite").parquet(out_dir)
+    n_after = len(glob.glob(os.path.join(out_dir, "*.parquet")))
+    rows_before = e.count()
+    rows_after = spark.read.parquet(out_dir).count()
+    result = spark.createDataFrame(
+        [(n_before, n_after, rows_before, rows_after, rows_before == rows_after)],
+        "files_before int, files_after int, rows_before long, rows_after long, preserved boolean",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 # NOTE: streaming/pipeline.py also implements the Spark 4 successor API
 # (run_transform_with_state / transformWithStateInPandas). Its Python worker
 # needs google.protobuf, absent from this container, so the key is not

@@ -418,3 +418,73 @@ def run_restart_resume(spark: SparkSession) -> DataFrame:
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def run_stream_stream_join(spark: SparkSession) -> DataFrame:
+    """stream_stream_join: watermarked stream-stream inner join — the
+    missing piece between stream-static enrichment (foreachBatch) and
+    stateful sessions: BOTH sides are unbounded, so each must buffer rows
+    in the state store until the other side's watermark proves no more
+    matches can arrive.
+
+    Scenario: request flows (dir A) joined to their response flows
+    (dir B, reversed 5-tuple, emitted one rotation later) on the
+    (addr, port) pair with a ±5-min event-time bound. The time-range
+    predicate is what lets Spark EVICT state: with 10-min watermarks on
+    both sides, a buffered request can be dropped once the response
+    watermark passes ts+5min — without the bound, state grows forever
+    (the #1 production failure of stream-stream joins; SURVEY §2.9).
+    availableNow + memory sink keeps the demo deterministic."""
+    watch_a, watch_b, ckpt = _tmp("req"), _tmp("resp"), _tmp("ckpt")
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    write_flow_files(spark, watch_a, n_files=3, rows_per_file=100, start=start)
+    # responses: same flows re-keyed by swapping src/dst, landing one
+    # rotation later (arrival shifts mtime, ts stays in-window)
+    import pyarrow.parquet as pq
+
+    os.makedirs(watch_b, exist_ok=True)
+    for p in sorted(os.listdir(watch_a)):
+        t = pq.read_table(os.path.join(watch_a, p))
+        pdf = t.to_pandas()
+        pdf = pdf.rename(
+            columns={"sa": "da", "da": "sa", "sp": "dp", "dp": "sp"}
+        )[[c for c in pdf.columns]]
+        out_p = os.path.join(watch_b, p + ".resp")
+        pdf.to_parquet(out_p)
+        st = os.stat(os.path.join(watch_a, p))
+        os.utime(out_p, (st.st_atime + 300, st.st_mtime + 300))
+    req = _source(spark, watch_a).withWatermark("ts", "10 minutes")
+    resp = (
+        _source(spark, watch_b)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("sa").alias("r_sa"),
+            F.col("da").alias("r_da"),
+            F.col("sp").alias("r_sp"),
+            F.col("dp").alias("r_dp"),
+            F.col("ts").alias("r_ts"),
+            F.col("ibyt").alias("r_ibyt"),
+        )
+    )
+    joined = req.join(
+        resp,
+        (F.col("sa") == F.col("r_da"))
+        & (F.col("da") == F.col("r_sa"))
+        & (F.col("sp") == F.col("r_dp"))
+        & (F.col("dp") == F.col("r_sp"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select("ts", "sa", "da", "sp", "dp", "ibyt", "r_ibyt")
+    name = _mem_name()
+    with _demo_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -404,3 +404,85 @@ def test_partial_merge_equals_direct(spark, sf_dir):
         assert (m.n, m.min_price, m.max_price) == (r.n, r.min_price, r.max_price)
         assert abs(m.total - r.total) < 0.01 * max(1.0, abs(r.total)) * 1e-6 + 0.011
         assert abs(m.avg_price - r.avg_price) < 1e-3
+
+
+# --- wave-6 (round 2) --------------------------------------------------------
+
+_WAVE6_HASH = [
+    "win_rolling_median",
+    "drift_psi",
+    "snapshot_diff",
+    "events_attribution",
+    "ts_changepoint",
+    "join_null_safe",
+    "agg_mean_family",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE6_HASH)
+def test_wave6_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_hll_sketch_merge_error_bound(spark, sf_dir):
+    """Union of per-shard HLL sketches must estimate the global distinct
+    within 5% (lgK=12 default → ~1.6% RSE; 5% is 3 sigma)."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    row = SPECS["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
+    exact = (
+        table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert abs(row.est_distinct_parts - exact) <= 0.05 * exact, (
+        row.est_distinct_parts,
+        exact,
+    )
+    assert row.n_shards == 8
+
+
+def test_spacesaving_no_false_negatives(spark):
+    """Misra-Gries guarantee on a skewed synthetic stream: every item
+    with true frequency > n/k must appear in the merged summary, and
+    summed partial counts never exceed true counts (MG decrements make
+    the merged estimate a lower bound)."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.operators.wave6 import mg_summaries
+
+    # 3 heavy items (30%, 20%, 10%) + uniform tail over 1000 ids
+    rows = (
+        [1] * 3000 + [2] * 2000 + [3] * 1000
+        + [100 + (i % 1000) for i in range(4000)]
+    )
+    df = spark.createDataFrame([(r,) for r in rows], "item long").repartition(8)
+    merged = (
+        mg_summaries(df, k=20)
+        .groupBy("item")
+        .agg(F.sum("c").alias("est"))
+        .toPandas()
+        .set_index("item")["est"]
+    )
+    n, k = len(rows), 20
+    true = pd.Series(rows).value_counts()
+    for item, cnt in true.items():
+        if cnt > n / k:
+            assert item in merged.index, f"heavy item {item} lost"
+    for item, est in merged.items():
+        assert est <= true.get(item, 0) + 0, f"MG overestimated {item}"
+
+
+def test_stream_stream_join_matches_all_requests(spark):
+    """Every request flow must find exactly its mirrored response within
+    the ±5-min bound: row count equals the request count and byte
+    columns agree pairwise (the response is a byte-identical mirror)."""
+    from nfdump2clickhouse_spark.streaming import pipeline as sp
+
+    out = sp.run_stream_stream_join(spark).toPandas()
+    assert len(out) == 300  # 3 rotations x 100 rows, each matched once
+    assert (out["ibyt"] == out["r_ibyt"]).all()
