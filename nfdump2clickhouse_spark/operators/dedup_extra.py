@@ -92,10 +92,16 @@ def shingle_pair_counts(
     filter map-side (valid for resemblance thresholds, NOT for
     containment — a contained doc is legitimately much smaller)."""
     d = table(spark, sf_dir, "documents")
-    # no repartition before the explode: parquet scans split on
-    # maxPartitionBytes so the shingle compute is already wide, and the
-    # groupBy below redistributes anyway — an explicit repartition here
-    # added a full shuffle of the corpus for nothing (measured 2× slower)
+    # Parallelism gate: parquet scans split on maxPartitionBytes, but a
+    # single row group cannot be split, so a small corpus lands in ONE
+    # task and the CPU-heavy shingle HOFs serialize (measured 2.16 s at
+    # sf0.1). Repartition the RAW doc rows (not the exploded postings —
+    # shuffling computed shingle arrays measured 2× slower) only when the
+    # scan is narrower than the cluster: at 100 TB the scan is thousands
+    # of splits and this is a no-op, costing zero shuffles.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     sets = d.select(
         "doc_id", F.array_distinct(shingles(words(F.col("text")))).alias("shs")
     )

@@ -547,6 +547,11 @@ def dedup_minhash_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_ngram_jaccard`). Verification joins fetch only candidate
     docs' shingle sets, never the corpus."""
     d = table(spark, sf_dir, "documents")
+    # same single-row-group parallelism gate as shingle_pair_counts: the
+    # 32-hash signature HOF is the CPU hot spot and must not serialize
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     sets = d.select(
         "doc_id", F.array_distinct(shingles(words(F.col("text")))).alias("shs")
     ).filter(F.size("shs") > 0)

@@ -1,0 +1,322 @@
+"""Wave-7 operators (round 2): modern-Spark surface (Python UDTFs,
+VARIANT semi-structured type), SQL-2023 aggregate family, vocabulary
+building, curriculum binning, mixture sampling, and ORC round-trip.
+
+Same SURVEY §5.3 conventions as waves 4-6.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..functions.text import words
+from ..registry import register
+
+# --- Python UDTF (Spark 3.5+/4 table function surface) -----------------------
+
+
+@register(
+    "udtf_python_lateral",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS piece
+      FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+    )
+    SELECT doc_id, COUNT(*) AS n_pieces,
+           arg_min(piece, pos) AS first_piece,
+           arg_max(piece, pos) AS last_piece
+    FROM p GROUP BY doc_id
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (`@udtf`) applied LATERAL per input row — the Spark
+    3.5+/4 table-function surface that completes §2.10 (scalar, pandas,
+    grouped, map-partitions, SQL UDTFs were waves 1-2). The UDTF
+    tokenizes each document into (pos, piece) rows; a downstream agg
+    keeps the checked output small.
+
+    Slow-path disclosure (same policy as `udf_python_scalar`): a Python
+    UDTF is row-at-a-time through the Python worker — for tokenization
+    the production path is the `split`+`posexplode` Column form
+    (`str_split_explode`). A UDTF earns its cost only when the
+    row-expansion logic genuinely needs Python (stateful parsers,
+    third-party libs); the lateral-join plumbing shown here is identical
+    then."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, piece string")
+    class SplitWords:
+        def eval(self, text: str):
+            i = 0
+            for w in (text or "").split(" "):
+                if w:
+                    yield i, w
+                    i += 1
+
+    spark.udtf.register("wave7_split_words", SplitWords)
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("wave7_docs")
+    pieces = spark.sql(
+        "SELECT doc_id, f.pos, f.piece "
+        "FROM wave7_docs, LATERAL wave7_split_words(text) f"
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.min_by("piece", "pos").alias("first_piece"),
+        F.max_by("piece", "pos").alias("last_piece"),
+    )
+
+
+# --- VARIANT semi-structured type --------------------------------------------
+
+
+@register(
+    "json_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+             AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    `parse_json` once into the binary variant encoding, then typed
+    `variant_get` paths — the open-table-format answer to schemaless
+    event properties. Versus `get_json_object` (string re-parse per
+    extraction, cf. `json_funcs`), VARIANT parses once and every path
+    access is a binary traversal — the difference between O(paths) and
+    O(paths × parse) on a 100 TB event stream; with shredding the
+    accessed paths become parquet columns and pushdown applies."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --- SQL-2023 boolean aggregate family ---------------------------------------
+
+
+@register(
+    "agg_boolean_family",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           ROUND(count_if(value > 100) * 1.0 / COUNT(*), 4) AS share_big,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 990) AS any_huge
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-2023 boolean aggregate family — COUNT_IF / BOOL_AND
+    (EVERY) / BOOL_OR (ANY) — the assertion-style aggregates data-quality
+    gates are written in ('every row positive?', 'any outlier?'). All
+    algebraic single-bit/single-count accumulators: one partial+final
+    agg pass, and BOOL_AND/OR short-circuit in codegen."""
+    e = table(spark, sf_dir, "events")
+    big = F.col("value") > 100
+    return e.groupBy("event_type").agg(
+        F.count_if(big).alias("n_big"),
+        F.round(F.count_if(big) / F.count(F.lit(1)), 4).alias("share_big"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 990).alias("any_huge"),
+    )
+
+
+# --- vocabulary building -----------------------------------------------------
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    )
+    GROUP BY w ORDER BY freq DESC, w LIMIT 200
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 whitespace tokens by frequency — the
+    first pass of every tokenizer-training run (BPE starts from exactly
+    this table, then iterates merges; word-piece coverage reports read
+    it directly).
+
+    Shape: token explode is scan-local, ONE token-keyed partial+final
+    agg (map-side combine collapses each partition's Zipf head before
+    the shuffle), then `TakeOrderedAndProject` for the top-k — no global
+    sort. At 100 TB the only heavy object is the distinct-token table,
+    which stays sharded; nothing is broadcast or collected."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(200)
+    )
+
+
+# --- curriculum binning ------------------------------------------------------
+
+
+@register(
+    "curriculum_binning",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS phase
+      FROM documents
+    )
+    SELECT phase, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM b GROUP BY phase
+    """,
+)
+def curriculum_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phases: rank the corpus by a difficulty proxy (doc
+    length here; swap in any quality/perplexity score) and cut it into 4
+    equal-count phases with `ntile` — easy-to-hard ordering for staged
+    training. ntile needs a total order: fine on the fixture, but at
+    100 TB the single-task sort is the anti-pattern — the documented
+    swap is approx-quantile cut points (`approxQuantile` or
+    `percentile_approx`) broadcast as range boundaries, which bins with
+    zero global sort. The unique (score, doc_id) tiebreak makes both
+    engines' tiles identical."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    b = d.select("doc_id", "n_chars", F.ntile(4).over(w).alias("phase"))
+    return b.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- domain-mixture sampling -------------------------------------------------
+
+
+@register(
+    "sample_mixture_quota",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             CASE WHEN source IN ('src0', 'src1') THEN 10 ELSE 5 END AS quota
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= quota
+    """,
+)
+def sample_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: draw a per-source quota (upweight src0/
+    src1 at 10 docs, 5 elsewhere) with a deterministic hash-rank — the
+    op that turns a raw crawl into a target training mixture
+    ('20% code, 5% math, ...'). md5-of-key ranking makes the draw a
+    pure function of the data: backfills, both engines, and re-runs all
+    pick the same documents (engine RNG cannot).
+
+    Shape: ONE source-keyed sort window; the rank<=quota filter is
+    planned as WindowGroupLimit (per-partition top-quota heaps BEFORE
+    the full sort — pinned in tests/test_plans.py), so each source
+    shard never materializes its full ordering at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    quota = F.when(F.col("source").isin("src0", "src1"), 10).otherwise(5)
+    # two-step filter: rank <= MAX quota is a LITERAL bound, which is what
+    # lets Spark plan WindowGroupLimit (a CASE bound defeats the rewrite);
+    # the exact per-source quota is the residual filter on the survivors
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source")
+    )
+
+
+# --- ORC round-trip ----------------------------------------------------------
+
+
+@register("scan_orc")  # rows-only: DuckDB has no ORC reader, so the check
+# is Spark-side round-trip (the parquet-path agg is the cross-engine twin)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: write the events table as ORC
+    (zlib, Spark's native vectorized writer), read it back, and
+    aggregate — exercising the second columnar format the reference's
+    warehouse world expects alongside parquet (§2.1). Predicate pushdown
+    and column pruning work identically (ORC stripes ≈ parquet row
+    groups); the round-trip agg equals the parquet-side answer, which
+    the driver hash-checks via `agg_groupby_time` and friends."""
+    base = tempfile.mkdtemp(prefix="sf_orc_")
+    path = os.path.join(base, "events_orc")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    e.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# --- map higher-order functions ----------------------------------------------
+
+
+@register(
+    "map_hof_funcs",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 100 = 0
+    )
+    SELECT event_id, 'v_' || event_type AS k, ROUND(value * 2, 4) AS v
+    FROM base
+    UNION ALL
+    SELECT event_id, 'base' AS k, 1.0 AS v FROM base
+    """,
+)
+def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (§2.8 depth beyond `map_funcs`):
+    build a map column, `transform_keys` (prefix), `transform_values`
+    (double), `map_concat` a constant entry, then explode entries back
+    to rows for the cross-engine check. All four are row-local codegen
+    expressions — zero shuffle; the oracle states the same result
+    relationally (DuckDB's map surface differs, which is itself the
+    point: map HOFs are Spark-side sugar over per-row kv data)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    m2 = F.transform_keys(m, lambda k, v: F.concat(F.lit("v_"), k))
+    m3 = F.transform_values(m2, lambda k, v: v * 2)
+    m4 = F.map_concat(m3, F.create_map(F.lit("base"), F.lit(1.0)))
+    return (
+        e.select("event_id", F.explode(m4).alias("k", "v"))
+        .select("event_id", "k", F.round("v", 4).alias("v"))
+    )

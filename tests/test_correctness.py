@@ -486,3 +486,61 @@ def test_stream_stream_join_matches_all_requests(spark):
     out = sp.run_stream_stream_join(spark).toPandas()
     assert len(out) == 300  # 3 rotations x 100 rows, each matched once
     assert (out["ibyt"] == out["r_ibyt"]).all()
+
+
+# --- wave-7 (round 2) --------------------------------------------------------
+
+_WAVE7_HASH = [
+    "udtf_python_lateral",
+    "json_variant",
+    "agg_boolean_family",
+    "text_vocab_topk",
+    "curriculum_binning",
+    "sample_mixture_quota",
+    "map_hof_funcs",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE7_HASH)
+def test_wave7_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_orc_roundtrip_equals_parquet_path(spark, sf_dir):
+    """scan_orc (rows-only): the ORC round-trip aggregate must equal the
+    same aggregate computed straight off the parquet fixture — format
+    must not change answers."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    orc = {
+        r.event_type: (r.n, r.sum_value)
+        for r in SPECS["scan_orc"].fn(spark, sf_dir).collect()
+    }
+    pq = {
+        r.event_type: (r.n, r.sum_value)
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert orc == pq
+
+
+def test_mixture_quota_respected(spark, sf_dir):
+    """Every source contributes at most its quota, and upweighted sources
+    contribute more than the base quota when supply allows."""
+    pdf = SPECS["sample_mixture_quota"].fn(spark, sf_dir).toPandas()
+    per = pdf.groupby("source").size()
+    for src, n in per.items():
+        cap = 10 if src in ("src0", "src1") else 5
+        assert n <= cap, (src, n)

@@ -246,7 +246,10 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "dedup_keep_first": 1,      # one window shuffle
         "win_running_sum": 1,
         "agg_delta_sum": 1,         # window + agg share partitioning
-        "dedup_ngram_jaccard": 2,   # postings groupBy + pair groupBy
+        # postings groupBy + pair groupBy, plus the fixture-only
+        # parallelism-gate repartition (single-row-group file → the gate
+        # fires here; at real scale the scan is wide and it's a no-op)
+        "dedup_ngram_jaccard": 3,
         "sample_hash_bucket": 0,    # scan-local predicate
         "str_hash_codec": 0,
         "flows_biflow": 1,
@@ -349,3 +352,18 @@ def test_ngram_lm_model_join_not_mandatory_broadcast(spark, sf_dir):
 
     logical = SPECS["text_ngram_lm"].fn(spark, sf_dir)._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_mixture_quota_uses_window_group_limit(spark, sf_dir):
+    """The per-source quota filter must plan as WindowGroupLimit
+    (per-partition top-quota heaps before the sort), not a full
+    per-source sort."""
+    assert has_window_group_limit(
+        SPECS["sample_mixture_quota"].fn(spark, sf_dir)
+    )
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    """Global top-200 vocabulary must be TakeOrderedAndProject over the
+    aggregated token table — never a global sort."""
+    assert has_take_ordered(SPECS["text_vocab_topk"].fn(spark, sf_dir))
