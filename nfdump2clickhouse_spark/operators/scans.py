@@ -368,3 +368,9 @@ def maint_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (run_transform_with_state / transformWithStateInPandas). Its Python worker
 # needs google.protobuf, absent from this container, so the key is not
 # registered here; tests/test_streaming.py runs it when protobuf exists.
+
+
+@register("stream_left_outer_join")  # rows-only: watermark-deferred
+# NULL-emit semantics pinned in tests/test_streaming.py
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_stream_left_outer_join(spark)

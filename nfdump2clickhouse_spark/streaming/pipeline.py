@@ -488,3 +488,111 @@ def run_stream_stream_join(spark: SparkSession) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_left_outer_join(spark: SparkSession) -> DataFrame:
+    """stream_left_outer_join: the OUTER variant of the watermarked
+    stream-stream join — requests whose response never arrives must
+    still be emitted (with NULL response columns), but only once the
+    response-side watermark proves the match window is closed. That
+    deferred-emit rule is the semantic difference from batch left joins
+    and the reason outer stream joins REQUIRE both the watermark and the
+    event-time bound (inner joins merely want them for state eviction).
+
+    Scenario: responses are generated only for even source ports, so
+    exactly half the requests match; a final far-future rotation (no
+    joinable rows) advances the watermark past every request's window so
+    the unmatched half actually flushes before availableNow terminates."""
+    watch_a, watch_b, ckpt = _tmp("req"), _tmp("resp"), _tmp("ckpt")
+    start = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    write_flow_files(spark, watch_a, n_files=3, rows_per_file=100, start=start)
+    import pyarrow.parquet as pq
+
+    os.makedirs(watch_b, exist_ok=True)
+    for p in sorted(os.listdir(watch_a)):
+        pdf = pq.read_table(os.path.join(watch_a, p)).to_pandas()
+        pdf = pdf[pdf["sp"] % 2 == 0]
+        pdf = pdf.rename(columns={"sa": "da", "da": "sa", "sp": "dp", "dp": "sp"})
+        out_p = os.path.join(watch_b, p + ".resp")
+        pdf.to_parquet(out_p)
+        st = os.stat(os.path.join(watch_a, p))
+        os.utime(out_p, (st.st_atime + 300, st.st_mtime + 300))
+    # watermark advancer: event times 2 h later, keys that match nothing
+    import pyarrow as pa
+
+    adv = pq.read_table(os.path.join(watch_a, sorted(os.listdir(watch_a))[0]))
+    apdf = adv.to_pandas().head(5).copy()
+    apdf["ts"] = apdf["ts"] + pd_timedelta_hours(2)
+    apdf["te"] = apdf["te"] + pd_timedelta_hours(2)
+    apdf["sa"] = "255.255.255.255"
+    apdf["da"] = "255.255.255.254"
+    # the join's GLOBAL watermark is min(req side, resp side), so the
+    # advancer must land in BOTH watch dirs — advancing only one side
+    # pins the global watermark and no NULL row ever flushes
+    newest = max(
+        os.stat(os.path.join(watch_b, f)).st_mtime for f in os.listdir(watch_b)
+    )
+    for wdir in (watch_a, watch_b):
+        adv_p = os.path.join(wdir, "nfcapd.advancer")
+        # pandas datetime arithmetic upgrades ts to ns; cast back to the
+        # rotation files' schema or Spark's streaming scan rejects the file
+        pq.write_table(pa.Table.from_pandas(apdf, schema=adv.schema), adv_p)
+        os.utime(adv_p, (newest + 3600, newest + 3600))
+
+    req = _source(spark, watch_a).withWatermark("ts", "10 minutes")
+    resp = (
+        _source(spark, watch_b)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("sa").alias("r_sa"),
+            F.col("da").alias("r_da"),
+            F.col("sp").alias("r_sp"),
+            F.col("dp").alias("r_dp"),
+            F.col("ts").alias("r_ts"),
+            F.col("ibyt").alias("r_ibyt"),
+        )
+    )
+    joined = req.join(
+        resp,
+        (F.col("sa") == F.col("r_da"))
+        & (F.col("da") == F.col("r_sa"))
+        & (F.col("sp") == F.col("r_dp"))
+        & (F.col("dp") == F.col("r_sp"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left_outer",
+    ).select("ts", "sa", "da", "sp", "dp", "ibyt", "r_ibyt")
+    out = _tmp("out")
+    with _demo_state_partitions(spark):
+
+        def drain() -> None:
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        # NULL-side rows are emitted in the batch AFTER the watermark
+        # passes their bound; availableNow terminates at end-of-input, so
+        # a second drain (new advancer rotation → one more batch) is what
+        # flushes the unmatched half — the restart is checkpoint-resumed,
+        # exactly the run_restart_resume operational pattern
+        for wdir in (watch_a, watch_b):
+            adv2 = os.path.join(wdir, "nfcapd.advancer2")
+            pq.write_table(pa.Table.from_pandas(apdf, schema=adv.schema), adv2)
+            os.utime(adv2, (newest + 7200, newest + 7200))
+        drain()
+    # drop the advancer rows themselves (recognizable sentinel address):
+    # the demo's contract is about the real request population
+    return spark.read.parquet(out).filter(F.col("sa") != "255.255.255.255")
+
+
+def pd_timedelta_hours(h: int):
+    import pandas as pd
+
+    return pd.Timedelta(hours=h)

@@ -544,3 +544,42 @@ def test_mixture_quota_respected(spark, sf_dir):
     for src, n in per.items():
         cap = 10 if src in ("src0", "src1") else 5
         assert n <= cap, (src, n)
+
+
+# --- wave-8 (round 2) --------------------------------------------------------
+
+_WAVE8_HASH = [
+    "sql_recursive_cte",
+    "sql_pipe_syntax",
+    "str_collation",
+    "agg_approx_topk",
+    "join_lateral",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE8_HASH)
+def test_wave8_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_schema_evolution_backfill(spark, sf_dir):
+    """mergeSchema invariants: unified 3-column schema (+_no corrupt
+    col), every pre-evolution row back-filled with NULL quality, and the
+    two batches partition the row count."""
+    row = SPECS["scan_schema_evolution"].fn(spark, sf_dir).collect()[0]
+    assert row.n_cols == 3
+    assert row.n_rows == row.n_evolved + row.n_backfilled
+    assert row.n_evolved > 0 and row.n_backfilled > 0
+
+
+def test_csv_malformed_accounting(spark, sf_dir):
+    """PERMISSIVE total = good + corrupt; DROPMALFORMED keeps exactly the
+    good rows (3 bad lines planted in the fixture writer)."""
+    row = SPECS["scan_csv_malformed"].fn(spark, sf_dir).collect()[0]
+    assert row.n_total == row.n_good + row.n_corrupt
+    assert row.n_corrupt == 3
+    assert row.n_dropmalformed == row.n_good

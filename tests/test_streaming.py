@@ -120,3 +120,21 @@ def test_restart_resumes_from_checkpoint_exactly_once(spark):
     # each exactly once — across three separate StreamingQuery lifetimes.
     assert [r.batch_id for r in rows] == [0, 1, 2, 3]
     assert all(r.n_rows == 120 for r in rows)
+
+
+def test_left_outer_stream_join_emits_unmatched(spark):
+    """Outer stream-stream join contract: every request appears exactly
+    once — matched rows carry the mirrored response bytes, requests with
+    no response (odd source ports) are emitted with NULLs once the
+    global watermark (min of BOTH sides) passes their join bound."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.streaming import pipeline as sp
+
+    out = sp.run_stream_left_outer_join(spark).toPandas()
+    assert len(out) == 300  # 3 rotations x 100 requests, each exactly once
+    matched = out[out["r_ibyt"].notna()]
+    unmatched = out[out["r_ibyt"].isna()]
+    assert (matched["sp"] % 2 == 0).all()  # responses exist only for even sp
+    assert (unmatched["sp"] % 2 == 1).all()
+    assert (matched["ibyt"] == matched["r_ibyt"]).all()
