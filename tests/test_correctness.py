@@ -583,3 +583,51 @@ def test_csv_malformed_accounting(spark, sf_dir):
     assert row.n_total == row.n_good + row.n_corrupt
     assert row.n_corrupt == 3
     assert row.n_dropmalformed == row.n_good
+
+
+# --- wave-9 (round 2) --------------------------------------------------------
+
+_WAVE9_HASH = [
+    "observe_metrics",
+    "agg_grouping_id",
+    "set_intersect_all",
+    "set_except_all",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE9_HASH)
+def test_wave9_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_python_datasource_partition_contract(spark, sf_dir):
+    """The custom source must produce one group per simulated capture
+    file with the full deterministic row count — i.e. every partition
+    was read, none double-read."""
+    pdf = SPECS["source_python_datasource"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 4
+    assert (pdf["n_rows"] == 50).all()
+
+
+def test_state_reader_sees_all_groups(spark, sf_dir):
+    """Sum of per-partition state keys must equal the number of distinct
+    group keys in the input — the state store holds exactly one row per
+    group for a streaming aggregation."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["stream_state_reader"].fn(spark, sf_dir).toPandas()
+    n_users = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id")
+        .limit(1000)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert int(pdf["n_state_keys"].sum()) == n_users
