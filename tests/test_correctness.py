@@ -631,3 +631,66 @@ def test_state_reader_sees_all_groups(spark, sf_dir):
         .count()
     )
     assert int(pdf["n_state_keys"].sum()) == n_users
+
+
+# --- wave-10 (round 2) -------------------------------------------------------
+
+_WAVE10_HASH = [
+    "udf_arrow_optimized",
+    "sql_parameterized",
+    "sql_session_variables",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE10_HASH)
+def test_wave10_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_netflow_v5_decode_roundtrip(spark, sf_dir):
+    """The distributed decode must reproduce the generator's ground
+    truth exactly: 4 captures × 30 records, per-file packet/byte sums
+    recomputed independently here from the same deterministic formula."""
+    pdf = (
+        SPECS["flows_netflow_v5_decode"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("capture")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 4
+    assert (pdf["n_flows"] == 30).all()
+    for f in range(4):
+        pkts = sum(1 + (r * 3 + f) % 100 for r in range(30))
+        octs = sum(
+            (1 + (r * 3 + f) % 100) * (64 + (r * 13) % 1400) for r in range(30)
+        )
+        row = pdf.iloc[f]
+        assert row["capture"] == f"nfcapd.{f:04d}"
+        assert int(row["pkts"]) == pkts and int(row["bytes"]) == octs
+
+
+def test_countmin_sketch_bounds(spark, sf_dir):
+    """CMS one-sided error contract via the engine's own probe: estimates
+    come from merging the sketch against per-item queries in JVM tests is
+    not exposed in pyspark, so this pins the STRUCTURAL contract — the
+    sketch is non-empty, bounded in size (eps=1% → ~2 KB×d), and
+    true counts sum to n_total."""
+    pdf = SPECS["agg_countmin_sketch"].fn(spark, sf_dir).toPandas()
+    assert (pdf["sketch_bytes"] > 0).all()
+    assert (pdf["sketch_bytes"] < 100_000).all()
+    assert int(pdf["true_count"].sum()) == int(pdf["n_total"].iloc[0])
+
+
+def test_rebalance_collapses_empty_partitions(spark, sf_dir):
+    """REBALANCE must write far fewer files than the 64 skewed input
+    partitions (61 are empty; AQE coalesces) while preserving rows."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    row = SPECS["hint_rebalance"].fn(spark, sf_dir).collect()[0]
+    assert row.files_after < 16
+    assert row.rows == table(spark, sf_dir, "lineitem").count()
