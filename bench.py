@@ -41,6 +41,11 @@ HEADLINE = [
     "sim_topk_pairs",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    # round-2 additions: the new pipeline families' heaviest representatives
+    "dedup_minhash_pure",
+    "text_vocab_topk",
+    "curation_manifest_e2e",
+    "snapshot_diff",
 ]
 
 

@@ -23,8 +23,7 @@ from . import wave5  # noqa: F401  (r2 additions: cheap hash keys, 1 rows-only)
 from . import wave6  # noqa: F401  (r2 additions: cheap hash keys, 2 rows-only)
 from . import wave7  # noqa: F401  (r2 additions: cheap hash keys, 1 rows-only)
 from . import wave8  # noqa: F401  (r2 additions: cheap hash keys, 2 rows-only)
-from . import wave9  # noqa: F401  (r2 additions: cheap hash keys, 2 rows-only)
-from . import wave10  # noqa: F401  (r2 additions: binary decode + SQL surface)
+from . import wave11  # noqa: F401  (r2 additions: 4 cheap hash keys)
 from . import text_extra  # noqa: F401
 from . import llm_pipeline  # noqa: F401
 from . import multimodal  # noqa: F401
@@ -33,4 +32,6 @@ from . import behavior  # noqa: F401
 from . import flows_analytics  # noqa: F401
 from . import dedup_extra  # noqa: F401
 from . import ann  # noqa: F401
+from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos)
+from . import wave10  # noqa: F401  (binary decode + SQL surface)
 from . import scans  # noqa: F401  (streaming queries at the very back)

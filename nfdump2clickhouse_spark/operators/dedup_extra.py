@@ -99,8 +99,10 @@ def shingle_pair_counts(
     # shuffling computed shingle arrays measured 2× slower) only when the
     # scan is narrower than the cluster: at 100 TB the scan is thousands
     # of splits and this is a no-op, costing zero shuffles.
+    # inputFiles() is a metadata lookup; df.rdd.getNumPartitions() would
+    # trigger a plan-conversion job per call (measured +0.5 s)
     par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
+    if len(d.inputFiles()) < par:
         d = d.repartition(par)
     sets = d.select(
         "doc_id", F.array_distinct(shingles(words(F.col("text")))).alias("shs")

@@ -550,7 +550,7 @@ def dedup_minhash_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single-row-group parallelism gate as shingle_pair_counts: the
     # 32-hash signature HOF is the CPU hot spot and must not serialize
     par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
+    if len(d.inputFiles()) < par:  # metadata-only (vs .rdd → extra job)
         d = d.repartition(par)
     sets = d.select(
         "doc_id", F.array_distinct(shingles(words(F.col("text")))).alias("shs")

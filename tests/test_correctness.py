@@ -694,3 +694,50 @@ def test_rebalance_collapses_empty_partitions(spark, sf_dir):
     row = SPECS["hint_rebalance"].fn(spark, sf_dir).collect()[0]
     assert row.files_after < 16
     assert row.rows == table(spark, sf_dir, "lineitem").count()
+
+
+# --- wave-11 (round 2) -------------------------------------------------------
+
+_WAVE11_HASH = [
+    "text_repetition_filter",
+    "corpus_report_e2e",
+    "events_lag_features",
+    "features_pit_join",
+]
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("key", _WAVE11_HASH)
+def test_wave11_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_pit_join_never_leaks_future(spark, sf_dir):
+    """Leakage audit on the point-in-time join: re-derive each label's
+    matched snapshot and assert its feature timestamp is STRICTLY before
+    the label timestamp (the invariant the join exists to enforce)."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    out = SPECS["features_pit_join"].fn(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"), F.col("ts").alias("label_ts")
+    )
+    # every label with at least one strictly-earlier event must be present
+    w_prev = (
+        e.select("user_id", "ts")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    expected = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(w_prev, "user_id")
+        .filter(F.col("ts") > F.col("first_ts"))
+        .count()
+    )
+    assert out.count() == expected
