@@ -741,3 +741,73 @@ def test_pit_join_never_leaks_future(spark, sf_dir):
         .count()
     )
     assert out.count() == expected
+
+
+# --- wave-12 (round 2) -------------------------------------------------------
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_line_dedup_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["text_line_dedup"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"text_line_dedup@{sfd}")
+
+
+def test_line_dedup_global_invariants(spark, sf_dir):
+    """Across the corpus, kept chunks == distinct chunks (each distinct
+    chunk survives exactly once), and no doc keeps more than it had."""
+    import pyspark.sql.functions as F
+
+    pdf = SPECS["text_line_dedup"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_kept"] <= pdf["n_chunks"]).all()
+    # total kept equals the number of DISTINCT chunks in the corpus
+    from nfdump2clickhouse_spark.catalog import table
+    from nfdump2clickhouse_spark.functions.text import words
+
+    d = table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n = F.ceil(F.size(F.col("ws")) / F.lit(8)).cast("bigint")
+    distinct_chunks = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i * 8 + 1, 8), " "),
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert int(pdf["n_kept"].sum()) == distinct_chunks
+
+
+def test_bpe_merges_match_reference(spark, sf_dir):
+    """The distributed BPE loop must learn EXACTLY the merges the pure-
+    Python reference learns on the same word-frequency table (same
+    freq-then-lexicographic tiebreak)."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+    from nfdump2clickhouse_spark.functions.text import words
+    from nfdump2clickhouse_spark.operators.wave12 import bpe_reference
+
+    got = [
+        (r.rank, r.pair, r.freq)
+        for r in SPECS["tokenizer_bpe_merges"]
+        .fn(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    wf = {
+        r.w: r.f
+        for r in table(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .collect()
+    }
+    assert got == bpe_reference(wf, 5)
