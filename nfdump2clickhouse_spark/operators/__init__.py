@@ -25,6 +25,7 @@ from . import wave7  # noqa: F401  (r2 additions: cheap hash keys, 1 rows-only)
 from . import wave8  # noqa: F401  (r2 additions: cheap hash keys, 2 rows-only)
 from . import wave11  # noqa: F401  (r2 additions: 4 cheap hash keys)
 from . import wave12  # noqa: F401  (r2 additions: line dedup + BPE)
+from . import wave13  # noqa: F401  (r2 additions: 4 cheap hash keys)
 from . import text_extra  # noqa: F401
 from . import llm_pipeline  # noqa: F401
 from . import multimodal  # noqa: F401

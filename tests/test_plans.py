@@ -367,3 +367,17 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     """Global top-200 vocabulary must be TakeOrderedAndProject over the
     aggregated token table — never a global sort."""
     assert has_take_ordered(SPECS["text_vocab_topk"].fn(spark, sf_dir))
+
+
+def test_repetition_filter_zero_exchange(spark, sf_dir):
+    """Within-doc repetition scoring must be a pure scan-local pipeline:
+    the duplicates are INSIDE each row, so any Exchange is a bug."""
+    plan = get_plan(SPECS["text_repetition_filter"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_line_dedup_single_chunk_shuffle(spark, sf_dir):
+    """Global line dedup budget: chunk-keyed window + per-doc regroup =
+    2 Exchanges, never more (a third means the explode got re-shuffled)."""
+    plan = get_plan(SPECS["text_line_dedup"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= 2, plan
