@@ -239,3 +239,59 @@ def test_random_date_trunc_buckets_agree(spark, ddb_small, unit):
         ).collect()
     ]
     assert got == [tuple(r) for r in expected], q
+
+
+# --- text-core primitives vs pure-Python reference (round 2) -----------------
+
+_word_text = st.text(
+    alphabet=st.sampled_from("ab c d  efg "), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(txt=_word_text, n=st.integers(min_value=2, max_value=4))
+def test_words_and_shingles_match_python(spark, txt, n):
+    """The text core (`words`, `shingles`) must agree with the obvious
+    Python reference on arbitrary spacing — every dedup/quality/vocab
+    key builds on these two, so a boundary bug here (empty tokens,
+    short docs, n>len) corrupts the whole family silently."""
+    from nfdump2clickhouse_spark.functions.text import shingles, words
+
+    row = (
+        spark.createDataFrame([(txt,)], "text string")
+        .select(
+            words(F.col("text")).alias("ws"),
+            shingles(words(F.col("text")), n).alias("sh"),
+        )
+        .collect()[0]
+    )
+    ref_ws = [w for w in txt.split(" ") if w != ""]
+    ref_sh = [
+        " ".join(ref_ws[i : i + n]) for i in range(max(len(ref_ws) - n + 1, 0))
+    ]
+    assert row.ws == ref_ws
+    assert row.sh == ref_sh
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9).map(abs),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_integer_halfup_division_matches_python(spark, vals):
+    """(2s+n) DIV (2n) — the cross-engine exact running-mean formula the
+    PIT join and RFM keys rely on — must equal Python's round-half-up
+    for arbitrary sums/counts."""
+    s, n = sum(vals), len(vals)
+    # CAST the literal: in the real keys s is already a BIGINT SUM; a raw
+    # int literal here parses as INT and 2*s overflows under ANSI mode
+    got = spark.sql(
+        f"SELECT CAST((2*CAST({s} AS BIGINT)+{n}) DIV (2*{n}) AS BIGINT) AS r"
+    ).collect()[0].r
+    import math
+    assert got == math.floor(s / n + 0.5)
