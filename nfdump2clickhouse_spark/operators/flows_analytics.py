@@ -11,7 +11,7 @@ check exercises the full query, not the synthesis.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
 from ..registry import register
@@ -148,4 +148,111 @@ def flows_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_bytes").desc(), "sa")
         .limit(10)
+    )
+
+
+@register(
+    "flows_stat_report",
+    oracle="""
+    WITH f AS (
+      SELECT '10.0.' || CAST(user_id % 50 AS VARCHAR) AS sa,
+             CAST(1024 + (event_id % 1024) AS VARCHAR) AS dp,
+             CASE WHEN event_type IN ('click', 'view') THEN 'tcp'
+                  WHEN event_type = 'error' THEN 'icmp' ELSE 'udp' END AS pr,
+             CAST(floor(value * 10) + 1 AS BIGINT) AS ipkt,
+             CAST(floor(value * 1000) AS BIGINT) AS ibyt
+      FROM events
+    ),
+    t AS (SELECT SUM(ipkt) AS tp, SUM(ibyt) AS tb, COUNT(*) AS tf FROM f),
+    per_dim AS (
+      SELECT 'srcip' AS dim, sa AS key, COUNT(*) AS n_flows,
+             CAST(SUM(ipkt) AS BIGINT) AS pkts,
+             CAST(SUM(ibyt) AS BIGINT) AS bytes FROM f GROUP BY sa
+      UNION ALL
+      SELECT 'dstport', dp, COUNT(*), CAST(SUM(ipkt) AS BIGINT),
+             CAST(SUM(ibyt) AS BIGINT) FROM f GROUP BY dp
+      UNION ALL
+      SELECT 'proto', pr, COUNT(*), CAST(SUM(ipkt) AS BIGINT),
+             CAST(SUM(ibyt) AS BIGINT) FROM f GROUP BY pr
+    ),
+    ranked AS (
+      SELECT dim, key, n_flows, pkts, bytes,
+             ROW_NUMBER() OVER (PARTITION BY dim
+                                ORDER BY bytes DESC, key) AS rk
+      FROM per_dim
+    )
+    -- integer basis points: ROUND(double,2) implementations disagree at
+    -- x.xx5 boundaries between engines (SURVEY §5.3 r2 rule)
+    SELECT dim, key, n_flows, pkts, bytes,
+           CAST((2 * n_flows * 10000 + tf) // (2 * tf) AS BIGINT) AS bp_flows,
+           CAST((2 * pkts * 10000 + tp) // (2 * tp) AS BIGINT) AS bp_pkts,
+           CAST((2 * bytes * 10000 + tb) // (2 * tb) AS BIGINT) AS bp_bytes
+    FROM ranked, t WHERE rk <= 5
+    """,
+)
+def flows_stat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-statistic report — `nfdump -s srcip -s dstport -s proto`
+    parity [P §3.1], the tool's most-used reporting mode: top-5 per
+    dimension by bytes, with flow/packet/byte shares of the GLOBAL
+    totals, all from ONE pass over the flows.
+
+    Shape: grouping-sets aggregation — one scan Expands ×3 (srcip,
+    dstport, proto) into a single partial+final agg, exactly how nfdump
+    builds all its stat tables in one file read; per-dimension top-5 is
+    a WindowGroupLimit (literal rank bound), and the global totals
+    broadcast from a 1-row aggregate. Adding `-s` dimensions at 100 TB
+    costs Expand width, never another corpus scan."""
+    e = table(spark, sf_dir, "events")
+    f = e.select(
+        F.concat(F.lit("10.0."), (F.col("user_id") % 50).cast("string")).alias(
+            "sa"
+        ),
+        (1024 + F.col("event_id") % 1024).cast("string").alias("dp"),
+        F.when(F.col("event_type").isin("click", "view"), "tcp")
+        .when(F.col("event_type") == "error", "icmp")
+        .otherwise("udp")
+        .alias("pr"),
+        (F.floor(F.col("value") * 10) + 1).cast("bigint").alias("ipkt"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("ibyt"),
+    )
+    totals = f.agg(
+        F.sum("ipkt").alias("tp"),
+        F.sum("ibyt").alias("tb"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    f.createOrReplaceTempView("fsr_flows")
+    per_dim = spark.sql(
+        """
+        SELECT CASE WHEN sa IS NOT NULL THEN 'srcip'
+                    WHEN dp IS NOT NULL THEN 'dstport'
+                    ELSE 'proto' END AS dim,
+               COALESCE(sa, dp, pr) AS key,
+               COUNT(*) AS n_flows, SUM(ipkt) AS pkts, SUM(ibyt) AS bytes
+        FROM fsr_flows
+        GROUP BY GROUPING SETS ((sa), (dp), (pr))
+        """
+    )
+    w = Window.partitionBy("dim").orderBy(F.desc("bytes"), "key")
+    return (
+        per_dim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "dim",
+            "key",
+            "n_flows",
+            "pkts",
+            "bytes",
+            # basis points via exact integer round-half-up division —
+            # ROUND(double,2) diverges cross-engine at x.xx5 boundaries
+            F.expr(
+                "CAST((2 * n_flows * 10000 + tf) DIV (2 * tf) AS BIGINT)"
+            ).alias("bp_flows"),
+            F.expr(
+                "CAST((2 * pkts * 10000 + tp) DIV (2 * tp) AS BIGINT)"
+            ).alias("bp_pkts"),
+            F.expr(
+                "CAST((2 * bytes * 10000 + tb) DIV (2 * tb) AS BIGINT)"
+            ).alias("bp_bytes"),
+        )
     )

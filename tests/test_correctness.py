@@ -871,3 +871,11 @@ def test_negative_mining_contract(spark, sf_dir):
     per_label = pdf.groupby("label_id").size()
     assert per_label.max() <= 2
     assert (pdf["label_id"] != pdf["neg_id"]).all()
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_stat_report_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["flows_stat_report"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"flows_stat_report@{sfd}")

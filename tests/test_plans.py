@@ -381,3 +381,14 @@ def test_line_dedup_single_chunk_shuffle(spark, sf_dir):
     2 Exchanges, never more (a third means the explode got re-shuffled)."""
     plan = get_plan(SPECS["text_line_dedup"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_stat_report_single_scan_grouping_sets(spark, sf_dir):
+    """nfdump's multi-stat report must cost ONE corpus scan: the three
+    dimensions ride a grouping-sets Expand, and the per-dim top-5 plans
+    as WindowGroupLimit."""
+    df = SPECS["flows_stat_report"].fn(spark, sf_dir)
+    plan = get_plan(df, "simple")
+    assert plan.count("Scan parquet") <= 2, plan  # stats agg + totals agg
+    assert "Expand" in plan, plan
+    assert has_window_group_limit(df)
