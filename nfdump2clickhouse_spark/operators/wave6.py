@@ -108,12 +108,20 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_cur"),
         )
     )
-    t = c.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    # totals via an empty-frame window over the 10-row cell table: a
+    # separate agg + crossJoin re-ran the corpus aggregation on both DAG
+    # arms (4 Exchanges → 2, plan-pinned)
+    wt = Window.partitionBy()
+    c = c.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(wt).alias("tr"),
+        F.sum("n_cur").over(wt).alias("tc"),
     )
     pr = F.col("n_ref") / F.col("tr")
     pc = F.col("n_cur") / F.col("tc")
-    return c.crossJoin(F.broadcast(t)).select(
+    return c.select(
         "bucket",
         F.round(pr, 6).alias("p_ref"),
         F.round(pc, 6).alias("p_cur"),

@@ -392,3 +392,24 @@ def test_stat_report_single_scan_grouping_sets(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2, plan  # stats agg + totals agg
     assert "Expand" in plan, plan
     assert has_window_group_limit(df)
+
+
+def test_round2_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the round-2 key families (same regression
+    contract as test_headline_shuffle_budgets)."""
+    budgets = {
+        "agg_linreg": 1,            # one partial+final agg
+        "agg_mean_family": 1,
+        "agg_boolean_family": 1,
+        "events_lag_features": 1,   # one user-keyed sort serves all features
+        "events_attribution": 2,    # touch window + rollup
+        "corpus_report_e2e": 2,     # Expand multi-distinct partial+final
+        "drift_psi": 2,             # cell agg + empty-frame totals window
+        "snapshot_diff": 3,         # full-outer (2 sides) + rollup
+        "text_vocab_topk": 1,       # token agg; top-k is TakeOrdered
+        "text_repetition_filter": 0,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
