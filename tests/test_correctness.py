@@ -879,3 +879,19 @@ def test_stat_report_across_sfs(sfd, spark, ddb_by_sf):
     spark_pdf = spec.fn(spark, sfd).toPandas()
     oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
     compare_frames(spark_pdf, oracle_pdf, f"flows_stat_report@{sfd}")
+
+
+def test_registry_order_cheap_hash_first():
+    """Sweep-order discipline (VERDICT r1 next-#2): the driver walks keys
+    in REGISTRATION order under a time budget, so hash-checked keys must
+    lead and the expensive streaming demos must trail — a refactor that
+    reorders operators/__init__.py silently spends the budget on
+    rows-only keys."""
+    keys = list(registry.all_specs())
+    first50 = keys[:50]
+    specs = registry.all_specs()
+    n_hash_first50 = sum(1 for k in first50 if specs[k].oracle is not None)
+    assert n_hash_first50 >= 45, f"only {n_hash_first50}/50 leading keys hash-checked"
+    tail = keys[-25:]
+    assert all(not k.startswith("stream_") for k in keys[:150])
+    assert sum(1 for k in tail if k.startswith("stream_")) >= 8, tail
