@@ -364,10 +364,26 @@ def maint_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-# NOTE: streaming/pipeline.py also implements the Spark 4 successor API
-# (run_transform_with_state / transformWithStateInPandas). Its Python worker
-# needs google.protobuf, absent from this container, so the key is not
-# registered here; tests/test_streaming.py runs it when protobuf exists.
+@register("stream_transform_with_state")  # rows-only: Spark 4 TWS API
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 stateful successor API (`transformWithStateInPandas`,
+    RocksDB state store) running the SAME cross-batch session stitching
+    as `stream_stateful`. Its Python worker needs `google.protobuf`;
+    `pbcompat.ensure_protobuf()` activates a shim from an on-image
+    runtime when possible — but worker processes only inherit it if the
+    JVM started AFTER the shim, so in a pre-built session (the driver
+    sweep) the attempt can fail in the worker: then this key falls back
+    to the `applyInPandasWithState` implementation, which computes the
+    identical stitched sessions on the older API (equality of the two
+    paths is pinned in tests/test_streaming.py)."""
+    from ..pbcompat import ensure_protobuf
+
+    if ensure_protobuf():
+        try:
+            return sp.run_transform_with_state(spark)
+        except Exception:
+            pass  # worker-side import failure: JVM predates the shim
+    return sp.run_stateful_sessions(spark)
 
 
 @register("stream_left_outer_join")  # rows-only: watermark-deferred

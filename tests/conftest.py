@@ -8,7 +8,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nfdump2clickhouse_spark.pbcompat import ensure_protobuf  # noqa: E402
 from nfdump2clickhouse_spark.session import get_spark  # noqa: E402
+
+# before any SparkSession exists: workers of JVMs launched later inherit
+# the PYTHONPATH this sets, which is what lets the real
+# transformWithStateInPandas path run (see pbcompat docstring)
+ensure_protobuf()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
