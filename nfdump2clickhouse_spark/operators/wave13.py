@@ -244,3 +244,87 @@ def flows_beaconing_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 10)
         .withColumn("beacon", F.col("cv") < 0.5)
     )
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT l_extendedprice AS v,
+             CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                    AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS grp
+      FROM lineitem
+    ),
+    c AS (
+      SELECT v, grp,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY v) AS c0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+               OVER (ORDER BY v) AS c1
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(count_if(grp = 0) AS BIGINT) AS n0,
+             CAST(count_if(grp = 1) AS BIGINT) AS n1
+      FROM s
+    )
+    SELECT t.n0, t.n1,
+           CAST(MAX(ABS(c0 * t.n1 - c1 * t.n0)) AS BIGINT) AS max_diff,
+           CAST((2 * MAX(ABS(c0 * t.n1 - c1 * t.n0)) * 1000000
+                 + t.n0 * t.n1) // (2 * t.n0 * t.n1) AS BIGINT) AS ks_e6
+    FROM c, t GROUP BY t.n0, t.n1
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the two hash
+    halves of the price distribution — the distribution-level drift test
+    next to `drift_psi` (PSI needs binning; KS is bin-free and catches
+    shape shifts PSI's 10 buckets smear out). On an unbiased hash split,
+    a tiny D IS the assertion.
+
+    Exact formulation: both empirical CDFs come from ONE sort via
+    default RANGE window frames (ties collapse correctly — both engines'
+    default frame with ORDER BY is RANGE, so equal values contribute
+    together, which the CDF definition requires), and D is kept as the
+    INTEGER max of |c0·n1 − c1·n0| — no float CDF subtraction to drift
+    cross-engine; ks_e6 is the exact round-half-up scaled statistic.
+    The full sort is the cost: at 100 TB the swap is a KS bound from
+    percentile_approx sketches (evaluate both CDFs at merged quantile
+    cut points), same output schema."""
+    li = table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    s = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 2).alias(
+            "grp"
+        ),
+    )
+    w = Window.orderBy("v")  # default RANGE frame: ties counted together
+    c = s.select(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).over(w).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(w).alias("c1"),
+    )
+    t = s.agg(
+        F.count_if(F.col("grp") == 0).alias("n0"),
+        F.count_if(F.col("grp") == 1).alias("n1"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n0", "n1")
+        .agg(
+            F.max(
+                F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+            )
+            .cast("bigint")
+            .alias("max_diff")
+        )
+        .select(
+            "n0",
+            "n1",
+            "max_diff",
+            F.expr(
+                "CAST((2 * max_diff * 1000000 + n0 * n1) DIV (2 * n0 * n1)"
+                " AS BIGINT)"
+            ).alias("ks_e6"),
+        )
+    )

@@ -895,3 +895,38 @@ def test_registry_order_cheap_hash_first():
     tail = keys[-25:]
     assert all(not k.startswith("stream_") for k in keys[:150])
     assert sum(1 for k in tail if k.startswith("stream_")) >= 8, tail
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_ks_test_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["stats_ks_test"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"stats_ks_test@{sfd}")
+
+
+def test_ks_matches_scipy_style_reference(spark, sf_dir):
+    """Pin the KS computation against a direct numpy two-sample CDF-gap
+    evaluation of the same hash split."""
+    import hashlib
+
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .toPandas()
+    )
+    key = (pdf.l_orderkey * 10 + pdf.l_linenumber).astype(str)
+    grp = key.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2)
+    a = np.sort(pdf.l_extendedprice[grp == 0].to_numpy())
+    b = np.sort(pdf.l_extendedprice[grp == 1].to_numpy())
+    allv = np.concatenate([a, b])
+    fa = np.searchsorted(a, allv, side="right") / len(a)
+    fb = np.searchsorted(b, allv, side="right") / len(b)
+    ks_ref = np.max(np.abs(fa - fb))
+    row = SPECS["stats_ks_test"].fn(spark, sf_dir).collect()[0]
+    ks_engine = row.max_diff / (row.n0 * row.n1)
+    assert abs(ks_engine - ks_ref) < 1e-12, (ks_engine, ks_ref)
