@@ -306,3 +306,42 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_total, n_total - n_corrupt, n_corrupt, n_dropped)],
         "n_total long, n_good long, n_corrupt long, n_dropmalformed long",
     )
+
+
+@register(
+    "udf_sql_function",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+      FROM lineitem WHERE l_quantity >= 30
+    )
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(charged), 2) AS total_charged
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined function (CREATE FUNCTION ... RETURN, Spark 3.5+/4):
+    business logic shared across queries WITHOUT leaving Catalyst — the
+    function body is INLINED into the plan, so unlike every Python UDF
+    tier (§2.10) it costs nothing: codegen, pushdown, and constant
+    folding see straight through it. The right tool whenever the logic
+    is expressible in SQL — the Python ladder exists for when it isn't.
+    The oracle states the inlined form, pinning the inlining semantics."""
+    _register_tpch_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION w8_charged(
+          p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(SUM(w8_charged(l_extendedprice, l_discount, l_tax)), 2)
+                 AS total_charged
+        FROM w8_lineitem WHERE l_quantity >= 30
+        GROUP BY l_returnflag
+        """
+    )

@@ -930,3 +930,11 @@ def test_ks_matches_scipy_style_reference(spark, sf_dir):
     row = SPECS["stats_ks_test"].fn(spark, sf_dir).collect()[0]
     ks_engine = row.max_diff / (row.n0 * row.n1)
     assert abs(ks_engine - ks_ref) < 1e-12, (ks_engine, ks_ref)
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_sql_function_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["udf_sql_function"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"udf_sql_function@{sfd}")
