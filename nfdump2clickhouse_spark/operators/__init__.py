@@ -36,4 +36,5 @@ from . import dedup_extra  # noqa: F401
 from . import ann  # noqa: F401
 from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos)
 from . import wave10  # noqa: F401  (binary decode + SQL surface)
+from . import wave14  # noqa: F401  (binary retrieval + dedup bake-off)
 from . import scans  # noqa: F401  (streaming queries at the very back)

@@ -938,3 +938,47 @@ def test_sql_function_across_sfs(sfd, spark, ddb_by_sf):
     spark_pdf = spec.fn(spark, sfd).toPandas()
     oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
     compare_frames(spark_pdf, oracle_pdf, f"udf_sql_function@{sfd}")
+
+
+def test_binary_hamming_recall_vs_cosine(spark, sf_dir):
+    """Sign-bit Hamming retrieval contract: top-5 by Hamming must
+    recover a well-above-chance share of the true cosine top-5 (sign
+    random projection: E[hamming]/bits approximates angle/pi). Chance
+    is ~1%; random 64-dim sign bits typically land 30-60%."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = SPECS["emb_binarize_hamming"].fn(spark, sf_dir).toPandas()
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    overlaps = []
+    for qid, grp in got.groupby("query_id"):
+        qi = np.where(ids == qid)[0][0]
+        sims = S[qi].copy()
+        sims[qi] = -np.inf
+        true_top = set(ids[np.argsort(-sims)[:5]])
+        overlaps.append(len(set(grp["neighbor_id"]) & true_top) / 5.0)
+    assert np.mean(overlaps) >= 0.1, overlaps  # ~10x chance
+
+
+def test_dedup_overlap_invariants(spark, sf_dir):
+    """Bake-off report sanity: diagonal rows count each method against
+    itself; minhash (exact-verified at the same threshold) must be a
+    subset of the exact-Jaccard pair set, i.e. overlap == n_minhash."""
+    pdf = SPECS["dedup_method_overlap"].fn(spark, sf_dir).toPandas()
+    diag = pdf[pdf.method_a == pdf.method_b]
+    assert (diag.n_a == diag.n_both).all()
+    row = pdf[
+        (pdf.method_a == "jaccard08") & (pdf.method_b == "minhash")
+    ].iloc[0]
+    assert row.n_both == row.n_b  # minhash ⊆ exact pairs
