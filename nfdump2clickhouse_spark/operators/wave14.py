@@ -6,6 +6,7 @@ Same SURVEY §5.3 conventions as waves 4-13.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -113,4 +114,78 @@ def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((a, b, counts[a], counts[b], both))
     return spark.createDataFrame(
         rows, "method_a string, method_b string, n_a long, n_b long, n_both long"
+    )
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type,
+             substr(event_type, 1, 1)
+               || CASE event_id % 3 WHEN 0 THEN chr(769)   -- combining acute
+                                   WHEN 1 THEN chr(776)   -- combining diaeresis
+                                   ELSE '' END
+               || substr(event_type, 2) AS decorated
+      FROM events
+    ),
+    n AS (
+      SELECT event_type, event_id % 3 AS accent,
+             length(decorated) AS len_before,
+             length(nfc_normalize(decorated)) AS len_after
+      FROM s
+    )
+    SELECT event_type, accent, COUNT(*) AS n,
+           CAST(SUM(len_before) AS BIGINT) AS chars_before,
+           CAST(SUM(len_after) AS BIGINT) AS chars_after,
+           CAST(count_if(len_after < len_before) AS BIGINT) AS n_composed
+    FROM n GROUP BY event_type, accent
+    """,
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the preprocessing step every text
+    dedup/fingerprint pipeline needs BEFORE hashing: 'é' as one
+    codepoint and 'e'+combining-acute are byte-different but canonically
+    equal, so un-normalized corpora leak duplicates past every
+    hash-based method in the family. The fixture is ASCII, so canonical-
+    equivalence pairs are synthesized by injecting combining marks
+    (accent ∈ {acute, diaeresis, none} by event_id); normalization
+    composes them and the per-(type, accent) audit counts the composed
+    rows — DuckDB's native nfc_normalize is the cross-engine referee.
+
+    Spark has no built-in NFC, so this is a justified Python case
+    (unicodedata in an Arrow-batched pandas UDF — the §2.10 slow-path
+    policy); at 100 TB normalization is one row-local pass fused into
+    ingest, never a separate job."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x else x)
+
+    e = table(spark, sf_dir, "events")
+    accent = F.col("event_id") % 3
+    mark = (
+        F.when(accent == 0, F.lit("́"))
+        .when(accent == 1, F.lit("̈"))
+        .otherwise(F.lit(""))
+    )
+    decorated = F.concat(
+        F.substring("event_type", 1, 1), mark, F.expr("substring(event_type, 2)")
+    )
+    s = e.select(
+        "event_type",
+        accent.alias("accent"),
+        F.length(decorated).alias("len_before"),
+        F.length(nfc(decorated)).alias("len_after"),
+    )
+    return s.groupBy("event_type", "accent").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("len_before").alias("chars_before"),
+        F.sum("len_after").alias("chars_after"),
+        F.count_if(F.col("len_after") < F.col("len_before")).alias(
+            "n_composed"
+        ),
     )

@@ -982,3 +982,11 @@ def test_dedup_overlap_invariants(spark, sf_dir):
         (pdf.method_a == "jaccard08") & (pdf.method_b == "minhash")
     ].iloc[0]
     assert row.n_both == row.n_b  # minhash ⊆ exact pairs
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_unicode_nfc_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["text_unicode_nfc"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"text_unicode_nfc@{sfd}")
