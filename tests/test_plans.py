@@ -272,33 +272,47 @@ def test_zorder_layout_improves_rowgroup_skipping(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
 
-    def eligible_fraction(df, order_col):
+    def eligible_fraction(df, order_col, kmax):
         out = tempfile.mkdtemp(prefix="sf_zorder_")
         (
+            # deterministic layout: repartitionByRange SAMPLES its
+            # boundaries (random seed → flaky fractions under load), so
+            # bucket the sort key EXPLICITLY — 32 equal key ranges, one
+            # written leaf each, each leaf ≈ one row group with stats
             df.withColumn("_k", order_col)
-            .repartitionByRange(32, "_k")
-            .sortWithinPartitions("_k")
+            .withColumn(
+                "_p", F.least(F.floor(F.col("_k") * 32 / kmax), F.lit(31))
+            )
+            .repartition(1)
+            .sortWithinPartitions("_p", "_k")
             .drop("_k")
             .write.mode("overwrite")
+            .partitionBy("_p")
             .parquet(out)
         )
-        # the box: a 32x32 tile in (partkey % 256, suppkey % 256) space
+        # the box: a 32x32 tile in (partkey % 256, orderkey % 256) space
         hit = total = 0
-        for f in os.listdir(out):
-            if not f.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(out, f)).metadata
-            for rg in range(md.num_row_groups):
-                stats = {
-                    md.row_group(rg).column(i).path_in_schema: md.row_group(
-                        rg
-                    ).column(i).statistics
-                    for i in range(md.row_group(rg).num_columns)
-                }
-                total += 1
-                sp, ss = stats["l_partkey"], stats["l_orderkey"]
-                if sp.min <= 95 and sp.max >= 64 and ss.min <= 95 and ss.max >= 64:
-                    hit += 1
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                for rg in range(md.num_row_groups):
+                    stats = {
+                        md.row_group(rg).column(i).path_in_schema: md.row_group(
+                            rg
+                        ).column(i).statistics
+                        for i in range(md.row_group(rg).num_columns)
+                    }
+                    total += 1
+                    sp, ss = stats["l_partkey"], stats["l_orderkey"]
+                    if (
+                        sp.min <= 95
+                        and sp.max >= 64
+                        and ss.min <= 95
+                        and ss.max >= 64
+                    ):
+                        hit += 1
         return hit / total
 
     # modulo-folded coordinates so the box predicate matches the z key space
@@ -306,8 +320,10 @@ def test_zorder_layout_improves_rowgroup_skipping(spark, sf_dir):
         (F.pmod("l_partkey", F.lit(256))).alias("l_partkey"),
         (F.pmod("l_orderkey", F.lit(256))).alias("l_orderkey"),
     )
-    frac_z = eligible_fraction(df, _z_col(F.col("l_partkey"), F.col("l_orderkey")))
-    frac_1d = eligible_fraction(df, F.col("l_partkey"))
+    frac_z = eligible_fraction(
+        df, _z_col(F.col("l_partkey"), F.col("l_orderkey")), kmax=65536
+    )
+    frac_1d = eligible_fraction(df, F.col("l_partkey"), kmax=256)
     # 1-D sort: partkey range is tight per group but orderkey spans fully →
     # every partkey-eligible group stays eligible on the orderkey bound;
     # z-order clusters both dims and must prune strictly harder (the
