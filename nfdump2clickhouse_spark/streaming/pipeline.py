@@ -51,10 +51,16 @@ def _mem_name() -> str:
     return "m" + uuid.uuid4().hex[:12]
 
 
-def _source(spark: SparkSession, watch_dir: str) -> DataFrame:
+def _source(
+    spark: SparkSession, watch_dir: str, max_files: int = 1
+) -> DataFrame:
+    # max_files=1 replays rotations one micro-batch each (what the
+    # watermark/dedup/restart demos assert on); join demos that only
+    # need file-set-then-advancer sequencing pass a higher cap to cut
+    # batch count
     return (
         spark.readStream.schema(FLOWS)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files)
         .parquet(watch_dir)
     )
 
@@ -453,9 +459,11 @@ def run_stream_stream_join(spark: SparkSession) -> DataFrame:
         pdf.to_parquet(out_p)
         st = os.stat(os.path.join(watch_a, p))
         os.utime(out_p, (st.st_atime + 300, st.st_mtime + 300))
-    req = _source(spark, watch_a).withWatermark("ts", "10 minutes")
+    req = _source(spark, watch_a, max_files=16).withWatermark(
+        "ts", "10 minutes"
+    )
     resp = (
-        _source(spark, watch_b)
+        _source(spark, watch_b, max_files=16)
         .withWatermark("ts", "10 minutes")
         .select(
             F.col("sa").alias("r_sa"),
@@ -539,9 +547,11 @@ def run_stream_left_outer_join(spark: SparkSession) -> DataFrame:
         pq.write_table(pa.Table.from_pandas(apdf, schema=adv.schema), adv_p)
         os.utime(adv_p, (newest + 3600, newest + 3600))
 
-    req = _source(spark, watch_a).withWatermark("ts", "10 minutes")
+    req = _source(spark, watch_a, max_files=16).withWatermark(
+        "ts", "10 minutes"
+    )
     resp = (
-        _source(spark, watch_b)
+        _source(spark, watch_b, max_files=16)
         .withWatermark("ts", "10 minutes")
         .select(
             F.col("sa").alias("r_sa"),
