@@ -881,20 +881,37 @@ def test_stat_report_across_sfs(sfd, spark, ddb_by_sf):
     compare_frames(spark_pdf, oracle_pdf, f"flows_stat_report@{sfd}")
 
 
-def test_registry_order_cheap_hash_first():
-    """Sweep-order discipline (VERDICT r1 next-#2): the driver walks keys
-    in REGISTRATION order under a time budget, so hash-checked keys must
-    lead and the expensive streaming demos must trail — a refactor that
-    reorders operators/__init__.py silently spends the budget on
-    rows-only keys."""
+def test_registry_order_certification_rotation():
+    """Sweep-order discipline (VERDICT r2 next-#1): the driver certifies
+    the first ~50 registered keys each round, so the registry self-rotates
+    on the accumulated CORRECTNESS_r*.json evidence — stale-ERR keys lead
+    (re-certification), never-swept keys follow in registration order
+    (cheap hash families first), and already-certified keys trail where a
+    re-sweep would certify nothing new."""
     keys = list(registry.all_specs())
-    first50 = keys[:50]
     specs = registry.all_specs()
+    evidence = registry._certification_evidence()
+    if evidence:  # driver evidence present (the deployed repo always has it)
+        n_pass = sum(1 for v in evidence.values() if v == "pass")
+        # every certified key sits behind every uncertified key
+        tail = keys[len(keys) - n_pass:]
+        assert all(evidence.get(k) == "pass" for k in tail), (
+            "certified keys must occupy the back of the registry")
+        first50 = keys[:50]
+        assert not any(evidence.get(k) == "pass" for k in first50), (
+            "sweep window would re-certify already-certified keys")
+        # stale-ERR keys lead the window
+        n_err = sum(1 for v in evidence.values() if v == "err")
+        assert all(evidence.get(k) == "err" for k in keys[:n_err])
+    # cheap-hash-first within the window still holds
+    first50 = keys[:50]
     n_hash_first50 = sum(1 for k in first50 if specs[k].oracle is not None)
     assert n_hash_first50 >= 45, f"only {n_hash_first50}/50 leading keys hash-checked"
-    tail = keys[-25:]
-    assert all(not k.startswith("stream_") for k in keys[:150])
-    assert sum(1 for k in tail if k.startswith("stream_")) >= 8, tail
+    # within the uncertified tier the expensive streaming demos still trail
+    uncertified = [k for k in keys if registry._certification_evidence().get(k) != "pass"]
+    stream_pos = [i for i, k in enumerate(uncertified) if k.startswith("stream_")]
+    assert all(i >= len(uncertified) - 40 for i in stream_pos), (
+        "streaming demos must trail the uncertified tier")
 
 
 @pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])

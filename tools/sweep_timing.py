@@ -13,11 +13,14 @@ SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def main():
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
     spark = get_spark("sweep-timing")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     specs = registry.all_specs()
+    if limit:
+        specs = dict(list(specs.items())[:limit])
     times = {}
     for key, spec in specs.items():
         t0 = time.time()
