@@ -1,0 +1,89 @@
+"""Distributed replacements for global-sort window primitives.
+
+A window with ORDER BY and no PARTITION BY funnels the whole input
+through ONE task — correct on a fixture, a deadlock at 100 TB. These
+helpers provide the exact same results with bounded per-task work via
+the two-phase scan pattern (same discipline as
+``operators/reshape.pack_token_budget``):
+
+1. range-partition on the ordering expressions and sort within
+   partitions (the shuffle any global order needs, but parallel);
+2. collect ONE row-count subtotal per partition (P rows — O(P) driver
+   work, the one legitimate collect);
+3. broadcast the per-partition start offsets back and finish with a
+   window PARTITIONED BY partition id, so every task ranks only its
+   slice.
+
+``exact_ntile`` then derives SQL ``ntile(k)`` from the global rank in
+closed form — bit-identical to the single-task window, not an
+approximation (the approx-quantile range-cut documented on
+``curriculum_binning`` remains the cheaper alternative when exact tile
+counts are not required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "_grank",
+    num_parts: int = 8,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global row number over ``order_cols`` without an
+    unpartitioned window. Returns ``(df + rank_col, total_row_count)``
+    — the total falls out of the offset pass for free.
+
+    The ordering must be total (callers pass a unique tiebreaker last,
+    SURVEY §5.3) so the rank is deterministic across partitionings.
+    ``num_parts`` bounds driver-side offset state at O(P); at cluster
+    scale raise it to the write parallelism you'd use anyway.
+    """
+    parts = df.repartitionByRange(num_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    # materialize ONE partitioning: repartitionByRange resamples split
+    # points per execution (see pack_token_budget's phantom-bin note)
+    parts = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    counts = parts.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off = F.coalesce(
+        *[F.when(F.col("_pid") == p, F.lit(o)) for p, o in offsets.items()],
+        F.lit(0),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = parts.withColumn(
+        rank_col, (off + F.row_number().over(w)).cast("bigint")
+    ).drop("_pid")
+    return ranked, acc
+
+
+def exact_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list[Column | str],
+    out_col: str,
+    num_parts: int = 8,
+) -> DataFrame:
+    """SQL ``ntile(k) OVER (ORDER BY order_cols)`` computed from the
+    distributed global rank — the first ``n mod k`` tiles take
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)``, exactly the standard
+    semantics, with no single-task sort."""
+    rank_col = f"_grank_{out_col}"
+    ranked, n = global_rank(df, order_cols, rank_col=rank_col, num_parts=num_parts)
+    q, r = divmod(n, k)
+    boundary = r * (q + 1)
+    # all-integer DIV (no float division to round across a tile edge)
+    tile = F.expr(
+        f"CASE WHEN {rank_col} <= {boundary}L"
+        f" THEN ({rank_col} - 1L) DIV {q + 1}L"
+        f" ELSE {r}L + ({rank_col} - 1L - {boundary}L) DIV {max(q, 1)}L END"
+    )
+    return ranked.withColumn(out_col, (tile + 1).cast("int")).drop(rank_col)

@@ -15,4 +15,5 @@ from .inspect import (  # noqa: F401
     has_window_group_limit,
     pushed_filters,
     read_schema_columns,
+    unpartitioned_window_specs,
 )

@@ -49,6 +49,22 @@ def has_window_group_limit(df: DataFrame) -> bool:
     return "WindowGroupLimit" in get_plan(df)
 
 
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Window specs with an ORDER BY but NO partition columns — the
+    whole-input-through-one-task shape that deadlocks at 100 TB.
+
+    Catalyst prints each window expression as
+    ``windowspecdefinition(part..., sort ASC/DESC..., frame)``; if the
+    FIRST argument is already a sort spec, the partition list is empty."""
+    plan = get_plan(df, "extended")
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first = m.group(1).split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            out.append(m.group(0))
+    return out
+
+
 def has_partial_aggregate(df: DataFrame) -> bool:
     """Partial+final hash aggregation split (map-side combine)."""
     plan = get_plan(df)

@@ -429,3 +429,18 @@ def test_round2_shuffle_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_no_unpartitioned_windows_in_rank_heavy_keys(spark, sf_dir):
+    """VERDICT r2 next-#2/#3 (closed): the KS statistic and the two
+    exact-ntile keys must carry NO window with an ORDER BY and an empty
+    partition spec — the whole-input-through-one-task shape. They now
+    run on the two-phase range-partitioned prefix sum
+    (functions.distributed), so every window in the plan is partitioned
+    by the materialized partition id."""
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    for key in ["stats_ks_test", "curriculum_binning", "events_rfm_segmentation"]:
+        df = SPECS[key].fn(spark, sf_dir)
+        bad = unpartitioned_window_specs(df)
+        assert not bad, f"{key}: unpartitioned window(s): {bad}"
