@@ -444,3 +444,14 @@ def test_no_unpartitioned_windows_in_rank_heavy_keys(spark, sf_dir):
         df = SPECS[key].fn(spark, sf_dir)
         bad = unpartitioned_window_specs(df)
         assert not bad, f"{key}: unpartitioned window(s): {bad}"
+
+
+def test_hamming_retrieval_banded_no_corpus_broadcast(spark, sf_dir):
+    """VERDICT r2 next-#4 (closed): binary Hamming retrieval must be a
+    band-key equi-join broadcasting only the tiny probe side — not the
+    r2 broadcast nested-loop over the whole packed corpus (16 GB at 2G
+    vectors)."""
+    df = SPECS["emb_binarize_hamming"].fn(spark, sf_dir)
+    plan = get_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
