@@ -37,4 +37,5 @@ from . import ann  # noqa: F401
 from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos)
 from . import wave10  # noqa: F401  (binary decode + SQL surface)
 from . import wave14  # noqa: F401  (binary retrieval + dedup bake-off)
+from . import wave15  # noqa: F401  (r3 additions: v9/IPFIX template decode)
 from . import scans  # noqa: F401  (streaming queries at the very back)

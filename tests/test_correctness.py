@@ -1007,3 +1007,75 @@ def test_unicode_nfc_across_sfs(sfd, spark, ddb_by_sf):
     spark_pdf = spec.fn(spark, sfd).toPandas()
     oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
     compare_frames(spark_pdf, oracle_pdf, f"text_unicode_nfc@{sfd}")
+
+
+def test_netflow_v9_decoder_roundtrip_and_template_cache():
+    """The v9/IPFIX streaming decoder must reproduce the generators'
+    ground truth EXACTLY, and the v9 stream must be undecodable without
+    the cross-packet template cache: packet 2 of every file carries
+    template-257 data whose templates were only announced in packet 1,
+    so truncating the file to packet 2 alone must drop those records."""
+    import os
+    import struct
+    import tempfile
+
+    from nfdump2clickhouse_spark.sources.netflow_v9 import (
+        decode_flow_stream,
+        write_ipfix,
+        write_netflow_v9,
+    )
+
+    d = tempfile.mkdtemp()
+    expected = write_netflow_v9(d, n_files=2, records_per_file=10)
+    got = []
+    for fn in sorted(os.listdir(d)):
+        got.extend(decode_flow_stream(open(os.path.join(d, fn), "rb").read()))
+    assert got == expected
+
+    d2 = tempfile.mkdtemp()
+    expected2 = write_ipfix(d2)  # enterprise-bit skip path exercised
+    got2 = []
+    for fn in sorted(os.listdir(d2)):
+        got2.extend(decode_flow_stream(open(os.path.join(d2, fn), "rb").read()))
+    assert got2 == expected2
+
+    # statefulness: find packet-2 offset (second v9 header) and decode
+    # from there — the template-257 records must be lost
+    raw = open(os.path.join(d, sorted(os.listdir(d))[0]), "rb").read()
+    off = 20
+    while off < len(raw):
+        if struct.unpack_from(">H", raw, off)[0] == 9:
+            break
+        off += 2
+    tail_only = decode_flow_stream(raw[off:])
+    assert len(tail_only) < 10  # the 257-template records are undecodable
+
+
+def test_netflow_v9_key_matches_generator(spark, sf_dir):
+    """The DataSource-backed key must aggregate exactly the generators'
+    expected tuples (recomputed here from the same deterministic
+    formulas): 4 v9 captures x 30 flows + 2 IPFIX captures x 20."""
+    from nfdump2clickhouse_spark.sources.netflow_v9 import (
+        _expected_tuple,
+    )
+
+    pdf = (
+        SPECS["flows_netflow_v9_decode"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("capture")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 6
+    for _, row in pdf.iterrows():
+        name = row["capture"]
+        if name.startswith("nfcapd.v9."):
+            f, n = int(name.split(".")[-1]), 30
+        else:
+            f, n = 100 + int(name.split(".")[-1]), 20
+        exp = [_expected_tuple(f, r) for r in range(n)]
+        assert int(row["n_flows"]) == n
+        assert int(row["pkts"]) == sum(e[5] for e in exp)
+        assert int(row["bytes"]) == sum(e[6] for e in exp)
+        assert int(row["n_src"]) == len({e[0] for e in exp})
+        assert int(row["n_udp"]) == sum(1 for e in exp if e[4] == 17)
