@@ -144,22 +144,13 @@ def bpe_reference(word_freqs: dict[str, int], n_merges: int) -> list[tuple]:
     return merges
 
 
-@register("tokenizer_bpe_merges")  # rows-only: iterative algorithm; pinned
-# against the pure-Python reference implementation in tests
-def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, the distributed formulation: learn the
-    first 5 merge rules over the corpus (Sennrich-style byte-pair
-    encoding on the word-frequency table) — `text_vocab_topk` is pass
-    0 of tokenizer training; this is the iterative core.
-
-    Per iteration: adjacent-symbol-pair counts are ONE weighted agg
-    over the (distinct-word, freq) table — corpus size only matters in
-    the initial word count, every iteration is O(|vocab|); the argmax
-    merge rule (deterministic freq-then-lexicographic tiebreak) is a
-    1-row collect; applying the merge is a vectorized pandas UDF over
-    the symbol arrays. This is the real tokenizer-training dataflow
-    (HF tokenizers does the same loop in Rust over one machine's RAM;
-    the Spark shape is what works when the word table doesn't fit)."""
+def learn_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 5
+) -> list[tuple[int, str, int]]:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus;
+    returns ``[(rank, "a b", freq), ...]``. Shared by
+    `tokenizer_bpe_merges` (the training surface) and wave15's
+    `tokenizer_bpe_apply` (the encoding surface)."""
     from pyspark.sql.functions import pandas_udf
 
     d = table(spark, sf_dir, "documents")
@@ -175,7 +166,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     merges = []
-    for rank in range(5):
+    for rank in range(n_merges):
         pairs = (
             vocab.select(
                 "f",
@@ -221,4 +212,24 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_merge("syms").alias("syms"), "f"
         ).localCheckpoint()
 
+    return merges
+
+
+@register("tokenizer_bpe_merges")  # rows-only: iterative algorithm; pinned
+# against the pure-Python reference implementation in tests
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the distributed formulation: learn the
+    first 5 merge rules over the corpus (Sennrich-style byte-pair
+    encoding on the word-frequency table) — `text_vocab_topk` is pass
+    0 of tokenizer training; this is the iterative core.
+
+    Per iteration: adjacent-symbol-pair counts are ONE weighted agg
+    over the (distinct-word, freq) table — corpus size only matters in
+    the initial word count, every iteration is O(|vocab|); the argmax
+    merge rule (deterministic freq-then-lexicographic tiebreak) is a
+    1-row collect; applying the merge is a vectorized pandas UDF over
+    the symbol arrays. This is the real tokenizer-training dataflow
+    (HF tokenizers does the same loop in Rust over one machine's RAM;
+    the Spark shape is what works when the word table doesn't fit)."""
+    merges = learn_bpe_merges(spark, sf_dir, n_merges=5)
     return spark.createDataFrame(merges, "rank int, pair string, freq long")

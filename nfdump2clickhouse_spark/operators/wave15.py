@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -88,4 +89,246 @@ def flows_netflow_v9_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ibyt").alias("bytes"),
         F.countDistinct("sa").alias("n_src"),
         F.count_if(F.col("pr") == 17).alias("n_udp"),
+    )
+
+
+# --- temperature-scaled mixture sampling -------------------------------------
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ),
+    w AS (  -- integer sqrt weights: W_s = floor(sqrt(n_s)*1e6) keeps every
+            -- downstream step in exact integer arithmetic (no float sum
+            -- order-dependence across engines)
+      SELECT source, n_s,
+             CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) AS w_s
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(SUM(w_s) AS BIGINT) AS s_tot,
+             CAST(SUM(n_s) AS BIGINT) // 2 AS target
+      FROM w
+    ),
+    q AS (
+      SELECT w.source, w.n_s,
+             LEAST(w.n_s, t.target * w.w_s // t.s_tot) AS k_s
+      FROM w, t
+    ),
+    r AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT q.source, CAST(q.n_s AS BIGINT) AS n_in,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(10000 * q.k_s // q.n_s AS BIGINT) AS rate_bp
+    FROM r JOIN q ON r.source = q.source
+    WHERE r.rk <= q.k_s
+    GROUP BY q.source, q.n_s, q.k_s
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha = 0.5): per-source
+    keep quotas proportional to n_s^alpha — the multilingual-corpus
+    rebalancing rule (upsample the tail, downsample the head) from the
+    public XLM-R / mT5 recipes, applied to `source` as the domain key.
+
+    Exactness discipline: the only float op is ONE sqrt per source,
+    immediately floored into an integer weight W_s = floor(sqrt(n_s)
+    * 1e6); totals, quotas (target * W_s DIV sum(W_s)) and ranks stay
+    integer, so no cross-engine float summation order can flip a
+    boundary doc. The draw is the md5-rank pattern (deterministic,
+    backfill-stable — engine RNG cannot be reproduced); quotas ride a
+    broadcast join; the per-source rank window is the same
+    WindowGroupLimit shape as `sample_mixture_quota`."""
+    from ..catalog import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = c.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s")) * 1_000_000).cast("bigint").alias("w_s"),
+    )
+    t = w.agg(
+        F.sum("w_s").cast("bigint").alias("s_tot"),
+        F.expr("CAST(SUM(n_s) AS BIGINT) DIV 2").alias("target"),
+    )
+    q = (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_s",
+            F.least(
+                F.col("n_s"), F.expr("target * w_s DIV s_tot")
+            ).alias("k_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    r = d.select("doc_id", "source", rk.alias("rk"))
+    return (
+        r.join(F.broadcast(q), "source")
+        .filter(F.col("rk") <= F.col("k_s"))
+        .groupBy("source", "n_s", "k_s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_in"),
+            "n_kept",
+            F.expr("CAST(10000 * k_s DIV n_s AS BIGINT)").alias("rate_bp"),
+        )
+    )
+
+
+# --- BPE encoding (apply learned merges) -------------------------------------
+
+
+@register("tokenizer_bpe_apply")  # rows-only: BPE encoding is not
+# SQL-expressible; exact equality with the pure-Python Sennrich encoder
+# is pinned in tests
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the other half of the tokenizer story
+    (`tokenizer_bpe_merges` learns the rules; this applies them to the
+    corpus): each word splits to characters, then the learned merges
+    apply in rank order (the standard greedy encode), and the key
+    reports per-source token economics — char-level vs BPE token
+    counts and the merge-won compression in basis points.
+
+    Scale shape: the merge list is tiny driver state (5 rules here,
+    ~50k in production) broadcast into an Arrow-batched pandas UDF;
+    encoding is embarrassingly row-parallel with ZERO shuffles before
+    the final per-source agg. The same-word repetition means a
+    word-distinct encode + count join would also work; the direct form
+    keeps the hot loop branch-free per doc."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..catalog import table as _table
+    from ..functions.text import words
+    from .wave12 import learn_bpe_merges
+
+    merges = [m[1].split(" ") for m in learn_bpe_merges(spark, sf_dir, 5)]
+
+    @pandas_udf("long")
+    def bpe_token_count(texts: pd.Series) -> pd.Series:
+        def encode_word(word: str) -> int:
+            syms = list(word)
+            for a, b in merges:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return texts.apply(
+            lambda t: sum(encode_word(w) for w in t.split()) if t else 0
+        )
+
+    d = _table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.aggregate(
+            F.transform(words(F.col("text")), lambda w: F.length(w)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_char_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_char_tokens").alias("char_tokens"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        F.expr(
+            "CAST(10000 * SUM(n_bpe_tokens) DIV SUM(n_char_tokens) AS BIGINT)"
+        ).alias("compression_bp"),
+    )
+
+
+# --- product quantization ----------------------------------------------------
+
+
+@register("emb_pq_quantize")  # rows-only: the codebook argmin is not
+# reasonably SQL-expressible; numpy-pinned reconstruction contract in tests
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ): the 64-dim vectors split into 8
+    subspaces of 8 dims; each subspace gets a 16-entry codebook, so a
+    vector compresses to 8 nibbles = 4 bytes (64x smaller than
+    float64) — the storage layer under every billion-vector ANN index
+    (IVF-PQ). Codebooks here are sampled deterministically (the
+    subvectors of the 16 hash-chosen seed vectors — k-means would
+    tighten them; seeding keeps the key reproducible, same policy as
+    `ann_ivf_probe`'s trained codebook).
+
+    Scale shape: the 16x64-float codebook is driver state broadcast as
+    LITERALS, assignment is a pure-Column argmin (zero Exchange, zero
+    Python) exactly like the IVF assignment; only the final per-
+    subspace report aggregates. Output: per-subspace distinct-code
+    usage and reconstruction MSE (x1e4), pinned against numpy."""
+    from ..catalog import table as _table
+    from ..functions.similarity import as_double
+
+    e = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    seeds = (
+        e.withColumn("h", F.xxhash64(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .collect()
+    )
+    codebooks = [
+        [[float(v) for v in row["emb"][s * 8 : (s + 1) * 8]] for row in seeds]
+        for s in range(8)
+    ]  # [subspace][code][dim] — 16x64 doubles of driver state
+
+    parts = []
+    for s in range(8):
+        sub = F.slice("emb", s * 8 + 1, 8)
+        # ONE nested-array literal per subspace + HOF distance: keeps the
+        # codegen'd expression tree tiny (a naive 16x8 expanded per-dim sum
+        # is ~1k expression nodes per subspace and OOMs janino)
+        cb = F.lit(codebooks[s])
+        dists = F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        parts.append(
+            F.struct(
+                F.lit(s).alias("subspace"),
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("code"),
+                F.array_min(dists).alias("err"),
+            )
+        )
+    assigned = e.select(
+        "vec_id", F.explode(F.array(*parts)).alias("a")
+    ).select("vec_id", "a.subspace", "a.code", "a.err")
+    return (
+        assigned.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("code").alias("n_codes_used"),
+            F.round(F.avg("err") * 10000, 4).alias("mse_e4"),
+        )
+        .orderBy("subspace")
     )

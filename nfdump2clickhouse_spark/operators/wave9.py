@@ -97,13 +97,20 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition_id row counts) and how state is audited after an
     incident, with no replay.
 
-    Demo: a per-user streaming count over one rotation's events, then
+    Demo: a per-user streaming count over one rotation's events (the
+    deterministic `event_id < 1000` slice — a bare `limit` would pick
+    whatever rows partition read order serves first, so the test's
+    independently recomputed group count could flake; ADVICE r2), then
     the checkpoint's state read back and summarized per shuffle
     partition."""
     src, ckpt = tempfile.mkdtemp(prefix="sf_ssr_"), tempfile.mkdtemp(
         prefix="sf_ssrc_"
     )
-    e = table(spark, sf_dir, "events").select("user_id", "event_id").limit(1000)
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id")
+        .filter(F.col("event_id") < 1000)
+    )
     e.write.mode("overwrite").parquet(os.path.join(src, "f0"))
     sdf = spark.readStream.schema("user_id long, event_id long").parquet(
         src + "/*"

@@ -5,9 +5,15 @@ The container ships no protobuf wheel, but pyspark 4's
 (its state-channel messages are protobuf-encoded). A pure-Python
 protobuf runtime 6.32.0 happens to exist on this image inside the Cloud
 SDK's bundled App Engine tree; pyspark's generated StateMessage gencode
-is 6.33.0 — one minor NEWER, which the runtime's strict validator
-rejects even though protobuf's cross-version guarantee covers a
-one-minor gap in practice.
+is 6.33.0 — one minor NEWER than the runtime. Note protobuf's official
+cross-version guarantee only covers gencode <= runtime, so this gap is
+OUTSIDE the guarantee; it works because the StateMessage gencode uses no
+6.33-only runtime features (and the TWS-vs-applyInPandasWithState
+equality test would catch it if that stopped being true). Accordingly
+the shim does NOT disable validation wholesale: it allows exactly the
+same-major, at-most-one-minor-newer gencode case and delegates
+everything else to the original validator, so a genuinely incompatible
+gencode still fails with the clear version error.
 
 `ensure_protobuf()` makes the real TWS path runnable with zero
 installs, all inside this repo:
@@ -34,6 +40,36 @@ _SDK_PB = "/usr/lib/google-cloud-sdk/platform/google_appengine"
 _SHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_pbshim")
 
 
+def relax_runtime_validator() -> bool:
+    """Patch `runtime_version.ValidateProtobufRuntimeVersion` to accept
+    gencode that is same-major and at most ONE minor newer than the
+    runtime; every other combination still goes through the original
+    validator (same logic runs in `_pbshim/sitecustomize.py` for forked
+    workers — keep the two in sync)."""
+    try:
+        from google.protobuf import runtime_version as _rv
+
+        if getattr(_rv, "_spark_graft_relaxed", False):
+            return True
+        _orig = _rv.ValidateProtobufRuntimeVersion
+
+        def _validate(*args, **kwargs):
+            try:
+                gen_major = kwargs.get("gen_major", args[1])
+                gen_minor = kwargs.get("gen_minor", args[2])
+                if gen_major == _rv.MAJOR and _rv.MINOR < gen_minor <= _rv.MINOR + 1:
+                    return  # one-minor-newer gencode: allowed by the shim
+            except Exception:
+                pass
+            return _orig(*args, **kwargs)
+
+        _rv.ValidateProtobufRuntimeVersion = _validate
+        _rv._spark_graft_relaxed = True
+        return True
+    except Exception:
+        return False
+
+
 def ensure_protobuf() -> bool:
     """Best-effort: make `google.protobuf` importable (driver + future
     workers). Returns True when the TWS proto modules load."""
@@ -49,11 +85,7 @@ def ensure_protobuf() -> bool:
 
     if _SDK_PB not in sys.path:
         sys.path.append(_SDK_PB)
-    try:
-        from google.protobuf import runtime_version as _rv
-
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
-    except Exception:
+    if not relax_runtime_validator():
         return False
     # workers: sitecustomize on PYTHONPATH re-applies the patch per process
     os.environ["SPARK_GRAFT_PB_SHIM"] = "1"

@@ -16,7 +16,18 @@ from nfdump2clickhouse_spark.session import get_spark  # noqa: E402
 # transformWithStateInPandas path run (see pbcompat docstring)
 ensure_protobuf()
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+_TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", os.path.join(_TESTDATA_ROOT, "sf0.01")
+)
+# the two OTHER scale factors for the cross-SF sweeps (ADVICE r2: derive
+# from the root override instead of hardcoding, so the suite can point at
+# relocated fixtures)
+CROSS_SF_DIRS = [
+    os.path.join(_TESTDATA_ROOT, "sf0.001"),
+    os.path.join(_TESTDATA_ROOT, "sf0.1"),
+]
+SMALL_SF_DIR = os.path.join(_TESTDATA_ROOT, "sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

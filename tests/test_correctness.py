@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from nfdump2clickhouse_spark import registry
+from tests.conftest import CROSS_SF_DIRS
 from tests.oracle_utils import compare_frames
 
 SPECS = registry.all_specs()
@@ -64,7 +65,7 @@ def ddb_by_sf():
         c.close()
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _REWORKED)
 def test_reworked_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -261,7 +262,7 @@ _WAVE4_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE4_HASH)
 def test_wave4_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     """Triple-SF discipline for the round-2 keys: rounding-boundary and
@@ -343,7 +344,7 @@ _WAVE5_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE5_HASH)
 def test_wave5_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     """Triple-SF discipline for the wave-5 keys (caught sample_weighted's
@@ -419,7 +420,7 @@ _WAVE6_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE6_HASH)
 def test_wave6_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -501,7 +502,7 @@ _WAVE7_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE7_HASH)
 def test_wave7_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -557,7 +558,7 @@ _WAVE8_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE8_HASH)
 def test_wave8_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -595,7 +596,7 @@ _WAVE9_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE9_HASH)
 def test_wave9_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -624,8 +625,7 @@ def test_state_reader_sees_all_groups(spark, sf_dir):
     pdf = SPECS["stream_state_reader"].fn(spark, sf_dir).toPandas()
     n_users = (
         table(spark, sf_dir, "events")
-        .select("user_id", "event_id")
-        .limit(1000)
+        .filter(F.col("event_id") < 1000)  # deterministic slice, not limit()
         .select("user_id")
         .distinct()
         .count()
@@ -642,7 +642,7 @@ _WAVE10_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE10_HASH)
 def test_wave10_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -706,7 +706,7 @@ _WAVE11_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE11_HASH)
 def test_wave11_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -746,7 +746,7 @@ def test_pit_join_never_leaks_future(spark, sf_dir):
 # --- wave-12 (round 2) -------------------------------------------------------
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 def test_line_dedup_across_sfs(sfd, spark, ddb_by_sf):
     spec = SPECS["text_line_dedup"]
     spark_pdf = spec.fn(spark, sfd).toPandas()
@@ -823,7 +823,7 @@ _WAVE13_HASH = [
 ]
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 @pytest.mark.parametrize("key", _WAVE13_HASH)
 def test_wave13_keys_across_sfs(key, sfd, spark, ddb_by_sf):
     spec = SPECS[key]
@@ -873,7 +873,7 @@ def test_negative_mining_contract(spark, sf_dir):
     assert (pdf["label_id"] != pdf["neg_id"]).all()
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 def test_stat_report_across_sfs(sfd, spark, ddb_by_sf):
     spec = SPECS["flows_stat_report"]
     spark_pdf = spec.fn(spark, sfd).toPandas()
@@ -914,7 +914,7 @@ def test_registry_order_certification_rotation():
         "streaming demos must trail the uncertified tier")
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 def test_ks_test_across_sfs(sfd, spark, ddb_by_sf):
     spec = SPECS["stats_ks_test"]
     spark_pdf = spec.fn(spark, sfd).toPandas()
@@ -949,7 +949,7 @@ def test_ks_matches_scipy_style_reference(spark, sf_dir):
     assert abs(ks_engine - ks_ref) < 1e-12, (ks_engine, ks_ref)
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 def test_sql_function_across_sfs(sfd, spark, ddb_by_sf):
     spec = SPECS["udf_sql_function"]
     spark_pdf = spec.fn(spark, sfd).toPandas()
@@ -1001,7 +1001,7 @@ def test_dedup_overlap_invariants(spark, sf_dir):
     assert row.n_both == row.n_b  # minhash ⊆ exact pairs
 
 
-@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
 def test_unicode_nfc_across_sfs(sfd, spark, ddb_by_sf):
     spec = SPECS["text_unicode_nfc"]
     spark_pdf = spec.fn(spark, sfd).toPandas()
@@ -1079,3 +1079,109 @@ def test_netflow_v9_key_matches_generator(spark, sf_dir):
         assert int(row["bytes"]) == sum(e[6] for e in exp)
         assert int(row["n_src"]) == len({e[0] for e in exp})
         assert int(row["n_udp"]) == sum(1 for e in exp if e[4] == 17)
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_sample_temperature_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["sample_temperature"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"sample_temperature@{sfd}")
+
+
+def test_sample_temperature_rebalances(spark, sf_dir):
+    """Temperature alpha=0.5 contract: effective keep-rates must be
+    (weakly) anti-monotone in source size — smaller sources keep a
+    larger fraction — and no quota may exceed its source."""
+    pdf = SPECS["sample_temperature"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_kept"] <= pdf["n_in"]).all()
+    s = pdf.sort_values("n_in")
+    # rate_bp non-increasing as n_in grows (ties allowed)
+    rates_by_size = s.groupby("n_in")["rate_bp"].mean()
+    assert (rates_by_size.diff().dropna() <= 0).all()
+
+
+def test_bpe_apply_matches_pure_python(spark, sf_dir):
+    """Distributed BPE encode == pure-Python Sennrich greedy encode with
+    the same learned merges, recomputed here doc-by-doc."""
+    from nfdump2clickhouse_spark.catalog import table
+    from nfdump2clickhouse_spark.operators.wave12 import learn_bpe_merges
+
+    merges = [m[1].split(" ") for m in learn_bpe_merges(spark, sf_dir, 5)]
+
+    def encode_word(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    exp = {}
+    for _, row in docs.iterrows():
+        toks = sum(encode_word(w) for w in row["text"].split())
+        chars = sum(len(w) for w in row["text"].split())
+        agg = exp.setdefault(row["source"], [0, 0, 0])
+        agg[0] += 1
+        agg[1] += chars
+        agg[2] += toks
+    got = SPECS["tokenizer_bpe_apply"].fn(spark, sf_dir).toPandas()
+    for _, row in got.iterrows():
+        e = exp[row["source"]]
+        assert (int(row["n_docs"]), int(row["char_tokens"]), int(row["bpe_tokens"])) == tuple(e), row
+        assert int(row["compression_bp"]) == 10000 * e[2] // e[1]
+    assert set(got["source"]) == set(exp)
+
+
+def test_pq_quantize_matches_numpy(spark, sf_dir):
+    """PQ assignment pinned against a direct numpy argmin over the same
+    deterministically-seeded codebooks; MSE must also beat the
+    1-centroid (subspace mean) baseline in aggregate — the bar that
+    says the codebook encodes real structure."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    import pyspark.sql.functions as F
+
+    seeds = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("h", F.xxhash64(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .toPandas()
+    )
+    S = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
+    got = (
+        SPECS["emb_pq_quantize"].fn(spark, sf_dir).toPandas().sort_values("subspace")
+    )
+    total_pq_mse, total_mean_mse = 0.0, 0.0
+    for s in range(8):
+        sub = X[:, s * 8 : (s + 1) * 8]
+        cb = S[:, s * 8 : (s + 1) * 8]
+        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        err = d2.min(axis=1)
+        row = got.iloc[s]
+        assert int(row["n_vectors"]) == len(X)
+        assert 1 <= int(row["n_codes_used"]) <= 16
+        assert abs(float(row["mse_e4"]) - round(err.mean() * 10000, 4)) < 1e-6, (
+            s, row["mse_e4"], err.mean() * 10000)
+        total_pq_mse += err.mean()
+        total_mean_mse += ((sub - sub.mean(axis=0)) ** 2).sum(-1).mean()
+    assert total_pq_mse < total_mean_mse

@@ -18,7 +18,7 @@ from hypothesis import strategies as st
 
 from nfdump2clickhouse_spark.catalog import table
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SMALL_SF_DIR as SF
 
 NUM_COLS = {
     "l_quantity": (1.0, 50.0),
