@@ -455,3 +455,23 @@ def test_hamming_retrieval_banded_no_corpus_broadcast(spark, sf_dir):
     plan = get_plan(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round3_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the round-3 keys (counts include broadcast
+    exchanges — same convention as the earlier budget tests). The
+    exact_ntile / KS keys read from localCheckpointed prefix-sum state,
+    so only their post-checkpoint exchanges appear here."""
+    budgets = {
+        "sample_temperature": 6,   # 2 aggs + rank window + final agg + 2 bcast
+        "emb_pq_quantize": 3,      # explode->subspace agg (+ sort)
+        "tokenizer_bpe_apply": 1,  # one per-source agg; encode is shuffle-free
+        "stats_ks_test": 2,        # pid windows + final 1-row agg
+        "curriculum_binning": 2,   # pid window + phase agg
+        "events_rfm_segmentation": 2,
+        "emb_binarize_hamming": 3, # band join bcast + dedup + top-5 window
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

@@ -64,9 +64,14 @@ AUDITED: dict[str, str] = {
     "text_repetition_filter": "within-doc dup-bigram fraction: pure array HOFs, zero Exchange",
     "text_line_dedup": "ONE chunk-keyed shuffle (canonical-copy window) + per-doc regroup",
     "flows_stat_report": "grouping-sets Expand: 3 stat dims from one scan; WindowGroupLimit top-5",
-    "stats_ks_test": "one sort, RANGE frames collapse ties; integer D (no float CDF drift)",
-    "events_rfm_segmentation": "one user agg; ntiles on the post-agg user table",
-    "emb_binarize_hamming": "row-local sign-pack fold; broadcast NLJ over 8-byte codes",
+    # reworked round 3 (VERDICT r2 perf-weak closures)
+    "stats_ks_test": "distinct-value agg collapses ties; two-phase pid-partitioned prefix sums (NO unpartitioned window); integer D",
+    "events_rfm_segmentation": "one user agg; exact_ntile two-phase rank per tercile — no global-sort window",
+    "curriculum_binning": "exact_ntile two-phase rank: range-partition + pid windows, closed-form tiles",
+    "emb_binarize_hamming": "row-local sign-pack fold; 8x8-bit band equi-join broadcasting only the probe side (no corpus NLJ)",
+    # wave-15 (round 3)
+    "sample_temperature": "all-integer quotas ride broadcast joins; ONE source-keyed rank window (data-dependent bound, so no WGL)",
+    "emb_pq_quantize": "nested-array-literal codebooks + HOF argmin: zero Exchange before the per-subspace agg",
 }
 
 
