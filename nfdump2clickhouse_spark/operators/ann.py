@@ -101,6 +101,33 @@ def seed_codebook(e: DataFrame, k: int) -> list[list[float]]:
     return [list(r.emb) for r in seeds]
 
 
+def train_ivf_codebook(e: DataFrame, k: int, iters: int) -> list[list[float]]:
+    """Seed + `iters` distributed Lloyd iterations; returns the k×dim
+    codebook. Per iteration: literal-codebook argmin assignment (zero
+    Exchange), then ONE (cell, pos) partial-avg shuffle — P·k·dim rows,
+    flat in corpus size — and a k-row collect. Shared by
+    `ann_ivf_probe` and `ann_ivfpq_search`."""
+    codebook = seed_codebook(e, k)
+    for _ in range(iters):
+        upd = (
+            ivf_assign(e, codebook)
+            .select("cell", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.cval,
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        for r in upd:  # empty cells keep their previous centroid
+            codebook[r.cell] = list(r.centroid)
+    return codebook
+
+
 @register("ann_ivf_probe")  # rows-only: recall (not exact output) is the contract
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED codebook: 3 distributed Lloyd (k-means)
@@ -129,27 +156,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    codebook = seed_codebook(e, K)
-
-    for _ in range(ITERS):
-        upd = (
-            ivf_assign(e, codebook)
-            .select("cell", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("cval"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s.cval,
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        # empty cells keep their previous centroid
-        for r in upd:
-            codebook[r.cell] = list(r.centroid)
-
+    codebook = train_ivf_codebook(e, K, ITERS)
     assigned = ivf_assign(e, codebook)
     # queries probe their PROBES nearest cells (same zero-shuffle argmin)
     probe_cells = F.transform(
@@ -276,4 +283,156 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.45)
         .select("id1", "id2", "cos_sim")
         .orderBy(F.col("cos_sim").desc(), "id1", "id2")
+    )
+
+
+@register("ann_ivfpq_search")  # rows-only: recall (not exact output) is
+# the contract — pinned in tests vs brute force AND vs plain IVF
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composition that actually runs billion-vector search
+    — IVF cells prune the scan (`ann_ivf_probe`), and inside the probed
+    cells candidates are ranked from their PRODUCT-QUANTIZED residual
+    codes (`emb_pq_quantize` math on x − centroid[cell]), so the
+    candidate table the query fans out over carries 8 nibbles per
+    vector, not 64 floats. Full embeddings are fetched ONLY for the
+    top-50 approximate survivors, which are exactly rescored to the
+    final top-5 (the standard two-stage ADC + rescore pipeline of
+    IVFADC / FAISS-style indexes, built from the public PQ literature).
+
+    Scale shape: everything before the rescore join touches only
+    (vec_id, cell, codes) — 4 bytes of payload per corpus vector at
+    production sizes; cell assignment, PQ encode, and approximate
+    reconstruction are all literal-codebook pure-Column HOFs (zero
+    Exchange, zero Python); the rescore join pulls full vectors for
+    50·|queries| ids only. Codebooks: IVF via 3 Lloyd iterations,
+    PQ via deterministic hash-seeded residual samples (k-means would
+    tighten both; determinism keeps the key reproducible)."""
+    K, PROBES, ITERS, M, KS, SUB = 8, 3, 3, 8, 16, 8
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    codebook = train_ivf_codebook(e, K, ITERS)
+    cb_lit = F.lit([[float(v) for v in c] for c in codebook])  # K x 64
+
+    # residual vs assigned cell centroid — row-local
+    assigned = ivf_assign(e, codebook).select(
+        "vec_id",
+        "cell",
+        "emb",
+        F.zip_with(
+            "emb", F.element_at(cb_lit, F.col("cell") + 1), lambda x, c: x - c
+        ).alias("resid"),
+    ).localCheckpoint()
+
+    # PQ codebooks on residual subspaces (hash-seeded samples)
+    seeds = (
+        assigned.withColumn("_h", F.xxhash64(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(KS)
+        .collect()
+    )
+    pq = [
+        [[float(v) for v in row["resid"][s * SUB : (s + 1) * SUB]] for row in seeds]
+        for s in range(M)
+    ]  # [subspace][code][dim]
+
+    def encode_sub(s, book):  # nested-literal + HOF argmin (janino-safe)
+        sub = F.slice("resid", s * SUB + 1, SUB)
+        dists = F.transform(
+            F.lit(book[s]),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    # 2 Lloyd iterations per PQ codebook — ALL subspaces in ONE shuffle per
+    # iteration: explode each row to (subspace, code, pos, val), partial-avg,
+    # collect M·KS·SUB floats (1024 here) of driver state
+    for _ in range(2):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    encode_sub(s, pq).alias("code"),
+                    F.slice("resid", s * SUB + 1, SUB).alias("sub"),
+                )
+                for s in range(M)
+            ]
+        )
+        upd = (
+            assigned.select(F.explode(entries).alias("x"))
+            .select("x.s", "x.code", F.posexplode("x.sub").alias("pos", "val"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .collect()
+        )
+        for r in upd:  # codes nobody used keep their previous centroid
+            pq[r["s"]][r["code"]][r["pos"]] = float(r["cval"])
+
+    # the compressed index: (vec_id, cell, 8 codes) — 4 bytes/vec at scale
+    index = assigned.select(
+        "vec_id",
+        "cell",
+        F.array(*[encode_sub(s, pq) for s in range(M)]).alias("codes"),
+    ).localCheckpoint()
+
+    # queries probe their nearest cells
+    probe_cells = F.transform(
+        _nearest_cells(F.col("emb"), codebook, PROBES), lambda s: s.cell
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.explode(probe_cells).alias("cell"),
+    )
+
+    # approximate reconstruction from codes: centroid[cell] + pq decode
+    pq_lit = F.lit(pq)  # M x KS x SUB
+    recon_resid = F.flatten(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(M)),
+            lambda code, s: F.element_at(F.element_at(pq_lit, s), code + 1),
+        )
+    )
+    recon = F.zip_with(
+        F.element_at(cb_lit, F.col("cell") + 1), recon_resid, lambda c, r: c + r
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(index, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qemb",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qemb"), recon).alias("approx_sim"),
+        )
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), "neighbor_id"
+    )
+    shortlist = (
+        cand.withColumn("_rn", F.row_number().over(w_a))
+        .filter(F.col("_rn") <= 50)
+        .select("query_id", "qemb", "neighbor_id")
+    )
+    # exact rescore: fetch full vectors ONLY for the shortlist
+    w_e = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        shortlist.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qemb"), F.col("cemb")), 4).alias("cos_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w_e))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
     )

@@ -1185,3 +1185,19 @@ def test_pq_quantize_matches_numpy(spark, sf_dir):
         total_pq_mse += err.mean()
         total_mean_mse += ((sub - sub.mean(axis=0)) ** 2).sum(-1).mean()
     assert total_pq_mse < total_mean_mse
+
+
+def test_ivfpq_recall_contract(spark, sf_dir):
+    """IVF-PQ two-stage search (PQ-coded shortlist of 50 + exact rescore)
+    must recover >= 40% of brute-force top-5 while the candidate stage
+    touches only 4-byte PQ codes — measured 0.52 at sf0.01 with the
+    2-Lloyd-trained codebooks (0.32 untrained); plain IVF with full
+    vectors over the same probed cells is the ~0.54 ceiling."""
+    ivfpq = SPECS["ann_ivfpq_search"].fn(spark, sf_dir).toPandas()
+    bf = SPECS["ann_cosine_topk"].fn(spark, sf_dir).toPandas()
+    pp = set(zip(ivfpq.query_id, ivfpq.neighbor_id))
+    bp = set(zip(bf.query_id, bf.neighbor_id))
+    assert len(pp & bp) >= 0.4 * len(bp)
+    # exactly 5 results per query, exactly-rescored cosine in [-1, 1]
+    assert (ivfpq.groupby("query_id").size() == 5).all()
+    assert ivfpq["cos_sim"].abs().max() <= 1.0

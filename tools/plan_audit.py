@@ -72,6 +72,7 @@ AUDITED: dict[str, str] = {
     # wave-15 (round 3)
     "sample_temperature": "all-integer quotas ride broadcast joins; ONE source-keyed rank window (data-dependent bound, so no WGL)",
     "emb_pq_quantize": "nested-array-literal codebooks + HOF argmin: zero Exchange before the per-subspace agg",
+    "ann_ivfpq_search": "candidate stage joins queries to the 4-byte-code index only; full vectors fetched for the 50-id shortlist",
 }
 
 
