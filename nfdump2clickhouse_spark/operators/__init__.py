@@ -2,12 +2,15 @@
 
 Importing this package registers every query key in the registry.
 
-IMPORT ORDER IS REGISTRY ORDER: the driver's correctness sweep walks keys
-in registration order under a time budget (the r1 sweep certified only the
-first 50 keys). Families the r1 sweep never reached come FIRST; the
-cheapest hash-checked families lead; the expensive iterative/streaming
-keys (dedup pair pipelines, IVF training, real StreamingQuery runs)
-register LAST so a budget cut costs rows-only keys, not hash keys.
+IMPORT ORDER IS THE BASE REGISTRY ORDER: the driver's correctness sweep
+walks keys front-to-back under a fixed window (r1 and r2 each certified
+exactly the first 50 registered keys), so ordering IS the certification
+schedule. Since round 3, ``registry.all_specs()`` SELF-ROTATES this
+base order on the accumulated CORRECTNESS_r*.json evidence — stale-ERR
+keys first, never-swept keys next (in the import order below: cheapest
+hash families lead, expensive iterative/streaming keys last so a budget
+cut costs rows-only keys), already-certified keys at the back where a
+re-sweep would certify nothing new. See ``registry._sweep_order``.
 """
 
 from . import joins  # noqa: F401

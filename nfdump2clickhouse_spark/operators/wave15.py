@@ -332,3 +332,52 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+# --- exact per-group mode ----------------------------------------------------
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, qty AS mode_qty, CAST(n AS BIGINT) AS mode_count
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY n DESC, qty) = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a DETERMINISTIC tiebreak (smallest value
+    among the max-count candidates) — engines' built-in mode() functions
+    break ties arbitrarily, which is exactly what a cross-engine gate
+    cannot tolerate, so the formulation is count-then-rank.
+
+    Scale shape: the heavy reduction is the (group, value) pre-agg with
+    map-side combine — the shuffle carries distinct combinations, not
+    rows; the argmax over counts is a WindowGroupLimit-eligible rank=1
+    filter on the already-tiny count table."""
+    from ..catalog import table as _table
+
+    from pyspark.sql import Window
+
+    li = _table(spark, sf_dir, "lineitem")
+    c = (
+        li.select("l_returnflag", F.col("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").cast("bigint").alias("mode_count"),
+        )
+    )

@@ -1201,3 +1201,12 @@ def test_ivfpq_recall_contract(spark, sf_dir):
     # exactly 5 results per query, exactly-rescored cosine in [-1, 1]
     assert (ivfpq.groupby("query_id").size() == 5).all()
     assert ivfpq["cos_sim"].abs().max() <= 1.0
+
+
+def test_sweep_order_unit(monkeypatch):
+    """Pure-unit pin of the rotation tiers: err < never-seen < pass,
+    stable within tiers (registration order preserved)."""
+    ev = {"a": "pass", "b": "err", "d": "pass", "f": "err"}
+    monkeypatch.setattr(registry, "_certification_evidence", lambda: ev)
+    got = registry._sweep_order(["a", "b", "c", "d", "e", "f"])
+    assert got == ["b", "f", "c", "e", "a", "d"]
