@@ -1210,3 +1210,17 @@ def test_sweep_order_unit(monkeypatch):
     monkeypatch.setattr(registry, "_certification_evidence", lambda: ev)
     got = registry._sweep_order(["a", "b", "c", "d", "e", "f"])
     assert got == ["b", "f", "c", "e", "a", "d"]
+
+
+def test_semantic_dedup_contracts(spark, sf_dir):
+    """SemDeDup cluster blocking: exact in-cell verify admits no false
+    positives (blocked pair count <= brute-force pair count), soft
+    2-cell assignment holds blocking recall >= 0.7 on the fixture, and
+    drops never exceed cell population."""
+    got = SPECS["dedup_semantic_cluster"].fn(spark, sf_dir).toPandas()
+    ex = SPECS["dedup_embedding_cosine"].fn(spark, sf_dir).toPandas()
+    blocked = int(got["n_candidate_pairs"].sum())
+    assert blocked <= len(ex)  # subset by construction (exact verify)
+    assert blocked >= 0.7 * len(ex)  # soft-assign recall floor (0.857 measured)
+    assert (got["n_dropped"] <= got["n_vectors"]).all()
+    assert (got["n_dropped"] <= got["n_candidate_pairs"]).all()
