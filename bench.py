@@ -43,14 +43,18 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
-# Round-2 families' heaviest representatives: timed and reported, but NOT
-# in the headline total — `value` stays comparable round-over-round on
-# the same 17-query set.
+# Newer families' heaviest representatives: timed and reported under
+# their own JSON key, NOT in the headline total — `value` stays
+# comparable round-over-round on the same 17-query set.
 EXTRAS = [
+    # round 2
     "dedup_minhash_pure",
     "text_vocab_topk",
     "curation_manifest_e2e",
     "snapshot_diff",
+    # round 3
+    "stats_ks_test",        # reworked: two-phase distributed CDF prefix sums
+    "sample_temperature",   # integer-quota mixture sampling
 ]
 
 

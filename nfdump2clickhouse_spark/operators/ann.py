@@ -65,18 +65,22 @@ def _nearest_cells(emb_col, cb, n):
     ‖emb‖² is the same for every cell, so ranking only needs
     ‖c‖² − 2·emb·c; the per-cell ‖c‖² is folded to a Python float at
     plan-build time. Struct comparison is lexicographic ⇒ (score asc,
-    cell asc) — a deterministic tiebreak."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(sum(v * v for v in cb[j]))
-                    - 2 * dot(emb_col, F.array(*[F.lit(v) for v in cb[j]]))
-                ).alias("score"),
-                F.lit(j).alias("cell"),
-            )
-            for j in range(len(cb))
-        ]
+    cell asc) — a deterministic tiebreak.
+
+    The codebook rides as ONE nested-array literal + a HOF over it (not
+    k×dim expanded per-value literals): the maths and float-op order are
+    identical, but the expression tree shrinks ~1000× — which matters
+    because Lloyd training recompiles this expression every iteration
+    (the expanded form spent ~2s/iteration in janino at k=8, dim=64)."""
+    CB = F.lit([[float(v) for v in c] for c in cb])  # k x dim, one literal
+    N2 = F.lit([float(sum(v * v for v in c)) for c in cb])  # per-cell ‖c‖²
+    scored = F.zip_with(
+        CB,
+        F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+        lambda c, j: F.struct(
+            (F.element_at(N2, j + 1) - 2 * dot(emb_col, c)).alias("score"),
+            j.cast("int").alias("cell"),
+        ),
     )
     return F.slice(F.array_sort(scored), 1, n)
 
@@ -310,7 +314,7 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, PROBES, ITERS, M, KS, SUB = 8, 3, 3, 8, 16, 8
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
-    )
+    ).localCheckpoint()  # reused by every Lloyd iteration + both stages
     codebook = train_ivf_codebook(e, K, ITERS)
     cb_lit = F.lit([[float(v) for v in c] for c in codebook])  # K x 64
 

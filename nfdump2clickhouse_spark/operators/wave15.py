@@ -423,20 +423,45 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their cell sets overlap (the standard soft-clustering recall fix —
     # measured 0.5 -> 0.86 blocking recall at sf0.01 for 2x index rows)
     home = ivf_assign(e, codebook).select("vec_id", F.col("cell").alias("home"))
-    soft = e.select(
-        "vec_id",
-        "emb",
-        F.explode(
-            F.transform(_nearest_cells(F.col("emb"), codebook, 2), lambda s: s.cell)
-        ).alias("cell"),
-    ).localCheckpoint()
-    a = soft.select("cell", F.col("vec_id").alias("id1"), F.col("emb").alias("e1"))
-    b = soft.select("cell", F.col("vec_id").alias("id2"), F.col("emb").alias("e2"))
+    # unit-normalize ONCE per vector (norm hoisted so the division
+    # doesn't re-run the fold), then verify pairs with ONE numpy GEMM per
+    # cell via applyInPandas — the O(pairs) hot path in interpreted HOF
+    # dot folds costs 8s at sf0.1; the Arrow-batched BLAS product costs
+    # well under a second. Per-cell group size is bounded by codebook
+    # sizing (SemDeDup uses ~100k clusters at corpus scale), which is
+    # what makes the grouped GEMM admissible.
+    from ..functions.similarity import l2_norm
+
+    soft = (
+        e.withColumn("_nrm", l2_norm(F.col("emb")))
+        .select(
+            "vec_id",
+            F.transform("emb", lambda x: x / F.col("_nrm")).alias("u"),
+            F.explode(
+                F.transform(
+                    _nearest_cells(F.col("emb"), codebook, 2), lambda s: s.cell
+                )
+            ).alias("cell"),
+        )
+        .localCheckpoint()
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["u"].to_numpy())
+        sims = np.round(X @ X.T, 4)
+        i, j = np.triu_indices(len(ids), k=1)  # sorted ids => id1 < id2
+        m = sims[i, j] >= THRESH
+        return pd.DataFrame(
+            {"id1": ids[i[m]], "id2": ids[j[m]], "cos_sim": sims[i, j][m]}
+        )
+
     pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.round(cosine("e1", "e2"), 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= THRESH)
+        soft.groupBy("cell")
+        .applyInPandas(cell_pairs, "id1 long, id2 long, cos_sim double")
         .distinct()  # a pair sharing BOTH cells must count once
     )
     # a vector is dropped iff it is the HIGHER id of any blocked dup pair;
