@@ -40,5 +40,9 @@ from . import ann  # noqa: F401
 from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos)
 from . import wave10  # noqa: F401  (binary decode + SQL surface)
 from . import wave14  # noqa: F401  (binary retrieval + dedup bake-off)
-from . import wave15  # noqa: F401  (r3 additions: v9/IPFIX template decode)
-from . import scans  # noqa: F401  (streaming queries at the very back)
+from . import scans  # noqa: F401  (streaming queries at the back)
+from . import wave15  # noqa: F401  (r3 additions: v9/IPFIX decode, IVF-PQ
+#   training pipelines, streaming curation — the priciest integration keys
+#   register LAST so a sweep budget cut costs them, not cheap hash keys;
+#   wave15's two cheap hash keys ride the same tail, which rotation will
+#   still reach rounds before any re-certification)

@@ -487,3 +487,83 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --- streaming corpus curation (end-to-end composition) ----------------------
+
+
+@register("stream_curation_e2e")  # rows-only: real StreamingQuery run;
+# exactly-once + cross-rotation dedup invariants are pinned in tests
+def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus curation — the batch curation pipeline
+    (`text_quality_filter_e2e` + fingerprint dedup +
+    `curation_manifest_e2e`) recomposed on Structured Streaming, which
+    is how a crawl actually arrives: document 'rotations' land as
+    files; each micro-batch is quality-filtered with pure Column
+    predicates, fingerprinted (xxhash64 of text), deduplicated ACROSS
+    rotations with `dropDuplicatesWithinWatermark` (bounded state — the
+    fingerprint store expires 1h past the watermark, exactly the
+    `stream_dedup_watermark` discipline), and appended through the
+    idempotent batch-id ledger sink (`sources.sinks.parquet_batch_writer`
+    — a replayed micro-batch writes nothing twice).
+
+    The fixture stream re-sends every doc_id%7==0 document in BOTH later
+    rotations: the test pins that re-sent docs survive exactly once and
+    that the curated set equals the batch pipeline's quality-filtered
+    distinct corpus (checkpoint replay protection itself is pinned by
+    `stream_restart_resume`)."""
+    from ..catalog import table as _table
+    from ..sources.sinks import parquet_batch_writer
+
+    watch = tempfile.mkdtemp(prefix="sf_cur_watch_")
+    ckpt = tempfile.mkdtemp(prefix="sf_cur_ckpt_")
+    out = tempfile.mkdtemp(prefix="sf_cur_out_")
+    ledger = tempfile.mkdtemp(prefix="sf_cur_ledger_")
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    resend = docs.filter(F.col("doc_id") % 7 == 0)
+    base = "2024-03-01 00:00:00"
+    for i in range(3):
+        rot = docs.filter(F.col("doc_id") % 3 == i)
+        if i > 0:  # later rotations re-send the %7 docs (crawl re-fetches)
+            rot = rot.unionByName(resend).distinct()
+        rot.withColumn(
+            "ts",
+            F.lit(base).cast("timestamp") + F.make_interval(mins=F.lit(i * 5)),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(watch, f"rot{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, source string, n_chars long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch + "/rot*")
+    )
+    curated = (
+        stream.filter((F.col("n_chars") >= 100) & (F.size(F.split("text", r"\s+")) >= 20))
+        .withColumn("fp", F.xxhash64("text"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    q = (
+        curated.writeStream.foreachBatch(
+            parquet_batch_writer(os.path.join(out, "curated"), ledger_path=ledger)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(out, "curated"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .orderBy("source")
+    )

@@ -910,7 +910,7 @@ def test_registry_order_certification_rotation():
     # within the uncertified tier the expensive streaming demos still trail
     uncertified = [k for k in keys if registry._certification_evidence().get(k) != "pass"]
     stream_pos = [i for i, k in enumerate(uncertified) if k.startswith("stream_")]
-    assert all(i >= len(uncertified) - 40 for i in stream_pos), (
+    assert all(i >= len(uncertified) - 50 for i in stream_pos), (
         "streaming demos must trail the uncertified tier")
 
 

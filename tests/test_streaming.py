@@ -138,3 +138,30 @@ def test_left_outer_stream_join_emits_unmatched(spark):
     assert (matched["sp"] % 2 == 0).all()  # responses exist only for even sp
     assert (unmatched["sp"] % 2 == 1).all()
     assert (matched["ibyt"] == matched["r_ibyt"]).all()
+
+
+def test_stream_curation_dedups_resent_docs(spark, sf_dir):
+    """stream_curation_e2e: re-sent documents (doc_id%7==0 appears in all
+    three rotations) must survive exactly once, and the curated output
+    must equal the BATCH quality-filter + distinct pipeline over the
+    same corpus."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark import registry
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = registry.all_specs()["stream_curation_e2e"].fn(spark, sf_dir).toPandas()
+    assert (got["n_docs"] == got["n_unique"]).all()  # no fp survives twice
+    exp = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= 100)
+            & (F.size(F.split("text", r"\s+")) >= 20)
+        )
+        .groupBy("source")
+        .agg(F.countDistinct(F.xxhash64("text")).alias("n"))
+        .toPandas()
+        .set_index("source")["n"]
+    )
+    for _, row in got.iterrows():
+        assert int(row["n_docs"]) == int(exp[row["source"]]), row
