@@ -567,3 +567,122 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- exact repeated-substring spans (suffix-array-style dedup) ---------------
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i:i+9], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 9, 0))) AS t(i)
+    ),
+    ok AS (  -- hot-gram cap: drop grams occurring > 50 times corpus-wide
+      SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 50
+    ),
+    seeds AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1, b.pos AS pos2,
+             a.pos - b.pos AS diag
+      FROM sh a JOIN ok USING (gram) JOIN sh b USING (gram)
+      WHERE a.doc_id < b.doc_id
+    ),
+    flagged AS (
+      SELECT id1, id2, diag, pos1, pos2,
+             CASE WHEN pos1 - LAG(pos1) OVER
+                    (PARTITION BY id1, id2, diag ORDER BY pos1) = 1
+                  THEN 0 ELSE 1 END AS new_run
+      FROM seeds
+    ),
+    runs AS (
+      SELECT id1, id2, diag, pos1, pos2,
+             SUM(new_run) OVER
+               (PARTITION BY id1, id2, diag ORDER BY pos1) AS run_id
+      FROM flagged
+    )
+    SELECT id1, id2,
+           CAST(MIN(pos1) AS BIGINT) AS start1,
+           CAST(MIN(pos2) AS BIGINT) AS start2,
+           CAST(COUNT(*) + 9 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY id1, id2, diag, run_id
+    HAVING COUNT(*) + 9 >= 15
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection — the practical Spark form of
+    suffix-array substring dedup (public recipe: Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better', which
+    removes verbatim repeated spans, not just near-dup documents):
+    position-indexed 10-token grams seed matches, and maximal shared
+    spans fall out of merging CONSECUTIVE seeds along each (id1, id2,
+    pos1−pos2) DIAGONAL — two docs sharing an m-token run produce
+    m−9 seeds on one diagonal, merged here into a single span row
+    (start1, start2, span_tokens ≥ 15).
+
+    Scale shape: same inverted-index discipline as
+    `dedup_ngram_jaccard` — ONE gram-keyed shuffle builds the posting
+    lists, a corpus-wide hot-gram cap (> 50 occurrences dropped, the
+    max_df guard) bounds in-bucket pair generation, and the run merge
+    is a (pair, diagonal)-partitioned window, never a global sort. A
+    true suffix array finds arbitrary-length repeats; the gram seeding
+    finds every repeat ≥ the gram length with exact span extents, which
+    is what the 50-token-span production filter actually consumes."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    L, MAX_DF, MIN_TOK = 10, 50, 15
+    d = _table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("ws") - (L - 1), F.lit(0))
+                    ),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("ws", i, L)).alias("gram"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.pos", "x.gram")
+    )
+    ok = sh.groupBy("gram").count().filter(F.col("count") <= MAX_DF).select("gram")
+    sh = sh.join(ok, "gram")
+    a = sh.select(
+        "gram", F.col("doc_id").alias("id1"), F.col("pos").alias("pos1")
+    )
+    b = sh.select(
+        "gram", F.col("doc_id").alias("id2"), F.col("pos").alias("pos2")
+    )
+    seeds = (
+        a.join(b, "gram")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", "pos1", "pos2", (F.col("pos1") - F.col("pos2")).alias("diag")
+        )
+    )
+    wd = Window.partitionBy("id1", "id2", "diag").orderBy("pos1")
+    run_id = F.sum(
+        F.when(F.col("pos1") - F.lag("pos1").over(wd) == 1, 0).otherwise(1)
+    ).over(wd)
+    return (
+        seeds.withColumn("run_id", run_id)
+        .groupBy("id1", "id2", "diag", "run_id")
+        .agg(
+            F.min("pos1").cast("bigint").alias("start1"),
+            F.min("pos2").cast("bigint").alias("start2"),
+            (F.count(F.lit(1)) + (L - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= MIN_TOK)
+        .select("id1", "id2", "start1", "start2", "span_tokens")
+    )

@@ -1224,3 +1224,39 @@ def test_semantic_dedup_contracts(spark, sf_dir):
     assert blocked >= 0.7 * len(ex)  # soft-assign recall floor (0.857 measured)
     assert (got["n_dropped"] <= got["n_vectors"]).all()
     assert (got["n_dropped"] <= got["n_candidate_pairs"]).all()
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_substring_spans_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["dedup_substring_spans"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"dedup_substring_spans@{sfd}")
+
+
+def test_substring_spans_are_verbatim(spark, sf_dir):
+    """Every reported span must be an ACTUAL verbatim repeat: the
+    span_tokens-long token run at start1 in doc id1 equals the run at
+    start2 in doc id2 (recomputed here from the raw text), and spans
+    are maximal on their diagonal (extending one token either side
+    breaks equality or the document boundary)."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = SPECS["dedup_substring_spans"].fn(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    docs = dict(
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .itertuples(index=False, name=None)
+    )
+    for _, r in got.iterrows():
+        w1 = docs[r["id1"]].split(" ")
+        w2 = docs[r["id2"]].split(" ")
+        s1, s2, n = int(r["start1"]) - 1, int(r["start2"]) - 1, int(r["span_tokens"])
+        assert w1[s1 : s1 + n] == w2[s2 : s2 + n], (r["id1"], r["id2"])
+        # maximality (within the hot-gram cap's seed set): can't extend left/right
+        if s1 > 0 and s2 > 0:
+            assert w1[s1 - 1] != w2[s2 - 1], ("extends left", r["id1"], r["id2"])
+        if s1 + n < len(w1) and s2 + n < len(w2):
+            assert w1[s1 + n] != w2[s2 + n], ("extends right", r["id1"], r["id2"])
