@@ -74,6 +74,7 @@ AUDITED: dict[str, str] = {
     "emb_pq_quantize": "nested-array-literal codebooks + HOF argmin: zero Exchange before the per-subspace agg",
     "ann_ivfpq_search": "candidate stage joins queries to the 4-byte-code index only; full vectors fetched for the 50-id shortlist",
     "dedup_semantic_cluster": "pair space blocked to per-cell equi-joins; soft 2-cell assignment; exact verify in-cell",
+    "dedup_substring_spans": "one gram-keyed shuffle + max_df cap; span merge is a (pair, diagonal)-partitioned window, no global sort",
 }
 
 
