@@ -1260,3 +1260,56 @@ def test_substring_spans_are_verbatim(spark, sf_dir):
             assert w1[s1 - 1] != w2[s2 - 1], ("extends left", r["id1"], r["id2"])
         if s1 + n < len(w1) and s2 + n < len(w2):
             assert w1[s1 + n] != w2[s2 + n], ("extends right", r["id1"], r["id2"])
+
+
+@pytest.mark.parametrize("n,k", [(1, 3), (2, 3), (3, 3), (7, 4), (100, 7), (101, 7), (105, 7), (64, 64), (63, 64)])
+def test_exact_ntile_equals_window_ntile(spark, n, k):
+    """functions.distributed.exact_ntile's closed-form arithmetic must
+    equal the engine's own ntile() window for adversarial (n, k) shapes:
+    n<k, n=k, n%k=0, n%k!=0, single row."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nfdump2clickhouse_spark.functions.distributed import exact_ntile
+
+    df = spark.range(n).select((F.col("id") * 37 % 1000).alias("v"), "id")
+    got = (
+        exact_ntile(df, k, [F.asc("v"), F.asc("id")], "t", num_parts=4)
+        .select("id", "t")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("t")
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp), (n, k)
+
+
+def test_global_rank_equals_row_number(spark):
+    """Two-phase global_rank == single-task row_number over the same
+    total order, including the returned total count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nfdump2clickhouse_spark.functions.distributed import global_rank
+
+    df = spark.range(500).select((F.col("id") * 13 % 97).alias("v"), "id")
+    ranked, total = global_rank(df, [F.desc("v"), F.asc("id")], "rk", num_parts=6)
+    assert total == 500
+    got = ranked.select("id", "rk").toPandas().sort_values("id").reset_index(drop=True)
+    exp = (
+        df.select(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("v"), F.asc("id"))).cast("bigint").alias("rk"),
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
