@@ -686,3 +686,131 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_tokens") >= MIN_TOK)
         .select("id1", "id2", "start1", "start2", "span_tokens")
     )
+
+
+# --- bootstrap confidence intervals ------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds scaled to 1e6 (floor(CDF(k)*1e6)):
+# P(<=k) for k=0..5; u >= the last threshold draws weight 6. Literal
+# integers so BOTH engines branch on identical comparisons.
+_POIS_T = [367879, 735758, 919698, 981011, 996340, 999405]
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH b AS (SELECT UNNEST(generate_series(0, 31)) AS bi),
+    u AS (
+      SELECT o.o_orderstatus AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             b.bi,
+             CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '_'
+                  || CAST(b.bi AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+      FROM orders o, b
+    ),
+    w AS (
+      SELECT seg, cents, bi,
+             (CASE
+                {" ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_T))}
+                ELSE 6 END) AS wt
+      FROM u
+    ),
+    m AS (  -- per-resample round-half-up integer mean (cents)
+      SELECT seg, bi,
+             CAST((2 * SUM(wt * cents) + SUM(wt)) // (2 * SUM(wt)) AS BIGINT)
+               AS mean_c
+      FROM w GROUP BY seg, bi HAVING SUM(wt) > 0
+    ),
+    r AS (
+      SELECT seg, mean_c,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY mean_c, bi) AS rk,
+             COUNT(*) OVER (PARTITION BY seg) AS nb
+      FROM m
+    )
+    SELECT seg, CAST(MAX(nb) AS BIGINT) AS n_resamples,
+           CAST(MIN(CASE WHEN rk = 2 THEN mean_c END) AS BIGINT) AS ci_lo_c,
+           CAST(MIN(CASE WHEN rk = nb - 1 THEN mean_c END) AS BIGINT) AS ci_hi_c
+    FROM r GROUP BY seg
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value per status
+    segment — the distribution-free uncertainty estimate every metric
+    dashboard needs, in the ONLY form that scales: the POISSON
+    bootstrap (each row independently draws a Poisson(1) replication
+    weight per resample, so no resample ever needs a global
+    with-replacement pass — the classic large-scale formulation from
+    the public streaming-bootstrap literature).
+
+    Determinism discipline: the per-(row, resample) uniform comes from
+    md5 (reproducible on both engines), the inverse-CDF thresholds are
+    integer literals, values are integer cents, resample means use the
+    round-half-up integer division, and the CI endpoints are ORDER
+    STATISTICS (2nd and 31st of 32 sorted integer means) rather than
+    interpolated percentiles — nothing floats, so the hash gate holds.
+    Shapes: explode ×32 rides the scan (no pre-shuffle), ONE
+    (segment, resample) agg, then order stats over 32·|segments| rows."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = o.select(
+        "o_orderkey",
+        "seg",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bi"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.col("o_orderkey").cast("string"), F.col("bi")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000,
+    )
+    wt = F.lit(6)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        wt = F.when(F.col("u") < _POIS_T[k], k).otherwise(wt)
+    m = (
+        w.withColumn("wt", wt)
+        .groupBy("seg", "bi")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swx"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "seg",
+            "bi",
+            F.expr("CAST((2 * swx + sw) DIV (2 * sw) AS BIGINT)").alias("mean_c"),
+        )
+    )
+    wr = Window.partitionBy("seg").orderBy("mean_c", "bi")
+    r = m.select(
+        "seg",
+        "mean_c",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("nb"),
+    )
+    return r.groupBy("seg").agg(
+        F.max("nb").cast("bigint").alias("n_resamples"),
+        F.min(F.when(F.col("rk") == 2, F.col("mean_c")))
+        .cast("bigint")
+        .alias("ci_lo_c"),
+        F.min(F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_c")))
+        .cast("bigint")
+        .alias("ci_hi_c"),
+    )

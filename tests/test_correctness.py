@@ -1313,3 +1313,33 @@ def test_global_rank_equals_row_number(spark):
         .reset_index(drop=True)
     )
     assert got.equals(exp)
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_bootstrap_ci_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["stats_bootstrap_ci"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"stats_bootstrap_ci@{sfd}")
+
+
+def test_bootstrap_ci_contains_sample_mean(spark, sf_dir):
+    """Statistical sanity: lo < hi, and the 2nd..31st-order-stat interval
+    of 32 Poisson resamples contains the observed per-segment mean (the
+    bootstrap distribution is centered on it; a miss at this coverage
+    level would be a ~1-in-500 event per segment)."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = SPECS["stats_bootstrap_ci"].fn(spark, sf_dir).toPandas().set_index("seg")
+    obs = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("seg"))
+        .agg(F.avg(F.round(F.col("o_totalprice") * 100)).alias("mean_c"))
+        .toPandas()
+        .set_index("seg")["mean_c"]
+    )
+    for seg, row in got.iterrows():
+        assert row["ci_lo_c"] < row["ci_hi_c"]
+        assert row["ci_lo_c"] <= obs[seg] <= row["ci_hi_c"], (seg, obs[seg], row)
