@@ -814,3 +814,66 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ci_hi_c"),
     )
+
+
+# --- period-over-period comparison -------------------------------------------
+
+
+@register(
+    "ts_period_over_period",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT day, rev_c,
+             LAG(rev_c, 7) OVER (ORDER BY day) AS rev_prev_c
+      FROM d
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, rev_c, rev_prev_c,
+           CAST((10000 * (rev_c - rev_prev_c)) // rev_prev_c AS BIGINT)
+             AS wow_bp
+    FROM l WHERE rev_prev_c IS NOT NULL AND rev_prev_c > 0
+    """,
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas — the default dashboard comparison
+    (same-day-last-week removes the weekly cycle that day-over-day
+    comparisons alias into noise). Values stay integer cents and the
+    delta is floor-divided basis points, so the hash gate holds.
+
+    The lag-7 window runs over the POST-AGG day series (one row per
+    day — thousands of rows at any corpus size; the corpus-scale work
+    is the one day-keyed agg), the same post-agg discipline as the
+    other ts_ keys. Calendar gaps: lag(7) here means '7 observed days
+    back'; calendar-exact alignment composes with `ts_gap_fill`."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    l = d.select(
+        "day",
+        "rev_c",
+        F.lag("rev_c", 7).over(Window.orderBy("day")).alias("rev_prev_c"),
+    )
+    return l.filter(
+        F.col("rev_prev_c").isNotNull() & (F.col("rev_prev_c") > 0)
+    ).select(
+        # timestamp-typed day (SURVEY §5.3: both engines' pandas dtype for
+        # DATE differ; date_trunc/timestamp is the certified convention)
+        F.col("day").cast("timestamp").alias("day"),
+        "rev_c",
+        "rev_prev_c",
+        F.expr(
+            "CAST((10000 * (rev_c - rev_prev_c)) DIV rev_prev_c AS BIGINT)"
+        ).alias("wow_bp"),
+    )

@@ -1343,3 +1343,11 @@ def test_bootstrap_ci_contains_sample_mean(spark, sf_dir):
     for seg, row in got.iterrows():
         assert row["ci_lo_c"] < row["ci_hi_c"]
         assert row["ci_lo_c"] <= obs[seg] <= row["ci_hi_c"], (seg, obs[seg], row)
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_period_over_period_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["ts_period_over_period"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"ts_period_over_period@{sfd}")
