@@ -87,3 +87,47 @@ def exact_ntile(
         f" ELSE {r}L + ({rank_col} - 1L - {boundary}L) DIV {max(q, 1)}L END"
     )
     return ranked.withColumn(out_col, (tile + 1).cast("int")).drop(rank_col)
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    rank_col: str = "_grank",
+    num_parts: int = 8,
+) -> DataFrame:
+    """Exact 1-based rank WITHIN each group, without funneling a whole
+    group through one task — the grouped form of :func:`global_rank`.
+
+    A plain ``Window.partitionBy(group)`` is the right tool when groups
+    are plentiful; with a HANDFUL of huge groups (order-status flags,
+    boolean segments) each partition is a third of the corpus through
+    one task. Here the data range-partitions on (group, order) so every
+    task ranks only its slice, per-(partition, group) row counts come
+    back as ONE P·G-row collect (use this helper only when the group
+    count G is small — that is exactly the skewed case), and start
+    offsets rejoin via broadcast.
+    """
+    parts = df.repartitionByRange(
+        num_parts, *group_cols, *order_cols
+    ).sortWithinPartitions(*group_cols, *order_cols)
+    parts = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    counts = (
+        parts.groupBy("_pid", *group_cols).count().orderBy("_pid").collect()
+    )
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in counts:
+        gkey = tuple(r[c] for c in group_cols)
+        rows.append((r["_pid"], *gkey, acc.get(gkey, 0)))
+        acc[gkey] = acc.get(gkey, 0) + r["count"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        rows, ["_pid", *group_cols, "_goff"]
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    return (
+        parts.join(F.broadcast(off), ["_pid", *group_cols])
+        .withColumn(rank_col, (F.col("_goff") + F.row_number().over(w)).cast("bigint"))
+        .drop("_pid", "_goff")
+    )

@@ -877,3 +877,106 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * (rev_c - rev_prev_c)) DIV rev_prev_c AS BIGINT)"
         ).alias("wow_bp"),
     )
+
+
+# --- winsorized (robust) mean ------------------------------------------------
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    cuts AS (
+      SELECT grp, MAX(n) AS n,
+             (MAX(n) + 19) // 20 AS k_lo,
+             MAX(n) + 1 - (MAX(n) + 19) // 20 AS k_hi,
+             MIN(CASE WHEN rk = (n + 19) // 20 THEN cents END) AS lo_c,
+             MIN(CASE WHEN rk = n + 1 - (n + 19) // 20 THEN cents END) AS hi_c
+      FROM v GROUP BY grp
+    )
+    SELECT v.grp, CAST(cuts.n AS BIGINT) AS n,
+           CAST(cuts.lo_c AS BIGINT) AS lo_c,
+           CAST(cuts.hi_c AS BIGINT) AS hi_c,
+           CAST((2 * SUM(LEAST(GREATEST(v.cents, cuts.lo_c), cuts.hi_c))
+                 + cuts.n) // (2 * cuts.n) AS BIGINT) AS wins_mean_c,
+           CAST((2 * SUM(v.cents) + cuts.n) // (2 * cuts.n) AS BIGINT)
+             AS raw_mean_c
+    FROM v JOIN cuts USING (grp)
+    GROUP BY v.grp, cuts.n, cuts.lo_c, cuts.hi_c
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: clip to the exact symmetric
+    [rank ceil(n/20), rank n+1−ceil(n/20)] order statistics (≈[p5, p95])
+    before averaging — the robust mean a metrics pipeline uses when a
+    handful of whale rows would otherwise own the average. Exact order
+    statistics (not approx percentiles) because two engines' percentile
+    interpolations never bit-agree; integer cents + round-half-up means
+    keep the hash gate exact.
+
+    Scale shape: l_returnflag has THREE values, so the oracle's
+    per-group rank window would funnel a third of the corpus through
+    one task — the engine instead uses
+    ``functions.distributed.grouped_rank`` (range-partition on
+    (group, value), P·G-row offset collect, broadcast rejoin), so no
+    task ranks more than its slice; the cut lookup is a G-row broadcast
+    join and the final agg is one partial+final pass."""
+    from ..catalog import table as _table
+    from ..functions.distributed import grouped_rank
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    v = grouped_rank(
+        li,
+        ["grp"],
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rank_col="rk",
+    ).select("grp", "cents", "rk")
+    sizes = v.groupBy("grp").agg(F.max("rk").alias("n"))
+    cuts = (
+        v.join(F.broadcast(sizes), "grp")
+        .withColumn("k_lo", F.expr("(n + 19) DIV 20"))
+        .withColumn("k_hi", F.expr("n + 1 - (n + 19) DIV 20"))
+        .groupBy("grp", "n")
+        .agg(
+            F.min(F.when(F.col("rk") == F.col("k_lo"), F.col("cents"))).alias(
+                "lo_c"
+            ),
+            F.min(F.when(F.col("rk") == F.col("k_hi"), F.col("cents"))).alias(
+                "hi_c"
+            ),
+        )
+    )
+    return (
+        v.join(F.broadcast(cuts), "grp")
+        .groupBy("grp", "n", "lo_c", "hi_c")
+        .agg(
+            F.expr(
+                "CAST((2 * SUM(LEAST(GREATEST(cents, lo_c), hi_c)) + n)"
+                " DIV (2 * n) AS BIGINT)"
+            ).alias("wins_mean_c"),
+            F.expr(
+                "CAST((2 * SUM(cents) + n) DIV (2 * n) AS BIGINT)"
+            ).alias("raw_mean_c"),
+        )
+        .select(
+            "grp",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("lo_c").cast("bigint").alias("lo_c"),
+            F.col("hi_c").cast("bigint").alias("hi_c"),
+            "wins_mean_c",
+            "raw_mean_c",
+        )
+    )

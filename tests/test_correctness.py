@@ -1351,3 +1351,45 @@ def test_period_over_period_across_sfs(sfd, spark, ddb_by_sf):
     spark_pdf = spec.fn(spark, sfd).toPandas()
     oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
     compare_frames(spark_pdf, oracle_pdf, f"ts_period_over_period@{sfd}")
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_winsorized_mean_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["agg_winsorized_mean"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"agg_winsorized_mean@{sfd}")
+
+
+def test_grouped_rank_equals_partitioned_row_number(spark):
+    """grouped_rank (range-partitioned two-phase, broadcast offsets) must
+    equal row_number() OVER (PARTITION BY g ORDER BY ...) exactly,
+    including when a group straddles several range partitions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nfdump2clickhouse_spark.functions.distributed import grouped_rank
+
+    df = spark.range(997).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 37 % 101).alias("v"), "id"
+    )
+    got = (
+        grouped_rank(df, ["g"], [F.asc("v"), F.asc("id")], "rk", num_parts=5)
+        .select("id", "rk")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.select(
+            "id",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("v", "id"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
