@@ -980,3 +980,152 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean_c",
         )
     )
+
+
+# --- lexicon sentiment scoring -----------------------------------------------
+
+# valence lexicon over the fixture vocabulary (the real swap-in is any
+# public lexicon table; integer weights keep the hash gate exact)
+_SENTI = [
+    ("fast", 2),
+    ("big", 1),
+    ("merge", 1),
+    ("slow", -2),
+    ("small", -1),
+    ("dup", -1),
+]
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(w, wt) AS (
+      VALUES {", ".join(f"('{w}', {s})" for w, s in _SENTI)}
+    ),
+    t AS (
+      SELECT d.doc_id, d.source, UNNEST(string_split(d.text, ' ')) AS w
+      FROM documents d
+    ),
+    s AS (
+      SELECT t.doc_id, t.source,
+             CAST(COALESCE(SUM(lex.wt), 0) AS BIGINT) AS score
+      FROM t LEFT JOIN lex ON t.w = lex.w
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(score > 0) AS BIGINT) AS n_pos,
+           CAST(count_if(score < 0) AS BIGINT) AS n_neg,
+           CAST(SUM(score) AS BIGINT) AS total_score
+    FROM s GROUP BY source
+    """,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring — the classic distributed-Spark
+    text-scoring workload (cf. the EDBT'16 large-scale Twitter
+    sentiment-on-Spark line of work [PAPERS.md]): per-document valence
+    = sum of lexicon weights over tokens, rolled up per source.
+
+    Scale shape: the lexicon is a tiny BROADCAST table (any public
+    lexicon is ~10k rows) joined against the exploded token stream —
+    the join carries (doc, token) rows with integer weights, the
+    per-doc sum is one partial+final agg keyed on doc, and the
+    source rollup reuses the already-small per-doc table. Integer
+    weights end-to-end; no floats to drift."""
+    from ..catalog import table as _table
+
+    lex = F.broadcast(
+        spark.createDataFrame(_SENTI, "w string, wt int")
+    )
+    d = _table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    s = (
+        t.join(lex, "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.coalesce(F.sum("wt"), F.lit(0)).cast("bigint").alias("score"))
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("score") > 0).cast("bigint").alias("n_pos"),
+        F.count_if(F.col("score") < 0).cast("bigint").alias("n_neg"),
+        F.sum("score").cast("bigint").alias("total_score"),
+    )
+
+
+# --- time-series subsequence similarity search -------------------------------
+
+
+@register("ts_subsequence_search")  # rows-only: z-normalized Euclidean
+# involves per-window float sqrt/mean; pinned against numpy in tests
+def ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (cf. the EDBT'19
+    distributed streaming-similarity line [PAPERS.md], UCR-suite-style
+    z-normalized Euclidean): which 8-day revenue windows look most like
+    the most recent one? Every window and the query are z-normalized so
+    the match is SHAPE, not level — the primitive under motif discovery
+    and 'find me a week like this one' ops analytics.
+
+    Scale shape: the corpus-scale work is the day-keyed agg; sliding
+    windows materialize over the POST-AGG day series via lead() arrays
+    (series length = days, thousands of rows at any corpus size — the
+    ts_ post-agg discipline); the query window is a 1-row collect
+    broadcast as a literal; distance is a zip_with fold; top-5 plans as
+    TakeOrderedAndProject. At many-series scale the same shape runs
+    per series_id with the window PARTITIONED BY series."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    L = 8
+    o = _table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100)) / 100.0).alias("rev")
+    )
+    wd = Window.orderBy("day")  # post-agg day series (ts_ discipline)
+    win = (
+        d.select(
+            "day",
+            F.array(
+                *[F.lead("rev", i).over(wd) for i in range(L)]
+            ).alias("w"),
+        )
+        .filter(~F.exists("w", lambda x: x.isNull()))
+        .localCheckpoint()
+    )
+    q = win.orderBy(F.desc("day")).limit(1).collect()[0]
+    import math
+
+    qm = sum(q["w"]) / L
+    qs = math.sqrt(sum((x - qm) ** 2 for x in q["w"]) / L) or 1e-9
+    zq = F.lit([float((x - qm) / qs) for x in q["w"]])
+
+    m = F.aggregate("w", F.lit(0.0), lambda a, x: a + x) / L
+    s2 = F.aggregate(
+        F.transform("w", lambda x: (x - F.col("_m")) * (x - F.col("_m"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / L
+    zdist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.transform("w", lambda x: (x - F.col("_m")) / F.col("_s")),
+                zq,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        win.filter(F.col("day") < F.date_sub(F.lit(q["day"]), L - 1))
+        .withColumn("_m", m)
+        .withColumn("_s", F.sqrt(s2) + F.lit(1e-9))
+        .select(
+            F.col("day").cast("timestamp").alias("start_day"),
+            F.round(zdist, 4).alias("zdist"),
+        )
+        .orderBy("zdist", "start_day")
+        .limit(5)
+    )

@@ -1393,3 +1393,50 @@ def test_grouped_rank_equals_partitioned_row_number(spark):
         .reset_index(drop=True)
     )
     assert got.equals(exp)
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_sentiment_lexicon_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["text_sentiment_lexicon"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"text_sentiment_lexicon@{sfd}")
+
+
+def test_subsequence_search_matches_numpy(spark, sf_dir):
+    """ts_subsequence_search pinned against a direct numpy z-normalized
+    Euclidean recomputation of the same day series: identical top-5
+    start days and round-4 distances."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = SPECS["ts_subsequence_search"].fn(spark, sf_dir).toPandas()
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100)) / 100.0).alias("rev"))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    L = 8
+    rev = d["rev"].to_numpy()
+    days = pd.to_datetime(d["day"]).to_numpy()
+    W = np.lib.stride_tricks.sliding_window_view(rev, L)
+    starts = days[: len(W)]
+    def z(x):
+        s = x.std()  # population std (ddof=0), matching the operator
+        return (x - x.mean()) / (s + 1e-9)
+    zq = z(W[-1])
+    # exclude windows overlapping the query window's span
+    q_start = starts[-1]
+    mask = starts < (q_start - np.timedelta64(L - 1, "D"))
+    dists = np.sqrt(((np.array([z(w) for w in W]) - zq) ** 2).sum(axis=1))
+    cand = pd.DataFrame({"start_day": starts, "zdist": np.round(dists, 4)})[mask]
+    exp = cand.sort_values(["zdist", "start_day"]).head(5).reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    assert list(pd.to_datetime(got["start_day"])) == list(pd.to_datetime(exp["start_day"])), (got, exp)
+    assert np.allclose(got["zdist"], exp["zdist"], atol=2e-4)
