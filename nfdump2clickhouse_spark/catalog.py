@@ -28,10 +28,18 @@ def _events_ts_is_nanos(path: str) -> bool:
     """True when the events fixture stores ``ts`` as TIMESTAMP(NANOS)."""
     cached = _TS_NANOS_CACHE.get(path)
     if cached is None:
+        import glob
+
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
-        ts_type = pq.read_schema(path).field("ts").type
+        probe = path
+        if os.path.isdir(path):  # Spark writes directory-form parquet
+            parts = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+            if not parts:
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            probe = parts[0] if parts else path
+        ts_type = pq.read_schema(probe).field("ts").type
         cached = pat.is_timestamp(ts_type) and ts_type.unit == "ns"
         _TS_NANOS_CACHE[path] = cached
     return cached

@@ -1,0 +1,103 @@
+"""Scale probe: build an N×-scaled copy of an SF fixture in /tmp and
+measure wall-time ratios of the heaviest keys vs the base fixture.
+
+The point is empirical 'would this survive a scale-up?' evidence: each
+big table is unioned N times with key offsets chosen to PRESERVE
+referential integrity (orderkeys offset in lineitem+orders together;
+dims untouched so FK joins stay valid; texts/embeddings repeat verbatim,
+which deliberately stress-tests the dedup families with real cross-copy
+duplicate mass). A key whose wall ratio grossly exceeds the data ratio
+has a nonlinearity worth investigating.
+
+Run: python tools/scale_probe.py [N] [base_sf_dir]   (defaults 8, sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from nfdump2clickhouse_spark import registry  # noqa: E402
+from nfdump2clickhouse_spark.session import get_spark  # noqa: E402
+
+PROBED = [
+    "agg_pricing_summary",
+    "join_multiway",
+    "topk_per_group",
+    "stats_ks_test",          # two-phase prefix sums
+    "curriculum_binning",     # exact_ntile two-phase rank
+    "agg_winsorized_mean",    # grouped_rank two-phase
+    "sample_temperature",
+    "events_rfm_segmentation",
+    "text_tfidf",
+    "dedup_ngram_jaccard",    # capped inverted index under 8x dup mass
+    "dedup_substring_spans",  # diagonal span merge under 8x dup mass
+    "dedup_minhash_pure",
+]
+
+SMALL = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build(spark, base: str, out: str, n: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in SMALL:
+        spark.read.parquet(f"{base}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+    def scaled(name, key_offsets):
+        df = spark.read.parquet(f"{base}/{name}.parquet")
+        maxes = {
+            c: df.agg(F.max(c)).collect()[0][0] + 1 for c in key_offsets
+        }
+        parts = []
+        for i in range(n):
+            p = df
+            for c in key_offsets:
+                p = p.withColumn(c, F.col(c) + F.lit(i * maxes[c]))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    # orderkey offsets applied to BOTH orders and lineitem => joins intact
+    scaled("orders", ["o_orderkey"])
+    scaled("lineitem", ["l_orderkey"])
+    scaled("events", ["event_id", "user_id"])
+    scaled("documents", ["doc_id"])
+    scaled("embeddings", ["vec_id"])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = f"/tmp/sf_scale_probe_x{n}"
+    spark = get_spark("scale-probe")
+    if not os.path.exists(f"{out}/embeddings.parquet"):
+        t0 = time.perf_counter()
+        build(spark, base, out, n)
+        print(f"built {out} in {time.perf_counter() - t0:.1f}s", flush=True)
+    specs = registry.all_specs()
+
+    def run(key, sf):
+        t0 = time.perf_counter()
+        specs[key].fn(spark, sf).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    print(f"{'key':26s} {'base':>7s} {'x' + str(n):>8s} {'ratio':>6s}")
+    for key in PROBED:
+        run(key, base)  # warm
+        tb = min(run(key, base), run(key, base))
+        ts = min(run(key, out), run(key, out))
+        print(f"{key:26s} {tb:7.2f} {ts:8.2f} {ts / tb:6.1f}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
