@@ -23,11 +23,21 @@ _NF5_HEADER = struct.Struct(">HHIIIIBBH")  # 24 bytes
 _NF5_RECORD = struct.Struct(">IIIHHIIIIHHBBBBHHBBH")  # 48 bytes
 
 
-def write_netflow_v5(path: str, n_files: int = 4, records_per_file: int = 30) -> None:
+def write_netflow_v5(
+    path: str,
+    n_files: int = 4,
+    records_per_file: int = 30,
+    sampling_interval: int = 0,
+) -> None:
     """Deterministic NetFlow v5 export packets, one per 'rotation': the
     24-byte header + 48-byte records the real nfcapd wire/disk world
-    speaks (field layout per Cisco's published v5 spec)."""
+    speaks (field layout per Cisco's published v5 spec).
+
+    ``sampling_interval`` > 0 writes the header's sampling field with
+    mode 01 (packet-sampled) in the top 2 bits and the interval in the
+    low 14 — the input `flows_sampling_correction` corrects for."""
     os.makedirs(path, exist_ok=True)
+    sampling = (0b01 << 14) | sampling_interval if sampling_interval else 0
     for f in range(n_files):
         recs = []
         for r in range(records_per_file):
@@ -46,7 +56,7 @@ def write_netflow_v5(path: str, n_files: int = 4, records_per_file: int = 30) ->
                 )
             )
         header = _NF5_HEADER.pack(
-            5, len(recs), 3_600_000, 1_709_251_200 + 300 * f, 0, 0, 0, 0, 0
+            5, len(recs), 3_600_000, 1_709_251_200 + 300 * f, 0, 0, 0, 0, sampling
         )
         with open(os.path.join(path, f"nfcapd.{f:04d}"), "wb") as fh:
             fh.write(header + b"".join(recs))

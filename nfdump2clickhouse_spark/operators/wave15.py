@@ -1129,3 +1129,154 @@ def ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zdist", "start_day")
         .limit(5)
     )
+
+
+# --- sampled-NetFlow counter correction --------------------------------------
+
+
+@register("flows_sampling_correction")  # rows-only: binary fixture is
+# synthesized locally; corrected == raw x interval is pinned in tests
+def flows_sampling_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-NetFlow renormalization — routers exporting 1-in-N
+    packet-sampled v5 put mode=01 and the interval N in the header's
+    sampling field, and every consumer (nfdump included) must scale
+    packet/byte counters by N before totals mean anything. The decode
+    extends `flows_netflow_v5_decode`: struct-unpack per capture in
+    mapInPandas, read the header sampling field, and emit BOTH raw and
+    xN-corrected totals per capture so the correction is auditable.
+
+    Scale shape: identical to the v5 decoder — one capture per Python
+    batch row, O(file bytes) unpack, parallelism = file count."""
+    import struct as st
+
+    from .wave10 import write_netflow_v5
+
+    base = tempfile.mkdtemp(prefix="sf_nf5s_")
+    write_netflow_v5(base, n_files=3, records_per_file=20, sampling_interval=100)
+
+    hdr_fmt, rec_fmt = ">HHIIIIBBH", ">IIIHHIIIIHHBBBBHHBBH"
+    hdr_size, rec_size = st.calcsize(hdr_fmt), st.calcsize(rec_fmt)
+
+    def decode(batches):
+        import struct as stt
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if len(content) < hdr_size:
+                    continue
+                hdr = stt.unpack_from(hdr_fmt, content, 0)
+                ver, cnt, sampling = hdr[0], hdr[1], hdr[8]
+                if ver != 5:
+                    continue
+                mode, interval = sampling >> 14, sampling & 0x3FFF
+                scale = interval if (mode == 1 and interval > 0) else 1
+                off = hdr_size
+                for _ in range(cnt):
+                    rec = stt.unpack_from(rec_fmt, content, off)
+                    off += rec_size
+                    pkts, octets = rec[5], rec[6]
+                    out.append(
+                        (
+                            os.path.basename(path),
+                            int(scale),
+                            int(pkts),
+                            int(octets),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["capture", "scale", "ipkt", "ibyt"]
+                )
+
+    raw = spark.read.format("binaryFile").load(os.path.join(base, "nfcapd.*"))
+    flows = raw.select("path", "content").mapInPandas(
+        decode, "capture string, scale int, ipkt long, ibyt long"
+    )
+    return flows.groupBy("capture", "scale").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ipkt").alias("raw_pkts"),
+        F.sum("ibyt").alias("raw_bytes"),
+        (F.sum("ipkt") * F.first("scale")).alias("est_pkts"),
+        (F.sum("ibyt") * F.first("scale")).alias("est_bytes"),
+    )
+
+
+# --- exact per-group quartiles -----------------------------------------------
+
+
+@register(
+    "agg_group_quantiles_exact",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS BIGINT)
+             AS p25_c,
+           CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS BIGINT)
+             AS p50_c,
+           CAST(MIN(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS BIGINT)
+             AS p75_c
+    FROM v GROUP BY grp, n
+    """,
+)
+def agg_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles as order statistics (rank ceil(q·n) —
+    the lower-quartile convention; approx percentiles' interpolations
+    never bit-agree across engines, exact ranks do). The dashboard
+    staple percentile_approx approximates; this is the audited form.
+
+    Scale shape: same skewed-3-group hazard as `agg_winsorized_mean`,
+    same fix — ``functions.distributed.grouped_rank`` ranks each range
+    slice instead of funneling a third of the corpus through one window
+    task; quartile extraction is then a rank-equality filter folded
+    into ONE partial+final agg."""
+    from ..catalog import table as _table
+    from ..functions.distributed import grouped_rank
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    v = grouped_rank(
+        li,
+        ["grp"],
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rank_col="rk",
+    ).select("grp", "cents", "rk")
+    sizes = v.groupBy("grp").agg(F.max("rk").alias("n"))
+    return (
+        v.join(F.broadcast(sizes), "grp")
+        .groupBy("grp", "n")
+        .agg(
+            F.min(
+                F.when(F.col("rk") == F.expr("(n + 3) DIV 4"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("p25_c"),
+            F.min(
+                F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("p50_c"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.expr("(3 * n + 3) DIV 4"), F.col("cents")
+                )
+            )
+            .cast("bigint")
+            .alias("p75_c"),
+        )
+        .select(
+            "grp", F.col("n").cast("bigint").alias("n"), "p25_c", "p50_c", "p75_c"
+        )
+    )

@@ -1440,3 +1440,32 @@ def test_subsequence_search_matches_numpy(spark, sf_dir):
     got = got.reset_index(drop=True)
     assert list(pd.to_datetime(got["start_day"])) == list(pd.to_datetime(exp["start_day"])), (got, exp)
     assert np.allclose(got["zdist"], exp["zdist"], atol=2e-4)
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_group_quantiles_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["agg_group_quantiles_exact"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"agg_group_quantiles_exact@{sfd}")
+
+
+def test_sampling_correction_scales_exactly(spark, sf_dir):
+    """Corrected totals must equal raw x the header's sampling interval
+    (100 here), and raw totals must match the generator's deterministic
+    per-file formulas."""
+    pdf = (
+        SPECS["flows_sampling_correction"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("capture")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 3 and (pdf["scale"] == 100).all()
+    assert (pdf["est_pkts"] == pdf["raw_pkts"] * 100).all()
+    assert (pdf["est_bytes"] == pdf["raw_bytes"] * 100).all()
+    for f in range(3):
+        pkts = sum(1 + (r * 3 + f) % 100 for r in range(20))
+        octs = sum((1 + (r * 3 + f) % 100) * (64 + (r * 13) % 1400) for r in range(20))
+        assert int(pdf.iloc[f]["raw_pkts"]) == pkts
+        assert int(pdf.iloc[f]["raw_bytes"]) == octs
