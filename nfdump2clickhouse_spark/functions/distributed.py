@@ -107,6 +107,14 @@ def grouped_rank(
     back as ONE P·G-row collect (use this helper only when the group
     count G is small — that is exactly the skewed case), and start
     offsets rejoin via broadcast.
+
+    One cost to know: ``localCheckpoint`` materializes the range
+    partitioning but DROPS Catalyst's outputPartitioning metadata, so
+    the (pid, group) window below re-shuffles once — a bounded hash
+    exchange of the already-projected columns, co-locating rows that
+    are in fact already co-located. The two-phase structure still
+    removes the per-group single-task funnel, which is the hazard that
+    matters at scale.
     """
     parts = df.repartitionByRange(
         num_parts, *group_cols, *order_cols

@@ -475,3 +475,30 @@ def test_round3_shuffle_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_round3_late_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the late round-3 keys (broadcast exchanges
+    included, as in the earlier budget tests). The grouped_rank keys
+    carry the known post-checkpoint re-shuffle (see
+    functions/distributed.py) — budgets pin today's counts so growth is
+    a visible regression."""
+    budgets = {
+        "stats_bootstrap_ci": 2,
+        "ts_period_over_period": 2,
+        "text_sentiment_lexicon": 3,
+        "dedup_substring_spans": 6,
+        "agg_group_quantiles_exact": 7,
+        "agg_winsorized_mean": 10,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+    # and none of them may regress to an unpartitioned ordered window,
+    # except the documented post-agg day-series lag in period-over-period
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    for key in ["stats_bootstrap_ci", "agg_winsorized_mean",
+                "agg_group_quantiles_exact", "dedup_substring_spans"]:
+        assert not unpartitioned_window_specs(SPECS[key].fn(spark, sf_dir)), key
