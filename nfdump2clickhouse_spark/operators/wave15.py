@@ -1280,3 +1280,89 @@ def agg_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp", F.col("n").cast("bigint").alias("n"), "p25_c", "p50_c", "p75_c"
         )
     )
+
+
+# --- difference-in-differences -----------------------------------------------
+
+
+@register(
+    "events_did_estimator",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'ctrl' END AS grp,
+             CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 'post'
+                  ELSE 'pre' END AS period,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT grp, period, COUNT(*) AS n,
+             CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS mean_c
+      FROM c GROUP BY grp, period
+    )
+    SELECT
+      CAST(SUM(n) AS BIGINT) AS n_purchases,
+      CAST(MIN(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_c END)
+           AS BIGINT) AS m_treat_pre,
+      CAST(MIN(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_c END)
+           AS BIGINT) AS m_treat_post,
+      CAST(MIN(CASE WHEN grp = 'ctrl' AND period = 'pre' THEN mean_c END)
+           AS BIGINT) AS m_ctrl_pre,
+      CAST(MIN(CASE WHEN grp = 'ctrl' AND period = 'post' THEN mean_c END)
+           AS BIGINT) AS m_ctrl_post,
+      CAST((MIN(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_c END)
+            - MIN(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_c END))
+           - (MIN(CASE WHEN grp = 'ctrl' AND period = 'post' THEN mean_c END)
+              - MIN(CASE WHEN grp = 'ctrl' AND period = 'pre' THEN mean_c END))
+           AS BIGINT) AS did_c
+    FROM m
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimate for a
+    rollout without randomization: (treated post − treated pre) minus
+    (control post − control pre) cancels both the group baseline gap
+    and the common time trend. Hash split defines treatment (backfill-
+    stable, like every sampler here); purchase value in integer cents
+    with round-half-up cell means, so the estimate is integer-exact
+    cross-engine.
+
+    Scale shape: ONE conditional partial+final agg over the purchase
+    scan produces the four cells; the estimator is a 4-row fold. The
+    window for inference is `stats_bootstrap_ci`'s Poisson bootstrap —
+    same split keys, resample the DiD instead of a mean."""
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    c = e.select(
+        F.when(F.col("user_id") % 2 == 1, "treat").otherwise("ctrl").alias("grp"),
+        F.when(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"), "post")
+        .otherwise("pre")
+        .alias("period"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = c.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST((2 * SUM(cents) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)")
+        .alias("mean_c"),
+    )
+
+    def cell(g, p):
+        return F.min(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_c"))
+        )
+
+    return m.agg(
+        F.sum("n").cast("bigint").alias("n_purchases"),
+        cell("treat", "pre").cast("bigint").alias("m_treat_pre"),
+        cell("treat", "post").cast("bigint").alias("m_treat_post"),
+        cell("ctrl", "pre").cast("bigint").alias("m_ctrl_pre"),
+        cell("ctrl", "post").cast("bigint").alias("m_ctrl_post"),
+        (
+            (cell("treat", "post") - cell("treat", "pre"))
+            - (cell("ctrl", "post") - cell("ctrl", "pre"))
+        )
+        .cast("bigint")
+        .alias("did_c"),
+    )

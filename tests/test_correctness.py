@@ -1469,3 +1469,22 @@ def test_sampling_correction_scales_exactly(spark, sf_dir):
         octs = sum((1 + (r * 3 + f) % 100) * (64 + (r * 13) % 1400) for r in range(20))
         assert int(pdf.iloc[f]["raw_pkts"]) == pkts
         assert int(pdf.iloc[f]["raw_bytes"]) == octs
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_did_estimator_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["events_did_estimator"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"events_did_estimator@{sfd}")
+
+
+def test_did_identity(spark, sf_dir):
+    """DiD must equal (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+    of the reported cell means, and the null-effect hash split should
+    keep |DiD| far below the overall mean (no real treatment exists)."""
+    row = SPECS["events_did_estimator"].fn(spark, sf_dir).collect()[0]
+    did = (row.m_treat_post - row.m_treat_pre) - (row.m_ctrl_post - row.m_ctrl_pre)
+    assert row.did_c == did
+    overall = (row.m_treat_pre + row.m_treat_post + row.m_ctrl_pre + row.m_ctrl_post) / 4
+    assert abs(row.did_c) < 0.5 * overall
