@@ -1488,3 +1488,23 @@ def test_did_identity(spark, sf_dir):
     assert row.did_c == did
     overall = (row.m_treat_pre + row.m_treat_post + row.m_ctrl_pre + row.m_ctrl_post) / 4
     assert abs(row.did_c) < 0.5 * overall
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_label_propagation_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["graph_label_propagation"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"graph_label_propagation@{sfd}")
+
+
+def test_label_propagation_partitions_and_structure(spark, sf_dir):
+    """Communities must partition all 25 nations, the k-NN
+    sparsification must expose structure (>= 2 communities — the dense
+    graph collapses to one), and each community's representative label
+    must be one of its own members (labels originate from node ids)."""
+    pdf = SPECS["graph_label_propagation"].fn(spark, sf_dir).toPandas()
+    assert int(pdf["n_nations"].sum()) == 25
+    assert len(pdf) >= 2  # k-NN sparsification must expose structure
+    assert (pdf["min_nation"] <= pdf["community"]).all()
+    assert (pdf["community"] <= pdf["max_nation"]).all()
