@@ -910,7 +910,9 @@ def test_registry_order_certification_rotation():
     # within the uncertified tier the expensive streaming demos still trail
     uncertified = [k for k in keys if registry._certification_evidence().get(k) != "pass"]
     stream_pos = [i for i, k in enumerate(uncertified) if k.startswith("stream_")]
-    assert all(i >= len(uncertified) - 50 for i in stream_pos), (
+    # fractional bound: robust to registry growth (absolute tail-window
+    # bounds broke every time a wave added keys)
+    assert all(i >= 0.6 * len(uncertified) for i in stream_pos), (
         "streaming demos must trail the uncertified tier")
 
 
