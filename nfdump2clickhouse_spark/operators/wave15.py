@@ -1501,3 +1501,101 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("bigint").alias("min_nation"),
         F.max("node").cast("bigint").alias("max_nation"),
     )
+
+
+# --- nearest-direction as-of join --------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_type, event_id,
+             LAST_VALUE(CASE WHEN event_type = 'signup'
+                             THEN {'id': event_id, 'ts': ts} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_s,
+             FIRST_VALUE(CASE WHEN event_type = 'signup'
+                              THEN {'id': event_id, 'ts': ts} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_s
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN next_s IS NULL THEN prev_s.id
+                WHEN prev_s IS NULL THEN next_s.id
+                WHEN epoch_us(ts) - epoch_us(prev_s.ts)
+                     <= epoch_us(next_s.ts) - epoch_us(ts) THEN prev_s.id
+                ELSE next_s.id END AS signup_id,
+           CASE WHEN next_s IS NULL THEN 'backward'
+                WHEN prev_s IS NULL THEN 'forward'
+                WHEN epoch_us(ts) - epoch_us(prev_s.ts)
+                     <= epoch_us(next_s.ts) - epoch_us(ts) THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM u
+    WHERE event_type = 'purchase' AND (prev_s IS NOT NULL OR next_s IS NOT NULL)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' — completes the merge_asof
+    direction surface next to `join_asof`'s backward form: each
+    purchase matches the signup (same user) closest IN EITHER time
+    direction, ties resolve backward (the earlier signup), documented and pinned.
+
+    Same union-the-streams shape as `asof_join`: ONE user-keyed sort
+    serves BOTH candidate windows (last prior signup via an
+    ignorenulls running last; first later signup via the mirrored
+    forward frame), so nearest costs the same single shuffle as
+    backward — never a per-row range probe. Distances compare as
+    integer epoch-microseconds; raw ts never reaches the output
+    (SURVEY §5.3)."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    sig = F.when(
+        F.col("event_type") == "signup",
+        F.struct(F.col("event_id").alias("id"), F.col("ts").alias("ts")),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        F.last(sig, ignorenulls=True).over(wp).alias("prev_s"),
+        F.first(sig, ignorenulls=True).over(wf).alias("next_s"),
+    )
+    dp = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_s.ts"))
+    dn = F.unix_micros(F.col("next_s.ts")) - F.unix_micros(F.col("ts"))
+    backward = F.col("next_s").isNull() | (
+        F.col("prev_s").isNotNull() & (dp <= dn)
+    )
+    return (
+        u.filter(F.col("event_type") == "purchase")
+        .filter(F.col("prev_s").isNotNull() | F.col("next_s").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.when(backward, F.col("prev_s.id"))
+            .otherwise(F.col("next_s.id"))
+            .alias("signup_id"),
+            F.when(backward, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+    )

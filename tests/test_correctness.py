@@ -1510,3 +1510,43 @@ def test_label_propagation_partitions_and_structure(spark, sf_dir):
     assert len(pdf) >= 2  # k-NN sparsification must expose structure
     assert (pdf["min_nation"] <= pdf["community"]).all()
     assert (pdf["community"] <= pdf["max_nation"]).all()
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_asof_nearest_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["join_asof_nearest"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"join_asof_nearest@{sfd}")
+
+
+def test_asof_nearest_is_truly_nearest(spark, sf_dir):
+    """Brute-force property check on a sample of users: the matched
+    signup must minimize |purchase_ts - signup_ts| among the user's
+    signups (ties resolved backward)."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = SPECS["join_asof_nearest"].fn(spark, sf_dir).toPandas()
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", "event_type", "ts")
+        .toPandas()
+    )
+    sample = got[got["user_id"] < 50]
+    assert len(sample) > 0
+    for _, r in sample.iterrows():
+        u = ev[ev["user_id"] == r["user_id"]]
+        p = u[u["event_id"] == r["purchase_id"]].iloc[0]
+        sigs = u[u["event_type"] == "signup"]
+        best = min(
+            sigs.itertuples(),
+            key=lambda s: (abs((p["ts"] - s.ts).value), s.ts > p["ts"], s.event_id),
+        )
+        chosen = sigs[sigs["event_id"] == r["signup_id"]].iloc[0]
+        assert abs((p["ts"] - chosen["ts"]).value) == abs((p["ts"] - best.ts).value), r
