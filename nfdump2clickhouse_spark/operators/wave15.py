@@ -1599,3 +1599,97 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# --- exact tie-aware AUC -----------------------------------------------------
+
+
+@register(
+    "ml_eval_auc",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    dv AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v, np, nn,
+             SUM(nn) OVER (ORDER BY v) - nn AS cneg_lt  -- negatives strictly below
+      FROM dv
+    ),
+    t AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n,
+             CAST(SUM(np * (2 * cneg_lt + nn)) AS BIGINT) AS s2  -- 2*P*N*AUC
+      FROM c
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           CAST((2 * 1000000 * s2 + 2 * p * n) // (2 * 2 * p * n) AS BIGINT)
+             AS auc_e6
+    FROM t
+    """,
+)
+def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-aware ROC AUC of `value` predicting purchases — the
+    Mann-Whitney formulation every model-eval pipeline needs at corpus
+    scale: AUC = P(random positive scores above random negative, ties
+    half). Integer-exact end-to-end: 2·P·N·AUC = Σ_v np(v)·(2·cneg(<v)
+    + nn(v)) over DISTINCT score values, so nothing floats until the
+    final e6-scaled round-half-up division.
+
+    Scale shape: the same distinct-value + two-phase prefix-sum
+    machinery as `stats_ks_test` — one (score → pos/neg counts) agg
+    collapses ties, the strictly-below negative cumulative comes from
+    the range-partitioned prefix sum (pid-partitioned windows, no
+    global single-task sort), P·N totals fall out of the offset pass."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    s = e.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    dv = s.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("nn"),
+    )
+    parts = dv.repartitionByRange(8, "v").sortWithinPartitions("v")
+    parts = parts.withColumn("pid", F.spark_partition_id()).localCheckpoint()
+    subtotals = (
+        parts.groupBy("pid").agg(F.sum("nn").alias("tn")).orderBy("pid").collect()
+    )
+    offs, acc = {}, 0
+    for row in subtotals:
+        offs[row["pid"]] = acc
+        acc += row["tn"] or 0
+    off = F.coalesce(
+        *[F.when(F.col("pid") == p, F.lit(o)) for p, o in offs.items()], F.lit(0)
+    )
+    w = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = parts.select(
+        "np",
+        "nn",
+        (off + F.sum("nn").over(w) - F.col("nn")).alias("cneg_lt"),
+    )
+    t = c.agg(
+        F.sum("np").cast("bigint").alias("p"),
+        F.sum("nn").cast("bigint").alias("n"),
+        F.sum(F.col("np") * (2 * F.col("cneg_lt") + F.col("nn")))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    return t.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.expr(
+            "CAST((2 * 1000000 * s2 + 2 * p * n) DIV (2 * 2 * p * n) AS BIGINT)"
+        ).alias("auc_e6"),
+    )

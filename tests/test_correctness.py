@@ -1550,3 +1550,42 @@ def test_asof_nearest_is_truly_nearest(spark, sf_dir):
         )
         chosen = sigs[sigs["event_id"] == r["signup_id"]].iloc[0]
         assert abs((p["ts"] - chosen["ts"]).value) == abs((p["ts"] - best.ts).value), r
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_auc_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["ml_eval_auc"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"ml_eval_auc@{sfd}")
+
+
+def test_auc_matches_numpy_mannwhitney(spark, sf_dir):
+    """Pin the integer AUC against a direct numpy tie-aware
+    rank-statistic computation (midrank Mann-Whitney U / (P*N))."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    row = SPECS["ml_eval_auc"].fn(spark, sf_dir).collect()[0]
+    pdf = (
+        table(spark, sf_dir, "events")
+        .select("value", (F.col("event_type") == "purchase").alias("pos"))
+        .toPandas()
+    )
+    v = pdf["value"].to_numpy()
+    y = pdf["pos"].to_numpy()
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    # midranks over ties
+    import pandas as pd
+
+    ranks[order] = pd.Series(sv).rank(method="average").to_numpy()
+    P, N = int(y.sum()), int((~y).sum())
+    u = ranks[y].sum() - P * (P + 1) / 2
+    auc = u / (P * N)
+    assert row.n_pos == P and row.n_neg == N
+    assert abs(row.auc_e6 / 1e6 - auc) < 2e-6, (row.auc_e6, auc)

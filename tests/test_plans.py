@@ -502,3 +502,12 @@ def test_round3_late_shuffle_budgets(spark, sf_dir):
     for key in ["stats_bootstrap_ci", "agg_winsorized_mean",
                 "agg_group_quantiles_exact", "dedup_substring_spans"]:
         assert not unpartitioned_window_specs(SPECS[key].fn(spark, sf_dir)), key
+
+
+def test_auc_no_unpartitioned_window(spark, sf_dir):
+    """ml_eval_auc shares stats_ks_test's two-phase machinery: no
+    ordered window without a partition spec may appear in its plan."""
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    df = SPECS["ml_eval_auc"].fn(spark, sf_dir)
+    assert not unpartitioned_window_specs(df)
