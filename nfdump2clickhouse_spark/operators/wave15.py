@@ -1693,3 +1693,100 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * 1000000 * s2 + 2 * p * n) DIV (2 * 2 * p * n) AS BIGINT)"
         ).alias("auc_e6"),
     )
+
+
+# --- model-eval: calibration + threshold metrics -----------------------------
+
+
+@register(
+    "ml_eval_calibration",
+    oracle="""
+    SELECT CAST(FLOOR(value / 100) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_pos,
+           CAST(10000 * count_if(event_type = 'purchase') // COUNT(*)
+                AS BIGINT) AS rate_bp
+    FROM events GROUP BY 1
+    """,
+)
+def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for `value` as a purchase score: observed
+    positive rate per fixed-width score bin — the reliability-diagram
+    input (a calibrated score's rate_bp tracks the bin midpoint).
+    Fixed-width bins rather than deciles keep the key a single
+    partial+final agg; exact-decile cuts compose with
+    `functions.distributed.exact_ntile` when equal-mass bins are
+    required. Integer counts + basis points: hash-exact."""
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 100).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("n_pos"),
+        F.expr(
+            "CAST(10000 * count_if(event_type = 'purchase') DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("rate_bp"),
+    )
+
+
+@register(
+    "ml_eval_pr_threshold",
+    oracle="""
+    WITH t(thr) AS (VALUES (100), (250), (500), (750)),
+    m AS (
+      SELECT t.thr,
+             count_if(e.value >= t.thr AND e.event_type = 'purchase') AS tp,
+             count_if(e.value >= t.thr AND e.event_type <> 'purchase') AS fp,
+             count_if(e.value < t.thr AND e.event_type = 'purchase') AS fn
+      FROM events e, t GROUP BY t.thr
+    )
+    SELECT CAST(thr AS BIGINT) AS thr,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(10000 * tp // GREATEST(tp + fp, 1) AS BIGINT) AS precision_bp,
+           CAST(10000 * tp // GREATEST(tp + fn, 1) AS BIGINT) AS recall_bp,
+           CAST(20000 * tp // GREATEST(2 * tp + fp + fn, 1) AS BIGINT) AS f1_bp
+    FROM m
+    """,
+)
+def ml_eval_pr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of the `value >= threshold` purchase
+    classifier at a fixed threshold grid — the operating-point sweep
+    next to `ml_eval_auc`'s ranking view. All four thresholds ride ONE
+    scan: the tiny grid cross-joins in (broadcast literal), confusion
+    counts are conditional aggregates, and the ratios are floor-divided
+    basis points (integer-exact; F1 = 2tp/(2tp+fp+fn) in one
+    division)."""
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    thr = spark.createDataFrame([(100,), (250,), (500,), (750,)], "thr int")
+    is_p = F.col("event_type") == "purchase"
+    hit = F.col("value") >= F.col("thr")
+    return (
+        e.crossJoin(F.broadcast(thr))
+        .groupBy(F.col("thr").cast("bigint").alias("thr"))
+        .agg(
+            F.count_if(hit & is_p).cast("bigint").alias("tp"),
+            F.count_if(hit & ~is_p).cast("bigint").alias("fp"),
+            F.count_if(~hit & is_p).cast("bigint").alias("fn"),
+        )
+        .select(
+            "thr",
+            "tp",
+            "fp",
+            "fn",
+            F.expr(
+                "CAST(10000 * tp DIV GREATEST(tp + fp, 1) AS BIGINT)"
+            ).alias("precision_bp"),
+            F.expr(
+                "CAST(10000 * tp DIV GREATEST(tp + fn, 1) AS BIGINT)"
+            ).alias("recall_bp"),
+            F.expr(
+                "CAST(20000 * tp DIV GREATEST(2 * tp + fp + fn, 1) AS BIGINT)"
+            ).alias("f1_bp"),
+        )
+    )

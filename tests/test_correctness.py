@@ -1589,3 +1589,24 @@ def test_auc_matches_numpy_mannwhitney(spark, sf_dir):
     auc = u / (P * N)
     assert row.n_pos == P and row.n_neg == N
     assert abs(row.auc_e6 / 1e6 - auc) < 2e-6, (row.auc_e6, auc)
+
+
+@pytest.mark.parametrize("key", ["ml_eval_calibration", "ml_eval_pr_threshold"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_ml_eval_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_pr_threshold_monotone(spark, sf_dir):
+    """Raising the threshold can only raise precision's numerator share
+    structure: recall must be non-increasing in thr, and tp+fn (total
+    positives) constant across thresholds."""
+    pdf = (
+        SPECS["ml_eval_pr_threshold"].fn(spark, sf_dir).toPandas().sort_values("thr")
+    )
+    totals = (pdf["tp"] + pdf["fn"]).unique()
+    assert len(totals) == 1
+    assert (pdf["recall_bp"].diff().dropna() <= 0).all()
