@@ -1790,3 +1790,71 @@ def ml_eval_pr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1_bp"),
         )
     )
+
+
+# --- leakage-safe target encoding --------------------------------------------
+
+
+@register(
+    "features_target_encoding",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS cat,
+             CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                    AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS fold,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT cat, fold, COUNT(*) AS n, SUM(cents) AS s
+      FROM r GROUP BY cat, fold
+    )
+    SELECT a.cat, CAST(a.fold AS BIGINT) AS fold,
+           CAST(a.n AS BIGINT) AS n_rows,
+           CAST((2 * b.s + b.n) // (2 * b.n) AS BIGINT) AS enc_mean_c
+    FROM agg a JOIN agg b ON a.cat = b.cat AND a.fold <> b.fold
+    """,
+)
+def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding — the categorical
+    feature every tabular pipeline wants and the one naive pipelines
+    leak with: each fold's encoding for a category is the target mean
+    computed ONLY on the other fold, so no row ever contributes to its
+    own feature (same discipline as `features_pit_join`'s
+    never-leaks-future audit, in the cross-sectional direction).
+
+    Exactness: md5 hash fold split (backfill-stable), integer cents,
+    round-half-up means. Shape: ONE (category, fold) agg over the
+    corpus — the cross-fold lookup is a self-join on the TINY agg
+    table, broadcast at any scale."""
+    from ..catalog import table as _table
+
+    li = _table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    r = li.select(
+        F.col("l_returnflag").alias("cat"),
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 2)
+        .alias("fold"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    agg = r.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    a = agg.select("cat", "fold", F.col("n").alias("n_rows"))
+    b = agg.select(
+        F.col("cat").alias("cat_b"),
+        F.col("fold").alias("fold_b"),
+        F.expr("CAST((2 * s + n) DIV (2 * n) AS BIGINT)").alias("enc_mean_c"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("cat") == F.col("cat_b")) & (F.col("fold") != F.col("fold_b")),
+        )
+        .select(
+            "cat",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "enc_mean_c",
+        )
+    )

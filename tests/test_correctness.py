@@ -1610,3 +1610,33 @@ def test_pr_threshold_monotone(spark, sf_dir):
     totals = (pdf["tp"] + pdf["fn"]).unique()
     assert len(totals) == 1
     assert (pdf["recall_bp"].diff().dropna() <= 0).all()
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_target_encoding_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["features_target_encoding"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"features_target_encoding@{sfd}")
+
+
+def test_target_encoding_never_leaks_own_fold(spark, sf_dir):
+    """Leakage audit: fold f's encoding for a category must equal the
+    round-half-up mean of the OTHER fold's rows only, recomputed here
+    independently."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = SPECS["features_target_encoding"].fn(spark, sf_dir).toPandas()
+    li = table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    raw = li.select(
+        F.col("l_returnflag").alias("cat"),
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 2).alias("fold"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).toPandas()
+    for _, r in got.iterrows():
+        other = raw[(raw["cat"] == r["cat"]) & (raw["fold"] != r["fold"])]
+        s, n = int(other["cents"].sum()), len(other)
+        assert int(r["enc_mean_c"]) == (2 * s + n) // (2 * n), r
