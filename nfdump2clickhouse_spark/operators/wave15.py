@@ -1858,3 +1858,105 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "enc_mean_c",
         )
     )
+
+
+# --- modern SQL surface: SELECT * EXCEPT -------------------------------------
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (l_comment_len, l_orderkey)
+    FROM (
+      SELECT l_orderkey, l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(0 AS BIGINT) AS l_comment_len
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    WHERE l_orderkey < 100
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` — the Spark 4 projection shorthand that
+    makes wide-table pipelines writable (drop the join keys and helper
+    columns without enumerating 300 survivors). DuckDB spells it
+    EXCLUDE; the semantic is identical and the oracle uses it, so the
+    key also pins cross-dialect agreement of the feature. Column
+    pruning still reaches the scan — EXCEPT is resolved at analysis
+    time, not a runtime projection."""
+    from ..catalog import table as _table
+
+    li = _table(spark, sf_dir, "lineitem")
+    li.groupBy("l_orderkey", "l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+    ).withColumn("l_comment_len", F.lit(0).cast("bigint")).createOrReplaceTempView(
+        "star_except_base"
+    )
+    return spark.sql(
+        "SELECT * EXCEPT (l_comment_len, l_orderkey) FROM star_except_base"
+        " WHERE l_orderkey < 100"
+    )
+
+
+# --- partitioned-table health report -----------------------------------------
+
+
+@register("maint_partition_stats")  # rows-only: file sizes vary with
+# parquet encoding; structural invariants pinned in tests
+def maint_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition health report — the ops view every partitioned table
+    needs next to `maint_compaction`: per partition, file count, rows,
+    bytes, and mean file size, flagging SMALL-FILE partitions (mean
+    < 1 MiB here). At 100 TB this is the table you alert on: a
+    partition with 5000 tiny files is a compaction ticket before it is
+    a query-latency incident.
+
+    Shape: writes a dt-partitioned copy of events, then reads ONLY
+    file metadata via the `input_file_name`-free route — one scan of
+    the partitioned table grouping on the partition column, joined to
+    driver-side file listing (O(#files) metadata, no data read for the
+    size column)."""
+    import os as _os
+
+    from ..catalog import table as _table
+
+    base = tempfile.mkdtemp(prefix="sf_pstats_")
+    tbl = _os.path.join(base, "events_parted")
+    e = _table(spark, sf_dir, "events")
+    e.withColumn("dt", F.to_date("ts")).repartition(4).write.partitionBy(
+        "dt"
+    ).mode("overwrite").parquet(tbl)
+
+    rows = (
+        spark.read.parquet(tbl)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    meta = []
+    for d in _os.listdir(tbl):
+        if not d.startswith("dt="):
+            continue
+        pdir = _os.path.join(tbl, d)
+        files = [f for f in _os.listdir(pdir) if f.endswith(".parquet")]
+        nbytes = sum(_os.path.getsize(_os.path.join(pdir, f)) for f in files)
+        meta.append((d.split("=", 1)[1], len(files), nbytes))
+    m = spark.createDataFrame(meta, "dt string, n_files int, bytes long").select(
+        F.col("dt").cast("date").alias("dt"), "n_files", "bytes"
+    )
+    return (
+        rows.join(m, "dt")
+        .select(
+            "dt",
+            "n_files",
+            "n_rows",
+            "bytes",
+            (F.col("bytes") / F.col("n_files")).cast("long").alias("mean_file_bytes"),
+            (F.col("bytes") / F.col("n_files") < 1024 * 1024).alias("small_files"),
+        )
+        .orderBy("dt")
+    )

@@ -1640,3 +1640,24 @@ def test_target_encoding_never_leaks_own_fold(spark, sf_dir):
         other = raw[(raw["cat"] == r["cat"]) & (raw["fold"] != r["fold"])]
         s, n = int(other["cents"].sum()), len(other)
         assert int(r["enc_mean_c"]) == (2 * s + n) // (2 * n), r
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_star_except_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["sql_star_except"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"sql_star_except@{sfd}")
+
+
+def test_partition_stats_invariants(spark, sf_dir):
+    """Partition report totals must reconcile with the source: sum of
+    n_rows == events count, every partition has >= 1 file, bytes > 0,
+    and mean_file_bytes == bytes/n_files (floor)."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["maint_partition_stats"].fn(spark, sf_dir).toPandas()
+    total = table(spark, sf_dir, "events").count()
+    assert int(pdf["n_rows"].sum()) == total
+    assert (pdf["n_files"] >= 1).all() and (pdf["bytes"] > 0).all()
+    assert (pdf["mean_file_bytes"] == pdf["bytes"] // pdf["n_files"]).all()
