@@ -1960,3 +1960,58 @@ def maint_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dt")
     )
+
+
+# --- v9 options-template sampling correction ---------------------------------
+
+
+@register("flows_v9_sampling_options")  # rows-only: binary fixture is
+# synthesized locally; interval extraction + scaling pinned in tests
+def flows_v9_sampling_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v9 OPTIONS-template decode applied: the exporter announces its
+    1-in-N sampling rate in an options data record (scope + option
+    fields, RFC 3954 §6.1 — a different record grammar from flow
+    templates), and the consumer must scale that source's counters by
+    N. This is the template-era form of `flows_sampling_correction`'s
+    v5 header field, and it closes the decoder's former
+    'options templates: cache-only, skip' gap: `decode_flow_stream`
+    now parses scope/option field lists, caches them per (source,
+    template id), and extracts SAMPLING_INTERVAL (type 34) from option
+    data records into per-source metadata.
+
+    Scale shape: identical to the other binary decoders — one capture
+    per mapInPandas row, stateful decode whole-file, per-capture agg."""
+    from ..sources.netflow_v9 import write_netflow_v9
+
+    base = tempfile.mkdtemp(prefix="sf_nf9o_")
+    write_netflow_v9(base, n_files=3, records_per_file=16, sampling_interval=50)
+
+    def decode(batches):
+        from nfdump2clickhouse_spark.sources.netflow_v9 import (
+            decode_flow_stream,
+        )
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                flows, meta = decode_flow_stream(content, with_meta=True)
+                interval = max(meta["sampling"].values(), default=1)
+                cap = os.path.basename(path)
+                for _sa, _da, _sp, _dp, _pr, ipkt, ibyt in flows:
+                    out.append((cap, int(interval), int(ipkt), int(ibyt)))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["capture", "interval", "ipkt", "ibyt"]
+                )
+
+    raw = spark.read.format("binaryFile").load(os.path.join(base, "nfcapd.*"))
+    flows = raw.select("path", "content").mapInPandas(
+        decode, "capture string, interval int, ipkt long, ibyt long"
+    )
+    return flows.groupBy("capture", "interval").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("ipkt").alias("raw_pkts"),
+        (F.sum("ipkt") * F.first("interval")).alias("est_pkts"),
+        F.sum("ibyt").alias("raw_bytes"),
+        (F.sum("ibyt") * F.first("interval")).alias("est_bytes"),
+    )

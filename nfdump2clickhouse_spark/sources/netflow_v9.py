@@ -92,16 +92,51 @@ def _parse_data(payload: bytes, fields: list) -> list[dict]:
     return out
 
 
-def decode_flow_stream(content: bytes) -> list[tuple]:
+def _parse_options_templates(payload: bytes) -> list[tuple[int, list, list]]:
+    """v9 options-template flowset payload (RFC 3954 §6.1) →
+    [(template_id, scope_fields, option_fields)]. Lengths in the header
+    are BYTE lengths of each section (4 bytes per field entry)."""
+    out = []
+    off = 0
+    while off + 6 <= len(payload):
+        tid, scope_len, opt_len = struct.unpack_from(">HHH", payload, off)
+        off += 6
+        if tid == 0:
+            break
+        scope, opts = [], []
+        for _ in range(scope_len // 4):
+            t, l = struct.unpack_from(">HH", payload, off)
+            off += 4
+            scope.append((t, l))
+        for _ in range(opt_len // 4):
+            t, l = struct.unpack_from(">HH", payload, off)
+            off += 4
+            opts.append((t, l))
+        out.append((tid, scope, opts))
+    return out
+
+
+# RFC 3954 option field types: 34 SAMPLING_INTERVAL, 35 SAMPLING_ALGORITHM
+_OPT_SAMPLING_INTERVAL = 34
+
+
+def decode_flow_stream(
+    content: bytes, with_meta: bool = False
+) -> list[tuple] | tuple[list[tuple], dict]:
     """Decode one capture file of concatenated v9/IPFIX export packets.
 
-    Returns ``[(sa, da, sp, dp, pr, ipkt, ibyt), ...]`` in wire order.
-    Templates are cached per (source/domain id, template id) for the
-    lifetime of the stream, so data FlowSets in later packets decode
-    against templates announced earlier — the stateful property fixed
-    v5 never needed.
+    Returns ``[(sa, da, sp, dp, pr, ipkt, ibyt), ...]`` in wire order
+    (with ``with_meta=True``: ``(flows, meta)`` where meta carries the
+    per-source exporter metadata learned from v9 OPTIONS records —
+    currently ``{"sampling": {source_id: interval}}``). Templates AND
+    options templates are cached per (source/domain id, template id)
+    for the lifetime of the stream, so data FlowSets in later packets
+    decode against templates announced earlier — the stateful property
+    fixed v5 never needed.
     """
     templates: dict[tuple[int, int], list] = {}
+    opt_templates: dict[tuple[int, int], tuple[list, list]] = {}
+    sampling: dict[int, int] = {}
     flows: list[tuple] = []
     off = 0
     n = len(content)
@@ -125,8 +160,24 @@ def decode_flow_stream(content: bytes) -> list[tuple]:
                     for tid, fields in _parse_templates(payload, ipfix=False):
                         templates[(source_id, tid)] = fields
                         seen += 1
-                elif fsid == 1:  # options templates: cache-only, skip
-                    seen += 1
+                elif fsid == 1:  # options templates (scope + option fields)
+                    for tid, scope, opts in _parse_options_templates(payload):
+                        opt_templates[(source_id, tid)] = (scope, opts)
+                        seen += 1
+                elif fsid > 255 and (source_id, fsid) in opt_templates:
+                    scope, opts = opt_templates[(source_id, fsid)]
+                    rec_len = sum(l for _, l in scope) + sum(l for _, l in opts)
+                    p = 0
+                    while p + rec_len <= len(payload):
+                        q = p + sum(l for _, l in scope)  # skip scope values
+                        for t, l in opts:
+                            if t == _OPT_SAMPLING_INTERVAL:
+                                sampling[source_id] = _uint(
+                                    payload[q : q + l]
+                                )
+                            q += l
+                        p += rec_len
+                        seen += 1
                 elif fsid > 255:
                     fields = templates.get((source_id, fsid))
                     if fields is None:
@@ -166,6 +217,8 @@ def decode_flow_stream(content: bytes) -> list[tuple]:
             off = end
         else:
             break
+    if with_meta:
+        return flows, {"sampling": sampling}
     return flows
 
 
@@ -217,8 +270,26 @@ def _data_flowset(tid: int, recs: list[bytes]) -> bytes:
     return struct.pack(">HH", tid, 4 + len(body) + pad) + body + b"\x00" * pad
 
 
+def _options_flowsets(tid: int, interval: int) -> tuple[bytes, bytes, int]:
+    """(options template flowset, options data flowset, n_records): one
+    scope field (0x0001 System, 4 bytes) + SAMPLING_INTERVAL(34, 4) +
+    SAMPLING_ALGORITHM(35, 1); data flowset padded to 32 bits."""
+    scope, opts = [(1, 4)], [(34, 4), (35, 1)]
+    body = struct.pack(">HHH", tid, 4 * len(scope), 4 * len(opts))
+    for t, l in scope + opts:
+        body += struct.pack(">HH", t, l)
+    tmpl = struct.pack(">HH", 1, 4 + len(body)) + body
+    rec = (0).to_bytes(4, "big") + interval.to_bytes(4, "big") + (1).to_bytes(1, "big")
+    pad = (-len(rec)) % 4
+    data = struct.pack(">HH", tid, 4 + len(rec) + pad) + rec + b"\x00" * pad
+    return tmpl, data, 2  # template record + 1 data record
+
+
 def write_netflow_v9(
-    path: str, n_files: int = 4, records_per_file: int = 30
+    path: str,
+    n_files: int = 4,
+    records_per_file: int = 30,
+    sampling_interval: int = 0,
 ) -> list[tuple]:
     """Write deterministic v9 capture files; returns the expected decoded
     flow tuples (the roundtrip ground truth).
@@ -226,18 +297,22 @@ def write_netflow_v9(
     Each file = packet 1 (templates 256+257 announced, data for 256)
     followed by packet 2 (data for BOTH templates, templates NOT resent
     — decoding packet 2's 257-records requires the cache from packet 1).
+    ``sampling_interval`` > 0 additionally announces an OPTIONS template
+    (id 1024) in packet 1 and sends one options data record carrying
+    SAMPLING_INTERVAL — the exporter metadata path.
     """
     os.makedirs(path, exist_ok=True)
     expected: list[tuple] = []
     for f in range(n_files):
         half = records_per_file // 2
+        a_end = min(half + 5, records_per_file)  # packet-2 T256 slice
         recs1 = [_pack_record(_T256, _flow_values(f, r)) for r in range(half)]
         recs2a = [
-            _pack_record(_T256, _flow_values(f, r)) for r in range(half, half + 5)
+            _pack_record(_T256, _flow_values(f, r)) for r in range(half, a_end)
         ]
         recs2b = [
             _pack_record(_T257, _flow_values(f, r))
-            for r in range(half + 5, records_per_file)
+            for r in range(a_end, records_per_file)
         ]
         expected.extend(_expected_tuple(f, r) for r in range(records_per_file))
         p1_sets = (
@@ -245,8 +320,18 @@ def write_netflow_v9(
             + _template_flowset(0, 257, _T257)
             + _data_flowset(256, recs1)
         )
+        n_opt = 0
+        if sampling_interval:
+            otmpl, odata, n_opt = _options_flowsets(1024, sampling_interval)
+            p1_sets += otmpl + odata
         p1 = struct.pack(
-            _V9_HEADER, 9, 2 + len(recs1), 60_000 * f, 1_709_251_200 + 300 * f, f, 7
+            _V9_HEADER,
+            9,
+            2 + len(recs1) + n_opt,
+            60_000 * f,
+            1_709_251_200 + 300 * f,
+            f,
+            7,
         ) + p1_sets
         p2_sets = _data_flowset(256, recs2a) + _data_flowset(257, recs2b)
         p2 = struct.pack(

@@ -1661,3 +1661,50 @@ def test_partition_stats_invariants(spark, sf_dir):
     assert int(pdf["n_rows"].sum()) == total
     assert (pdf["n_files"] >= 1).all() and (pdf["bytes"] > 0).all()
     assert (pdf["mean_file_bytes"] == pdf["bytes"] // pdf["n_files"]).all()
+
+
+def test_v9_options_sampling_extraction():
+    """Options-template roundtrip: the decoder must learn the announced
+    SAMPLING_INTERVAL from the options data record (per source), while
+    flow decoding and the no-options default stay byte-identical."""
+    import os
+    import tempfile
+
+    from nfdump2clickhouse_spark.sources.netflow_v9 import (
+        decode_flow_stream,
+        write_netflow_v9,
+    )
+
+    d = tempfile.mkdtemp()
+    exp = write_netflow_v9(d, n_files=2, records_per_file=10, sampling_interval=50)
+    got, metas = [], []
+    for fn in sorted(os.listdir(d)):
+        flows, meta = decode_flow_stream(
+            open(os.path.join(d, fn), "rb").read(), with_meta=True
+        )
+        got.extend(flows)
+        metas.append(meta)
+    assert got == exp  # options records never perturb flow decode
+    assert all(m["sampling"] == {7: 50} for m in metas)
+    # default path (no options) unchanged
+    d2 = tempfile.mkdtemp()
+    exp2 = write_netflow_v9(d2, n_files=1, records_per_file=6)
+    flows2, meta2 = decode_flow_stream(
+        open(os.path.join(d2, sorted(os.listdir(d2))[0]), "rb").read(),
+        with_meta=True,
+    )
+    assert flows2 == exp2 and meta2["sampling"] == {}
+
+
+def test_v9_options_key_scales(spark, sf_dir):
+    pdf = (
+        SPECS["flows_v9_sampling_options"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("capture")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 3 and (pdf["interval"] == 50).all()
+    assert (pdf["est_pkts"] == pdf["raw_pkts"] * 50).all()
+    assert (pdf["est_bytes"] == pdf["raw_bytes"] * 50).all()
+    assert (pdf["n_flows"] == 16).all()
