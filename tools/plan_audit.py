@@ -75,6 +75,10 @@ AUDITED: dict[str, str] = {
     "ann_ivfpq_search": "candidate stage joins queries to the 4-byte-code index only; full vectors fetched for the 50-id shortlist",
     "dedup_semantic_cluster": "pair space blocked to per-cell equi-joins; soft 2-cell assignment; exact verify in-cell",
     "dedup_substring_spans": "one gram-keyed shuffle + max_df cap; span merge is a (pair, diagonal)-partitioned window, no global sort",
+    "ml_eval_auc": "distinct-value agg + pid-partitioned prefix sums (KS machinery); no unpartitioned window",
+    "join_asof_nearest": "ONE user-keyed sort serves both direction windows; no per-row range probe",
+    "features_target_encoding": "one (cat, fold) agg; cross-fold lookup is a broadcast self-join on the tiny agg",
+    "agg_winsorized_mean": "grouped_rank slices skewed groups; no per-group window funnel",
 }
 
 
