@@ -2015,3 +2015,68 @@ def flows_v9_sampling_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ibyt").alias("raw_bytes"),
         (F.sum("ibyt") * F.first("interval")).alias("est_bytes"),
     )
+
+
+# --- streaming progress metrics ----------------------------------------------
+
+
+@register("stream_progress_metrics")  # rows-only: engine-reported metrics;
+# reconciliation invariants pinned in tests
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability from the ENGINE's own telemetry: run a
+    per-user streaming count over 3 file 'rotations' and surface each
+    micro-batch's StreamingQueryProgress — input rows, processed rate,
+    and state-store rows/memory — as a queryable DataFrame. This is the
+    ops counterpart to `observe_metrics` (batch observe()): at 100 TB
+    these numbers feed the lag/state-bloat alerts, and reading them
+    from `recentProgress` is exactly how a monitoring exporter does it.
+
+    Invariants pinned in tests: batch input rows sum to the source row
+    count, and the final state row count equals the distinct key count
+    — the engine's telemetry must reconcile with the data."""
+    import json as _json
+
+    from ..catalog import table as _table
+
+    src = tempfile.mkdtemp(prefix="sf_prog_src_")
+    ckpt = tempfile.mkdtemp(prefix="sf_prog_ckpt_")
+    e = _table(spark, sf_dir, "events").select("user_id", "event_id").filter(
+        F.col("event_id") < 3000
+    )
+    for i in range(3):
+        e.filter(F.col("event_id") % 3 == i).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{i}")
+        )
+    sdf = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        sdf.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        prog = p if isinstance(p, dict) else _json.loads(p.json)
+        so = (prog.get("stateOperators") or [{}])[0]
+        rows.append(
+            (
+                int(prog["batchId"]),
+                int(prog.get("numInputRows") or 0),
+                int(so.get("numRowsTotal") or 0),
+                int(so.get("numRowsUpdated") or 0),
+                int(so.get("memoryUsedBytes") or 0) > 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, input_rows long, state_rows long,"
+        " state_updated long, state_uses_memory boolean",
+    ).orderBy("batch_id")

@@ -165,3 +165,24 @@ def test_stream_curation_dedups_resent_docs(spark, sf_dir):
     )
     for _, row in got.iterrows():
         assert int(row["n_docs"]) == int(exp[row["source"]]), row
+
+
+def test_stream_progress_metrics_reconcile(spark, sf_dir):
+    """Engine telemetry must reconcile with the data: per-batch input
+    rows sum to the source slice's row count, and the final state row
+    count equals the distinct user count."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark import registry
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = (
+        registry.all_specs()["stream_progress_metrics"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("batch_id")
+    )
+    src = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    assert int(pdf["input_rows"].sum()) == src.count()
+    assert int(pdf["state_rows"].iloc[-1]) == src.select("user_id").distinct().count()
+    assert len(pdf) == 3  # one micro-batch per rotation
