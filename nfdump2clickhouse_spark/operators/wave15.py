@@ -2080,3 +2080,108 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id long, input_rows long, state_rows long,"
         " state_updated long, state_uses_memory boolean",
     ).orderBy("batch_id")
+
+
+# --- Kaplan-Meier survival ---------------------------------------------------
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH RECURSIVE ue AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS p
+      FROM events GROUP BY user_id
+    ),
+    u AS (  -- 3-day follow-up horizon: convert within it or censor at 3
+      SELECT LEAST(COALESCE(datediff('day', f, p), 999), 3) AS t,
+             (COALESCE(datediff('day', f, p), 999) > 3) AS censored
+      FROM ue
+    ),
+    lt AS (
+      SELECT t,
+             CAST(count_if(NOT censored) AS BIGINT) AS d,
+             CAST(count_if(censored) AS BIGINT) AS c
+      FROM u GROUP BY t
+    ),
+    ns AS (
+      SELECT t, d, CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n
+      FROM lt
+    ),
+    ev AS (
+      SELECT t, d, n, ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM ns WHERE d > 0
+    ),
+    km(rn, t, n, d, s_e6) AS (
+      SELECT rn, t, n, d, CAST((n - d) * 1000000 // n AS BIGINT)
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.rn, e.t, e.n, e.d, CAST(k.s_e6 * (e.n - e.d) // e.n AS BIGINT)
+      FROM km k JOIN ev e ON e.rn = k.rn + 1
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, n AS n_at_risk, d AS n_churned, s_e6
+    FROM km
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion WITH censoring — funnel-timing
+    analytics done right: each user is followed for a 3-day horizon
+    from first activity; converting inside it is the event at t =
+    days-to-first-purchase, and a user still unconverted at the horizon
+    is CENSORED at t=3 (not a failure at t=3 — exactly the distinction
+    naive conversion curves get wrong). The estimator is the classic
+    product-limit
+    S(t) = Π_{t'≤t} (1 − d/n), kept integer-exact in e6 fixed point
+    with one floor division per event time, and the product chain runs
+    as a RECURSIVE CTE — the same engine-iterated recursion surface as
+    `sql_recursive_cte`, in BOTH dialects (Spark 4 WITH RECURSIVE vs
+    DuckDB's, floor-division spellings differing).
+
+    Scale shape: corpus work is ONE per-user min/max agg; the life
+    table is duration-grain (≤ #days rows — post-agg ts_ discipline
+    for its suffix-sum window), and the recursion joins one row per
+    step."""
+    from ..catalog import table as _table
+
+    _table(spark, sf_dir, "events").createOrReplaceTempView("km_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE ue AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+                 MIN(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ts AS DATE) END) AS p
+          FROM km_events GROUP BY user_id
+        ),
+        u AS (  -- 3-day follow-up horizon: convert within it or censor at 3
+          SELECT LEAST(COALESCE(datediff(p, f), 999), 3) AS t,
+                 (COALESCE(datediff(p, f), 999) > 3) AS censored
+          FROM ue
+        ),
+        lt AS (
+          SELECT t,
+                 CAST(count_if(NOT censored) AS BIGINT) AS d,
+                 CAST(count_if(censored) AS BIGINT) AS c
+          FROM u GROUP BY t
+        ),
+        ns AS (
+          SELECT t, d, CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n
+          FROM lt
+        ),
+        ev AS (
+          SELECT t, d, n, ROW_NUMBER() OVER (ORDER BY t) AS rn
+          FROM ns WHERE d > 0
+        ),
+        km(rn, t, n, d, s_e6) AS (
+          SELECT rn, t, n, d, CAST((n - d) * 1000000 DIV n AS BIGINT)
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.rn, e.t, e.n, e.d,
+                 CAST(k.s_e6 * (e.n - e.d) DIV e.n AS BIGINT)
+          FROM km k JOIN ev e ON e.rn = k.rn + 1
+        )
+        SELECT CAST(t AS BIGINT) AS t_days, n AS n_at_risk, d AS n_churned,
+               s_e6
+        FROM km
+        """
+    )

@@ -3,6 +3,7 @@ runs on Spark and (when an oracle exists) must match DuckDB exactly."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from nfdump2clickhouse_spark import registry
@@ -1708,3 +1709,56 @@ def test_v9_options_key_scales(spark, sf_dir):
     assert (pdf["est_pkts"] == pdf["raw_pkts"] * 50).all()
     assert (pdf["est_bytes"] == pdf["raw_bytes"] * 50).all()
     assert (pdf["n_flows"] == 16).all()
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_survival_km_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["events_survival_km"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"events_survival_km@{sfd}")
+
+
+def test_survival_km_matches_pure_python(spark, sf_dir):
+    """Pin the recursive-CTE product-limit against a direct pure-Python
+    KM fold over the same (duration, censored) cohort, including the
+    e6 fixed-point floor-division chain."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = (
+        SPECS["events_survival_km"].fn(spark, sf_dir).toPandas().sort_values("t_days")
+    )
+    ue = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("f"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+            ).alias("p"),
+        )
+        .toPandas()
+    )
+    t_raw = (ue["p"] - ue["f"]).apply(lambda d: 999 if pd.isna(d) else d.days)
+    t = t_raw.clip(upper=3)
+    censored = t_raw > 3
+    import collections
+
+    d = collections.Counter(t[~censored])
+    c = collections.Counter(t[censored])
+    all_t = sorted(set(d) | set(c))
+    n_at = {}
+    remaining = len(ue)
+    for tt in all_t:
+        n_at[tt] = remaining
+        remaining -= d.get(tt, 0) + c.get(tt, 0)
+    s = 1_000_000
+    exp_rows = []
+    for tt in sorted(d):
+        s = s * (n_at[tt] - d[tt]) // n_at[tt]
+        exp_rows.append((tt, n_at[tt], d[tt], s))
+    assert [tuple(r) for r in got[["t_days", "n_at_risk", "n_churned", "s_e6"]].to_numpy()] == exp_rows
+    # survival must be non-increasing and in (0, 1e6]
+    assert (got["s_e6"].diff().dropna() <= 0).all()
