@@ -2185,3 +2185,79 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM km
         """
     )
+
+
+# --- Gini concentration ------------------------------------------------------
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+      FROM lineitem
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_c,
+           CAST((2 * SUM(CAST(rk AS HUGEINT) * cents)
+                 - (COUNT(*) + 1) * CAST(SUM(cents) AS HUGEINT)) * 1000000
+                // (CAST(COUNT(*) AS HUGEINT) * SUM(cents)) AS BIGINT)
+             AS gini_e6
+    FROM v GROUP BY grp
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue per return flag — the whale-
+    concentration metric (0 = perfectly even, →1 = one row owns the
+    revenue) every marketplace and corpus-weighting report carries.
+    Computed from the exact rank formulation G = (2·Σ rk·x − (n+1)·Σx)
+    / (n·Σx) with 128-bit DECIMAL accumulators on both engines (Σ rk·x
+    grows as n²·x — bigint overflows past ~billion-row groups; DuckDB
+    promotes to HUGEINT, Spark is cast to DECIMAL(38,0) explicitly),
+    scaled to e6 with one floor division: integer-exact cross-engine.
+
+    Scale shape: the within-group rank comes from
+    ``functions.distributed.grouped_rank`` (the skewed-3-group fix, no
+    per-group window funnel); everything after is ONE partial+final
+    agg."""
+    from ..catalog import table as _table
+    from ..functions.distributed import grouped_rank
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    v = grouped_rank(
+        li,
+        ["grp"],
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rank_col="rk",
+    ).select("grp", "cents", "rk")
+    dec = "decimal(38,0)"
+    return (
+        v.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total_c"),
+            F.sum((F.col("rk").cast(dec) * F.col("cents")).cast(dec))
+            .cast(dec)
+            .alias("rx"),
+        )
+        .select(
+            "grp",
+            "n",
+            "total_c",
+            F.expr(
+                "CAST((2 * rx - (CAST(n AS DECIMAL(38,0)) + 1)"
+                " * CAST(total_c AS DECIMAL(38,0))) * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0))"
+                " * CAST(total_c AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+    )

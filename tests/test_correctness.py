@@ -1762,3 +1762,40 @@ def test_survival_km_matches_pure_python(spark, sf_dir):
     assert [tuple(r) for r in got[["t_days", "n_at_risk", "n_churned", "s_e6"]].to_numpy()] == exp_rows
     # survival must be non-increasing and in (0, 1e6]
     assert (got["s_e6"].diff().dropna() <= 0).all()
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_gini_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["agg_gini_concentration"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"agg_gini_concentration@{sfd}")
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    """Pin the rank-formula Gini against a direct numpy computation on
+    the same integer cents; uniform synthetic prices must land near the
+    theoretical uniform-distribution Gini of 1/3."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = SPECS["agg_gini_concentration"].fn(spark, sf_dir).toPandas()
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        x = np.sort(li[li["grp"] == r["grp"]]["cents"].to_numpy())
+        n = len(x)
+        rk = np.arange(1, n + 1, dtype=object)
+        g_e6 = (2 * int((rk * x).sum()) - (n + 1) * int(x.sum())) * 1_000_000 // (
+            n * int(x.sum())
+        )
+        assert int(r["gini_e6"]) == g_e6, (r["grp"], r["gini_e6"], g_e6)
+        assert 0.25 < r["gini_e6"] / 1e6 < 0.40  # ~1/3 for uniform prices
