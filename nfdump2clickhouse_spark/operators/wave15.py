@@ -2261,3 +2261,87 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_e6"),
         )
     )
+
+
+# --- Lorenz curve (deciles) --------------------------------------------------
+
+
+@register(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rk,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CASE WHEN rk <= (n % 10) * ((n + 9) // 10)
+                  THEN (rk - 1) // ((n + 9) // 10)
+                  ELSE (n % 10) + (rk - 1 - (n % 10) * ((n + 9) // 10))
+                       // (n // 10) END + 1 AS decile,
+             cents
+      FROM v
+    ),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS rev_c
+      FROM d GROUP BY decile
+    ),
+    t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot FROM g)
+    SELECT CAST(g.decile AS BIGINT) AS decile, g.n_rows, g.rev_c,
+           CAST(10000 * SUM(g.rev_c) OVER (ORDER BY g.decile) // t.tot
+                AS BIGINT) AS cum_share_bp
+    FROM g, t
+    """,
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at deciles — the picture behind
+    `agg_gini_concentration`'s scalar: rank all line items by price,
+    cut into 10 exact equal-count tiles, and report each tile's
+    cumulative revenue share in basis points (a perfectly even
+    distribution climbs 1000 bp per decile; the whale curve hugs zero
+    then spikes).
+
+    Scale shape: the corpus-wide exact decile assignment is
+    ``functions.distributed.exact_ntile`` — NO single-task global sort
+    (the oracle's plain window formulation spells out the same ntile
+    arithmetic the helper computes); the cumulative share is a window
+    over 10 rows. All integer cents / basis points."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+    from ..functions.distributed import exact_ntile
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    d = exact_ntile(
+        li,
+        10,
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "decile",
+    )
+    g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("rev_c"),
+    )
+    t = g.agg(F.sum("rev_c").cast("bigint").alias("tot"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_rows",
+            "rev_c",
+            F.expr(
+                "CAST(10000 * SUM(rev_c) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " DIV tot AS BIGINT)"
+            ).alias("cum_share_bp"),
+        )
+    )

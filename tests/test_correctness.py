@@ -1799,3 +1799,29 @@ def test_gini_matches_numpy(spark, sf_dir):
         )
         assert int(r["gini_e6"]) == g_e6, (r["grp"], r["gini_e6"], g_e6)
         assert 0.25 < r["gini_e6"] / 1e6 < 0.40  # ~1/3 for uniform prices
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_lorenz_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["agg_lorenz_deciles"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"agg_lorenz_deciles@{sfd}")
+
+
+def test_lorenz_curve_properties(spark, sf_dir):
+    """Lorenz invariants: 10 deciles partitioning all rows, cumulative
+    share strictly increasing to exactly 10000 bp, and convexity
+    (increments non-decreasing — higher deciles add more share)."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = (
+        SPECS["agg_lorenz_deciles"].fn(spark, sf_dir).toPandas().sort_values("decile")
+    )
+    assert list(pdf["decile"]) == list(range(1, 11))
+    assert int(pdf["n_rows"].sum()) == table(spark, sf_dir, "lineitem").count()
+    cum = pdf["cum_share_bp"].tolist()
+    assert cum[-1] == 10000
+    assert all(b > a for a, b in zip(cum, cum[1:]))
+    inc = [cum[0]] + [b - a for a, b in zip(cum, cum[1:])]
+    assert all(b >= a for a, b in zip(inc, inc[1:]))  # convex
