@@ -2345,3 +2345,86 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_bp"),
         )
     )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    cs AS (
+      SELECT CAST(date_trunc('week', first_day) AS TIMESTAMP) AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM u GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(date_trunc('week', u.first_day) AS TIMESTAMP) AS cohort,
+             CAST(datediff('day', u.first_day, CAST(e.ts AS DATE)) // 7
+                  AS BIGINT) AS age_week,
+             CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT p.cohort, p.age_week, cs.n_users, p.rev_c,
+           CAST((2 * SUM(p.rev_c) OVER (PARTITION BY p.cohort
+                   ORDER BY p.age_week) + cs.n_users)
+                // (2 * cs.n_users) AS BIGINT) AS cum_ltv_c_per_user
+    FROM p JOIN cs ON p.cohort = cs.cohort
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the revenue view of `events_retention`'s
+    activity triangle: users cohort by signup week, purchase revenue
+    buckets by age-week, and each cell reports the cohort's CUMULATIVE
+    lifetime value per user (integer cents, round-half-up) — the table
+    payback-period decisions read off directly.
+
+    Scale shape: ONE per-user first-day agg (broadcast back — the user
+    dimension at 100 TB is the thing you'd maintain incrementally),
+    one (cohort, age) revenue agg, and the running sum is a window
+    over the TINY cohort×age triangle. All integer; weeks via ISO
+    date_trunc in both engines."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    cs = u.groupBy(
+        F.date_trunc("week", "first_day").alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .groupBy(
+            F.date_trunc("week", "first_day").alias("cohort"),
+            (F.datediff(F.to_date("ts"), F.col("first_day")) / 7)
+            .cast("bigint")
+            .alias("age_week"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_week")
+    return (
+        p.join(F.broadcast(cs), "cohort")
+        .select(
+            "cohort",
+            "age_week",
+            "n_users",
+            "rev_c",
+            F.expr(
+                "CAST((2 * SUM(rev_c) OVER (PARTITION BY cohort ORDER BY"
+                " age_week) + n_users) DIV (2 * n_users) AS BIGINT)"
+            ).alias("cum_ltv_c_per_user"),
+        )
+    )

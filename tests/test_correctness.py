@@ -1825,3 +1825,33 @@ def test_lorenz_curve_properties(spark, sf_dir):
     assert all(b > a for a, b in zip(cum, cum[1:]))
     inc = [cum[0]] + [b - a for a, b in zip(cum, cum[1:])]
     assert all(b >= a for a, b in zip(inc, inc[1:]))  # convex
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_cohort_ltv_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["events_cohort_ltv"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"events_cohort_ltv@{sfd}")
+
+
+def test_cohort_ltv_monotone_and_reconciles(spark, sf_dir):
+    """Cumulative LTV must be non-decreasing within each cohort, and
+    total bucketed revenue must equal total purchase revenue."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = (
+        SPECS["events_cohort_ltv"].fn(spark, sf_dir).toPandas()
+        .sort_values(["cohort", "age_week"])
+    )
+    for _, g in pdf.groupby("cohort"):
+        assert (g["cum_ltv_c_per_user"].diff().dropna() >= 0).all()
+    total = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert int(pdf["rev_c"].sum()) == int(total)
