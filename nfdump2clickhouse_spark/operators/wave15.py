@@ -2428,3 +2428,73 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_c_per_user"),
         )
     )
+
+
+# --- duplication-degree histogram --------------------------------------------
+
+
+@register(
+    "dedup_degree_histogram",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2
+      FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT id1 AS doc_id FROM pairs
+        UNION ALL SELECT id2 AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    ),
+    hist AS (
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree
+      UNION ALL
+      SELECT CAST(0 AS BIGINT),
+             (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM deg)
+    )
+    SELECT degree, n_docs FROM hist WHERE n_docs > 0
+    """,
+)
+def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-degree histogram: how many near-dup partners
+    (Jaccard ≥ 0.3, `dedup_ngram_jaccard`'s pair set) each document
+    has, histogrammed — the 'how duplicated is my corpus' summary a
+    curation report leads with (degree 0 = unique mass; a heavy tail
+    means template/boilerplate clusters, the thing worth fixing at the
+    SOURCE rather than filtering).
+
+    Shape: runs on the ALREADY-REDUCED pair set (the capped inverted-
+    index pipeline does the corpus-scale work), so this is two tiny
+    aggs + a degree-0 complement row."""
+    from ..catalog import table as _table
+    from .dedup_extra import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    deg = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = _table(spark, sf_dir, "documents").count()
+    with_partners = deg.count()
+    zero = spark.createDataFrame(
+        [(0, total - with_partners)], "degree long, n_docs long"
+    )
+    return hist.unionByName(zero).filter(F.col("n_docs") > 0)

@@ -1855,3 +1855,22 @@ def test_cohort_ltv_monotone_and_reconciles(spark, sf_dir):
         .collect()[0][0]
     )
     assert int(pdf["rev_c"].sum()) == int(total)
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_degree_histogram_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["dedup_degree_histogram"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"dedup_degree_histogram@{sfd}")
+
+
+def test_degree_histogram_reconciles(spark, sf_dir):
+    """Histogram mass must equal the corpus size, and the handshake
+    identity must hold: sum(degree * n_docs) == 2 * |pairs|."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["dedup_degree_histogram"].fn(spark, sf_dir).toPandas()
+    assert int(pdf["n_docs"].sum()) == table(spark, sf_dir, "documents").count()
+    pairs = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).count()
+    assert int((pdf["degree"] * pdf["n_docs"]).sum()) == 2 * pairs
