@@ -2498,3 +2498,59 @@ def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, total - with_partners)], "degree long, n_docs long"
     )
     return hist.unionByName(zero).filter(F.col("n_docs") > 0)
+
+
+# --- Herfindahl-Hirschman concentration index --------------------------------
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_name AS nation, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS x
+      FROM lineitem l
+      JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+      JOIN nation n ON sp.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(1000000 * SUM(x * x) // (SUM(x) * SUM(x)) AS BIGINT)
+             AS hhi_e6
+    FROM s GROUP BY nation
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation — the third member of the concentration family
+    (`agg_gini_concentration`, `agg_lorenz_deciles`): HHI = Σ shareᵢ²,
+    1e6-scaled (1/n_suppliers = perfectly even → 1e6 = monopoly).
+    Exact form 1e6·Σx² DIV (Σx)² — Σx² overflows bigint past modest
+    supplier revenues, so both engines accumulate 128-bit (HUGEINT /
+    DECIMAL(38,0)).
+
+    Scale shape: one (nation, supplier) partial+final agg with
+    broadcast dims does all corpus work; the HHI fold runs on the tiny
+    supplier-share table."""
+    from ..catalog import table as _table
+
+    li = _table(spark, sf_dir, "lineitem")
+    sp_ = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(sp_), li.l_suppkey == sp_.s_suppkey)
+        .join(F.broadcast(n), sp_.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+    )
+    return s.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.expr(
+            "CAST(1000000 * SUM(x * x) DIV (SUM(x) * SUM(x)) AS BIGINT)"
+        ).alias("hhi_e6"),
+    )

@@ -1874,3 +1874,19 @@ def test_degree_histogram_reconciles(spark, sf_dir):
     assert int(pdf["n_docs"].sum()) == table(spark, sf_dir, "documents").count()
     pairs = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).count()
     assert int((pdf["degree"] * pdf["n_docs"]).sum()) == 2 * pairs
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_hhi_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["agg_hhi_concentration"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"agg_hhi_concentration@{sfd}")
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI must satisfy 1e6/n_suppliers <= hhi <= 1e6 per nation
+    (floor-division slack on the lower bound)."""
+    pdf = SPECS["agg_hhi_concentration"].fn(spark, sf_dir).toPandas()
+    assert (pdf["hhi_e6"] <= 1_000_000).all()
+    assert (pdf["hhi_e6"] >= 1_000_000 // pdf["n_suppliers"] - 1).all()
