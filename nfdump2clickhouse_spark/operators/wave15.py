@@ -2554,3 +2554,98 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * SUM(x * x) DIV (SUM(x) * SUM(x)) AS BIGINT)"
         ).alias("hhi_e6"),
     )
+
+
+# --- vocabulary diversity ----------------------------------------------------
+
+
+@register(
+    "text_ttr_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+           CAST(10000 * COUNT(DISTINCT w) // COUNT(*) AS BIGINT) AS ttr_bp
+    FROM t GROUP BY source
+    """,
+)
+def text_ttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source — the lexical-diversity screen next
+    to `text_vocab_topk` (a source whose TTR collapses is template spam
+    even when quality heuristics pass). One exploded-token agg with an
+    exact distinct; basis points keep it integer-exact. At extreme
+    vocabulary the exact distinct swaps to approx_count_distinct
+    (`agg_approx_distinct`'s pinned 5% contract)."""
+    from ..catalog import table as _table
+
+    t = _table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("n_types"),
+        F.expr(
+            "CAST(10000 * COUNT(DISTINCT w) DIV COUNT(*) AS BIGINT)"
+        ).alias("ttr_bp"),
+    )
+
+
+# --- activity streaks (gaps and islands) -------------------------------------
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (  -- island id: day minus per-user day-rank is constant per streak
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len FROM g
+      GROUP BY user_id, grp
+    ),
+    m AS (
+      SELECT user_id, MAX(len) AS best FROM s GROUP BY user_id
+    )
+    SELECT best AS streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM m GROUP BY best
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, histogrammed —
+    the gaps-and-islands pattern (day − per-user day-rank is constant
+    exactly within a run of consecutive days) that powers every streak
+    badge and engagement report.
+
+    Scale shape: distinct (user, day) first — the shuffle carries
+    user-days, not events; the rank window is USER-partitioned (ideal
+    parallelism); streak detection is pure integer arithmetic, no
+    self-join over days."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    d = (
+        _table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    rk = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    g = d.select(
+        "user_id", "day", F.date_sub(F.col("day"), rk).alias("grp")
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    m = s.groupBy("user_id").agg(F.max("len").alias("best"))
+    return m.groupBy(F.col("best").alias("streak_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

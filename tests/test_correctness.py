@@ -1890,3 +1890,27 @@ def test_hhi_bounds(spark, sf_dir):
     pdf = SPECS["agg_hhi_concentration"].fn(spark, sf_dir).toPandas()
     assert (pdf["hhi_e6"] <= 1_000_000).all()
     assert (pdf["hhi_e6"] >= 1_000_000 // pdf["n_suppliers"] - 1).all()
+
+
+@pytest.mark.parametrize("key", ["text_ttr_diversity", "events_activity_streaks"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_ttr_streaks_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_streaks_reconcile_users(spark, sf_dir):
+    """Every user appears exactly once in the streak histogram, and the
+    max streak cannot exceed the corpus day span."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["events_activity_streaks"].fn(spark, sf_dir).toPandas()
+    e = table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    n_days = e.select(F.to_date("ts")).distinct().count()
+    assert int(pdf["n_users"].sum()) == n_users
+    assert int(pdf["streak_days"].max()) <= n_days
