@@ -2649,3 +2649,40 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy(F.col("best").alias("streak_days")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# --- modern SQL surface: GROUP BY ALL / ORDER BY ALL -------------------------
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_c
+    FROM lineitem GROUP BY ALL ORDER BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` + `ORDER BY ALL` — the modern-SQL ergonomics both
+    Spark 4 and DuckDB ship (every non-aggregate select item groups;
+    every column orders): the refactoring-safe spelling for wide
+    reporting queries, where adding a dimension cannot silently desync
+    the GROUP BY list. Identical text runs on both engines — the key
+    pins cross-dialect agreement. Resolution is analysis-time; the
+    plan is the ordinary partial+final agg (QUALIFY, for contrast, is
+    NOT in Spark 4.1 — `join_lateral`/`topk_per_group` cover that
+    shape with windows)."""
+    from ..catalog import table as _table
+
+    _table(spark, sf_dir, "lineitem").createOrReplaceTempView("gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM gba_lineitem GROUP BY ALL ORDER BY ALL
+        """
+    )

@@ -1914,3 +1914,11 @@ def test_streaks_reconcile_users(spark, sf_dir):
     n_days = e.select(F.to_date("ts")).distinct().count()
     assert int(pdf["n_users"].sum()) == n_users
     assert int(pdf["streak_days"].max()) <= n_days
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_group_by_all_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["sql_group_by_all"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"sql_group_by_all@{sfd}")
