@@ -2686,3 +2686,73 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gba_lineitem GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+# --- as-of join with tolerance -----------------------------------------------
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_type, event_id,
+             LAST_VALUE(CASE WHEN event_type = 'signup'
+                             THEN {'id': event_id, 'ts': ts} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_s
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN prev_s IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(prev_s.ts) <= 259200000000
+                THEN prev_s.id END AS signup_id,
+           (prev_s IS NOT NULL
+            AND epoch_us(ts) - epoch_us(prev_s.ts) <= 259200000000)
+             AS matched
+    FROM u WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (merge_asof's `tolerance=`):
+    each purchase matches the latest prior signup only when the gap is
+    ≤ 3 days — stale context is worse than no context for attribution,
+    which is why the bound exists. Same single user-keyed sort as
+    `join_asof`; the tolerance is a row-local integer epoch-µs
+    comparison after the ignorenulls running-last window, and unmatched
+    purchases SURVIVE with a NULL signup (the pandas semantic), which
+    the anti-join formulation would silently drop."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    TOL_US = 3 * 24 * 3600 * 1_000_000
+    e = _table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    sig = F.when(
+        F.col("event_type") == "signup",
+        F.struct(F.col("event_id").alias("id"), F.col("ts").alias("ts")),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        F.last(sig, ignorenulls=True).over(wp).alias("prev_s"),
+    )
+    ok = F.col("prev_s").isNotNull() & (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_s.ts"))
+        <= F.lit(TOL_US)
+    )
+    return u.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(ok, F.col("prev_s.id")).alias("signup_id"),
+        ok.alias("matched"),
+    )

@@ -1922,3 +1922,30 @@ def test_group_by_all_across_sfs(sfd, spark, ddb_by_sf):
     spark_pdf = spec.fn(spark, sfd).toPandas()
     oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
     compare_frames(spark_pdf, oracle_pdf, f"sql_group_by_all@{sfd}")
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_asof_tolerance_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["join_asof_tolerance"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"join_asof_tolerance@{sfd}")
+
+
+def test_asof_tolerance_is_subset_of_backward(spark, sf_dir):
+    """The tolerance-bounded match set must be a subset of the plain
+    backward as-of join's matches (tightening the bound only removes
+    matches), and every purchase must survive (pandas semantic)."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    tol = SPECS["join_asof_tolerance"].fn(spark, sf_dir).toPandas()
+    back = SPECS["join_asof"].fn(spark, sf_dir).toPandas()
+    n_purchases = (
+        table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert len(tol) == n_purchases  # unmatched rows survive
+    tp = set(zip(tol[tol["matched"]]["purchase_id"], tol[tol["matched"]]["signup_id"].astype(int)))
+    bp = set(zip(back["purchase_id"], back["signup_id"]))
+    assert tp <= bp
