@@ -2756,3 +2756,84 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("prev_s.id")).alias("signup_id"),
         ok.alias("matched"),
     )
+
+
+# --- peak concurrency (sweep line) -------------------------------------------
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH b AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 1 HOUR, -1 FROM events
+    ),
+    g AS (  -- collapse ties: unique (t, delta) keys make ROWS == RANGE
+      SELECT t, delta, CAST(SUM(delta) AS BIGINT) AS d
+      FROM b GROUP BY t, delta
+    ),
+    c AS (
+      SELECT t, delta,
+             CAST(SUM(d) OVER (ORDER BY t, delta) AS BIGINT) AS conc
+      FROM g
+    )
+    SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak
+    FROM c WHERE delta = 1 GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — every event opens a 1-hour activity
+    window; the answer to 'how many were active AT ONCE' is the classic
+    sweep line: +1/−1 boundary events, a running sum, max where a
+    window opens. Capacity planning reads this table directly.
+
+    The running sum is a GLOBAL prefix — the single-task-window trap —
+    so the engine (VERDICT r2 discipline): collapse boundary ties with
+    one (t, delta) agg (unique keys also make ROWS ≡ RANGE framing —
+    no cross-engine tie ambiguity; ends sort before starts at the same
+    instant, giving half-open [start, end) semantics), then the
+    two-phase range-partitioned prefix sum (`pack_token_budget`
+    pattern: P-row offset collect, pid-partitioned windows). Max is
+    taken over opening boundaries only (+1 rows commute within a tie
+    run, so the inclusive-tie sum is deterministic)."""
+    from pyspark.sql import Window
+
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    b = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        e.select(
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    g = b.groupBy("t", "delta").agg(F.sum("delta").cast("bigint").alias("d"))
+    parts = g.repartitionByRange(8, "t", "delta").sortWithinPartitions(
+        "t", "delta"
+    )
+    parts = parts.withColumn("pid", F.spark_partition_id()).localCheckpoint()
+    subtotals = (
+        parts.groupBy("pid").agg(F.sum("d").alias("td")).orderBy("pid").collect()
+    )
+    offs, acc = {}, 0
+    for row in subtotals:
+        offs[row["pid"]] = acc
+        acc += row["td"] or 0
+    off = F.coalesce(
+        *[F.when(F.col("pid") == p, F.lit(o)) for p, o in offs.items()], F.lit(0)
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = parts.select(
+        "t", "delta", (off + F.sum("d").over(w)).cast("bigint").alias("conc")
+    )
+    return (
+        c.filter(F.col("delta") == 1)
+        .groupBy(F.date_trunc("day", "t").alias("day"))
+        .agg(F.max("conc").cast("bigint").alias("peak"))
+    )

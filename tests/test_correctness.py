@@ -1949,3 +1949,36 @@ def test_asof_tolerance_is_subset_of_backward(spark, sf_dir):
     tp = set(zip(tol[tol["matched"]]["purchase_id"], tol[tol["matched"]]["signup_id"].astype(int)))
     bp = set(zip(back["purchase_id"], back["signup_id"]))
     assert tp <= bp
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_peak_concurrency_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["events_peak_concurrency"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"events_peak_concurrency@{sfd}")
+
+
+def test_peak_concurrency_matches_pure_python(spark, sf_dir):
+    """Pin the distributed sweep line against a direct pure-Python
+    sweep over the same boundaries (inclusive-tie semantics)."""
+    import collections
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    got = (
+        SPECS["events_peak_concurrency"].fn(spark, sf_dir).toPandas()
+        .set_index("day")["peak"].to_dict()
+    )
+    ts = table(spark, sf_dir, "events").select("ts").toPandas()["ts"]
+    deltas = collections.defaultdict(int)
+    for t in ts:
+        deltas[(t, 1)] += 1
+        deltas[(t + pd.Timedelta(hours=1), -1)] -= 1
+    conc, peak = 0, collections.defaultdict(int)
+    for (t, delta), d in sorted(deltas.items()):
+        conc += d
+        if delta == 1:
+            day = t.normalize()
+            peak[day] = max(peak[day], conc)
+    assert {pd.Timestamp(k): int(v) for k, v in got.items()} == dict(peak)
