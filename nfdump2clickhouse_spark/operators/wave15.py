@@ -2837,3 +2837,112 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "t").alias("day"))
         .agg(F.max("conc").cast("bigint").alias("peak"))
     )
+
+
+# --- new vs returning users --------------------------------------------------
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, f.first_day
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(count_if(day = first_day) AS BIGINT) AS new_users,
+           CAST(count_if(day > first_day) AS BIGINT) AS returning_users,
+           CAST(10000 * count_if(day > first_day) // COUNT(*) AS BIGINT)
+             AS returning_bp
+    FROM d GROUP BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into NEW vs RETURNING — the growth-
+    accounting decomposition every DAU chart needs underneath it (a
+    flat DAU hides whether acquisition is replacing churn). A user is
+    new on exactly their first-seen day; integer basis points for the
+    returning share.
+
+    Shape: one per-user first-day agg, one user-keyed join (both sides
+    keyed on user — co-partitioned shuffle), distinct user-days, then a
+    day agg. At 100 TB the first-day table is the incrementally-
+    maintained user dimension this joins against."""
+    from ..catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    d = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .join(f, "user_id")
+    )
+    return d.groupBy(F.col("day").cast("timestamp").alias("day")).agg(
+        F.count_if(F.col("day") == F.col("first_day"))
+        .cast("bigint")
+        .alias("new_users"),
+        F.count_if(F.col("day") > F.col("first_day"))
+        .cast("bigint")
+        .alias("returning_users"),
+        F.expr(
+            "CAST(10000 * count_if(day > first_day) DIV COUNT(*) AS BIGINT)"
+        ).alias("returning_bp"),
+    )
+
+
+# --- boilerplate n-gram detector ---------------------------------------------
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ws[i:i+4], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+    ),
+    df AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM g GROUP BY gram
+    )
+    SELECT gram, doc_freq FROM df
+    QUALIFY ROW_NUMBER() OVER (ORDER BY doc_freq DESC, gram) <= 20
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: the 20 most DOCUMENT-frequent 5-grams —
+    exact phrases recurring across many documents are navigation chrome,
+    license headers, and template residue (the C4/RefinedWeb cleanup
+    target); document frequency (not raw count) is what separates
+    boilerplate from naturally common words.
+
+    Shape: per-doc DISTINCT grams (dedup inside the doc first, so one
+    spammy doc can't fake corpus-wide boilerplate), one gram-keyed
+    doc-frequency agg with map-side combine, top-20 as
+    TakeOrderedAndProject — never a global sort."""
+    from ..catalog import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(20)
+    )

@@ -1982,3 +1982,27 @@ def test_peak_concurrency_matches_pure_python(spark, sf_dir):
             day = t.normalize()
             peak[day] = max(peak[day], conc)
     assert {pd.Timestamp(k): int(v) for k, v in got.items()} == dict(peak)
+
+
+@pytest.mark.parametrize("key", ["events_new_vs_returning", "text_boilerplate_ngrams"])
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_growth_boilerplate_across_sfs(key, sfd, spark, ddb_by_sf):
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_new_vs_returning_reconciles(spark, sf_dir):
+    """Sum of new_users over all days == total distinct users (each user
+    is new exactly once), and day-1 has zero returning users."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = (
+        SPECS["events_new_vs_returning"].fn(spark, sf_dir).toPandas().sort_values("day")
+    )
+    e = table(spark, sf_dir, "events")
+    assert int(pdf["new_users"].sum()) == e.select("user_id").distinct().count()
+    assert int(pdf.iloc[0]["returning_users"]) == 0
