@@ -2946,3 +2946,53 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(20)
     )
+
+
+# --- group-wise extreme rows (TPC-H Q2 shape) --------------------------------
+
+
+@register(
+    "join_groupwise_min",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem l JOIN m
+      ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+    WHERE l.l_partkey < 200
+    """,
+)
+def join_groupwise_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows matching their group's extreme — the TPC-H Q2 shape
+    ('suppliers offering the minimum price'): unlike `agg_argmax`'s
+    single-winner aggregate, ALL tied rows survive, which is the
+    semantic procurement/dedup-review actually needs. Formulated as
+    agg + self-join on (key, extreme) so Catalyst keeps BOTH sides'
+    partkey filters pushed to the scans and co-partitions the join;
+    the window-rank alternative costs the same shuffle but loses the
+    scan-side pushdown of the min table."""
+    from ..catalog import table as _table
+
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    m = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "pk")
+    )
+    return (
+        li.join(
+            m,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+    )

@@ -2006,3 +2006,36 @@ def test_new_vs_returning_reconciles(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     assert int(pdf["new_users"].sum()) == e.select("user_id").distinct().count()
     assert int(pdf.iloc[0]["returning_users"]) == 0
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_groupwise_min_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["join_groupwise_min"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"join_groupwise_min@{sfd}")
+
+
+def test_groupwise_min_keeps_ties(spark, sf_dir):
+    """Every surviving row must actually carry its part's minimum price,
+    every part < 200 must be represented, and ties (if any) all
+    survive — the semantic difference vs agg_argmax."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["join_groupwise_min"].fn(spark, sf_dir).toPandas()
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select("l_partkey", F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"))
+        .toPandas()
+    )
+    mins = li.groupby("l_partkey")["price_c"].min()
+    counts = li.groupby("l_partkey").apply(
+        lambda g: int((g["price_c"] == g["price_c"].min()).sum()), include_groups=False
+    )
+    assert set(pdf["l_partkey"]) == set(mins.index)
+    for pk, g in pdf.groupby("l_partkey"):
+        assert (g["price_c"] == mins[pk]).all()
+        assert len(g) == counts[pk]  # all tied rows survive
