@@ -2996,3 +2996,55 @@ def join_groupwise_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_c"),
         )
     )
+
+
+# --- weekday seasonality -----------------------------------------------------
+
+
+@register(
+    "agg_weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      -- +1 maps DuckDB's 0=Sunday to Spark's 1=Sunday convention
+      SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM d)
+    SELECT CAST(d.dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(d.cents) AS BIGINT) AS rev_c,
+           CAST(10000 * SUM(d.cents) // t.tot AS BIGINT) AS share_bp
+    FROM d, t GROUP BY d.dow, t.tot
+    """,
+)
+def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by day-of-week — the seasonality fingerprint read before
+    any WoW comparison is trusted (`ts_period_over_period` exists
+    precisely because this table is never flat). Engines disagree on
+    weekday NUMBERING (Spark dayofweek is 1=Sunday; DuckDB dayofweek is
+    0=Sunday), so the key uses Spark's convention and the oracle maps —
+    a cross-dialect trap worth pinning. Integer cents + basis-point
+    shares; ONE partial+final agg plus a broadcast 1-row total."""
+    from ..catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    d = o.select(
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = d.agg(F.sum("cents").cast("bigint").alias("tot"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy(F.col("dow").cast("bigint").alias("dow"), "tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("rev_c"),
+        )
+        .select(
+            "dow",
+            "n_orders",
+            "rev_c",
+            F.expr("CAST(10000 * rev_c DIV tot AS BIGINT)").alias("share_bp"),
+        )
+    )

@@ -2039,3 +2039,22 @@ def test_groupwise_min_keeps_ties(spark, sf_dir):
     for pk, g in pdf.groupby("l_partkey"):
         assert (g["price_c"] == mins[pk]).all()
         assert len(g) == counts[pk]  # all tied rows survive
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_weekday_seasonality_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["agg_weekday_seasonality"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"agg_weekday_seasonality@{sfd}")
+
+
+def test_weekday_seasonality_reconciles(spark, sf_dir):
+    """Seven weekday rows partitioning all orders; shares sum to
+    ~10000 bp (floor-division slack < 7)."""
+    from nfdump2clickhouse_spark.catalog import table
+
+    pdf = SPECS["agg_weekday_seasonality"].fn(spark, sf_dir).toPandas()
+    assert sorted(pdf["dow"]) == list(range(1, 8))
+    assert int(pdf["n_orders"].sum()) == table(spark, sf_dir, "orders").count()
+    assert 10000 - 7 <= int(pdf["share_bp"].sum()) <= 10000
