@@ -45,21 +45,23 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-def _certification_evidence() -> dict[str, str]:
+def _evidence_detail() -> dict[str, tuple[str, int]]:
     """Latest driver verdict per key from ``CORRECTNESS_r*.json`` at repo root.
 
-    Returns ``{key: "pass" | "err"}`` for every key the driver's sweep has
-    ever reached (later rounds override earlier ones). "pass" means either a
-    full rows+schema+hash match or a clean rows-only run (``err ==
-    'no_oracle'`` with a row count); anything else — a traceback, a
-    mismatch — is "err". Missing/unreadable files degrade to ``{}`` so the
-    static registration order still applies.
+    Returns ``{key: ("pass" | "err", round)}`` for every key the driver's
+    sweep has ever reached (later rounds override earlier ones). "pass"
+    means either a full rows+schema+hash match or a clean rows-only run
+    (``err == 'no_oracle'`` with a row count); anything else — a traceback,
+    a mismatch — is "err". The CORRECTNESS files are committed to git, so
+    this ordering input is part of the tracked repo state, not an
+    environment accident (ADVICE r3 medium). Missing/unreadable files
+    degrade to ``{}`` so the static registration order still applies.
     """
     import json
     import re
     from pathlib import Path
 
-    evidence: dict[str, str] = {}
+    evidence: dict[str, tuple[str, int]] = {}
     try:
         root = Path(__file__).resolve().parent.parent
         files = sorted(
@@ -67,6 +69,7 @@ def _certification_evidence() -> dict[str, str]:
             key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
         )
         for path in files:
+            rnd = int(re.sub(r"\D", "", path.stem) or 0)
             try:
                 rows = json.loads(path.read_text())
             except (OSError, ValueError):
@@ -83,28 +86,93 @@ def _certification_evidence() -> dict[str, str]:
                     and row.get("schema_match") is True
                     and row.get("hash_match") is True
                 ) or (err == "no_oracle" and row.get("spark_rows") is not None)
-                evidence[key] = "pass" if ok else "err"
+                evidence[key] = ("pass" if ok else "err", rnd)
     except Exception:
         return {}
     return evidence
 
 
+def _certification_evidence() -> dict[str, str]:
+    """Latest driver verdict per key — string view over ``_evidence_detail``."""
+    return {k: v for k, (v, _rnd) in _evidence_detail().items()}
+
+
+def source_hash(fn: Callable) -> str:
+    """Stable hash of a query function's source (its certified identity).
+
+    A key's driver "pass" certifies the implementation the driver ran.
+    When the builder later rewrites that implementation, the old pass no
+    longer vouches for the new code, so the sweep order must surface the
+    key for re-certification (ADVICE r3 medium). Granularity is the
+    registered function body: edits to shared helpers it calls are not
+    detected (documented limitation — helper refactors should keep the
+    hash-oracle tests green, which is the builder-side gate).
+    """
+    import hashlib
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+    except (OSError, TypeError):
+        return ""
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
+
+
+def _certified_hashes() -> dict[str, dict]:
+    """Committed snapshot of each certified key's source hash.
+
+    ``EVIDENCE_HASHES.json`` maps ``key -> {"hash": ..., "round": N}``;
+    written by ``tools/refresh_evidence_hashes.py`` at round start (when
+    the working tree still equals the tree the driver certified). A key
+    whose current source hash differs from its recorded hash has been
+    rewritten since certification and is re-queued for the sweep.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "EVIDENCE_HASHES.json"
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Registry order for the driver's budget-capped correctness sweep.
 
-    The driver certifies keys front-to-back under a fixed window (both r1
-    and r2 covered exactly the first 50 registered keys), so ordering IS the
-    certification schedule. Three tiers, stable within each:
+    The driver certifies keys front-to-back under a fixed window (r1–r3
+    each covered exactly the first 50 registered keys), so ordering IS the
+    certification schedule. Four tiers, stable within each:
 
     1. keys whose latest driver row is an ERR/mismatch (re-certify first),
-    2. keys the driver has never reached (registration order = cheap hash
+    2. keys with a stale pass — implementation rewritten since the driver
+       certified it (source hash no longer matches ``EVIDENCE_HASHES.json``),
+    3. keys the driver has never reached (registration order = cheap hash
        families first, per ``operators/__init__`` import order),
-    3. keys already certified (pass / rows-only clean) — re-sweeping them
-       certifies nothing new, so they go last.
+    4. keys already certified (pass / rows-only clean) on their current
+       source — re-sweeping them certifies nothing new, so they go last.
     """
     evidence = _certification_evidence()
-    tier = {"err": 0, None: 1, "pass": 2}
-    return sorted(keys, key=lambda k: tier[evidence.get(k)])  # sort is stable
+    recorded = _certified_hashes()
+
+    def tier(k: str) -> int:
+        v = evidence.get(k)
+        if v == "err":
+            return 0
+        if v == "pass":
+            rec = recorded.get(k)
+            if (
+                isinstance(rec, dict)
+                and rec.get("hash")
+                and rec["hash"] != source_hash(_REGISTRY[k].fn)
+            ):
+                return 1  # certified an older implementation — re-queue
+            return 3
+        return 2  # never swept
+
+    return sorted(keys, key=tier)  # sort is stable
 
 
 def all_specs() -> dict[str, QuerySpec]:
