@@ -22,13 +22,18 @@ from pyspark.sql import Column
 
 
 def ipv4_to_num(col: Column) -> Column:
-    """Dotted-quad string → uint32-as-long (ClickHouse IPv4StringToNum)."""
+    """Dotted-quad string → uint32-as-long (ClickHouse IPv4StringToNum).
+
+    NULL for anything that is not a v4 dotted quad — §1.2 allows v6
+    strings in the same address column, and the ANSI cast would throw on
+    them (try_cast keeps the expression codegen'd and null-safe)."""
     parts = F.split(col, r"\.")
-    return (
-        parts.getItem(0).cast("bigint") * 16777216
-        + parts.getItem(1).cast("bigint") * 65536
-        + parts.getItem(2).cast("bigint") * 256
-        + parts.getItem(3).cast("bigint")
+    return F.when(
+        F.size(parts) == 4,
+        parts.getItem(0).try_cast("bigint") * 16777216
+        + parts.getItem(1).try_cast("bigint") * 65536
+        + parts.getItem(2).try_cast("bigint") * 256
+        + parts.getItem(3).try_cast("bigint"),
     )
 
 

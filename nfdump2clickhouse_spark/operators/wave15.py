@@ -64,8 +64,8 @@ def flows_netflow_v9_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(fpath, "rb") as fh:
                 content = fh.read()
             capture = os.path.basename(fpath)
-            for sa, da, sp, dp, pr, ipkt, ibyt in decode_flow_stream(content):
-                yield (capture, sa, da, sp, dp, pr, ipkt, ibyt)
+            for t in decode_flow_stream(content):
+                yield (capture, *t)
 
     class V9Source(DataSource):
         @classmethod
@@ -73,9 +73,12 @@ def flows_netflow_v9_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             return "wave15_netflow_v9"
 
         def schema(self):
+            # full SURVEY §1.2 contract (ts/te epoch-ms ints at this
+            # layer; cast below): ts te td sa da sp dp pr flg ipkt ibyt ra
             return (
-                "capture string, sa string, da string, sp int, dp int,"
-                " pr int, ipkt long, ibyt long"
+                "capture string, ts long, te long, td double, sa string,"
+                " da string, sp int, dp int, pr string, flg string,"
+                " ipkt long, ibyt long, ra string"
             )
 
         def reader(self, schema):
@@ -88,7 +91,12 @@ def flows_netflow_v9_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ipkt").alias("pkts"),
         F.sum("ibyt").alias("bytes"),
         F.countDistinct("sa").alias("n_src"),
-        F.count_if(F.col("pr") == 17).alias("n_udp"),
+        F.count_if(F.col("pr") == "UDP").alias("n_udp"),
+        F.count_if(F.col("sa").contains(":")).alias("n_v6"),
+        F.min("ts").alias("first_ms"),
+        F.max("te").alias("last_ms"),
+        F.round(F.sum("td"), 3).alias("sum_td"),
+        F.countDistinct("ra").alias("n_exporters"),
     )
 
 
@@ -1997,8 +2005,8 @@ def flows_v9_sampling_options(spark: SparkSession, sf_dir: str) -> DataFrame:
                 flows, meta = decode_flow_stream(content, with_meta=True)
                 interval = max(meta["sampling"].values(), default=1)
                 cap = os.path.basename(path)
-                for _sa, _da, _sp, _dp, _pr, ipkt, ibyt in flows:
-                    out.append((cap, int(interval), int(ipkt), int(ibyt)))
+                for t in flows:  # FLOW_COLUMNS order; ipkt/ibyt at -3/-2
+                    out.append((cap, int(interval), int(t[-3]), int(t[-2])))
             if out:
                 yield pd.DataFrame(
                     out, columns=["capture", "interval", "ipkt", "ibyt"]

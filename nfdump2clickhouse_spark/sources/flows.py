@@ -56,6 +56,53 @@ def project_flows(raw: DataFrame, flowsrc: str) -> DataFrame:
     )
 
 
+def read_v9_directory(
+    spark: SparkSession, path: str, flowsrc: str, exporter: str | None = None
+) -> DataFrame:
+    """Native template-decode of a directory of v9/IPFIX capture files
+    into the SAME 13-col + layout shape as ``project_flows`` — the
+    nfdump-subprocess-free ingest seam (SURVEY §1.2; VERDICT r3 next-#1).
+
+    One capture file decodes whole on one executor (template state never
+    crosses rotation files — exporters re-announce per rotation), via
+    ``binaryFile`` + Arrow-batched ``mapInPandas``; the decoder emits
+    epoch-ms integers which are cast to TimestampType here. The result
+    feeds ``sinks.write_flows_partitioned`` unchanged."""
+    from .netflow_v9 import FLOW_COLUMNS
+
+    def decode(batches):
+        import pandas as pd
+
+        from nfdump2clickhouse_spark.sources.netflow_v9 import (
+            decode_flow_stream,
+        )
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                flows = decode_flow_stream(bytes(content), exporter=exporter)
+                if flows:
+                    yield pd.DataFrame(flows, columns=FLOW_COLUMNS)
+
+    raw = spark.read.format("binaryFile").load(path)
+    decoded = raw.select("content").mapInPandas(
+        decode,
+        "ts long, te long, td double, sa string, da string, sp int, dp int,"
+        " pr string, flg string, ipkt long, ibyt long, ra string",
+    )
+    return decoded.select(
+        F.timestamp_millis("ts").alias("ts"),
+        F.timestamp_millis("te").alias("te"),
+        "td", "sa", "da", "sp", "dp", "pr", "flg", "ipkt", "ibyt", "ra",
+        F.lit(flowsrc).alias("flowsrc"),
+    ).withColumns(
+        {
+            "sa_num": ipv4_to_num(F.col("sa")),  # NULL for IPv6 (v4-only index)
+            "da_num": ipv4_to_num(F.col("da")),
+            "dt": F.to_date("ts"),
+        }
+    )
+
+
 def read_flow_csv(spark: SparkSession, path: str, flowsrc: str) -> DataFrame:
     """Typed read of `nfdump -o csv` output (explicit schema, never
     inferred — SURVEY §1.2)."""

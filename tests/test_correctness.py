@@ -1076,11 +1076,20 @@ def test_netflow_v9_decoder_roundtrip_and_template_cache():
     )
 
     d = tempfile.mkdtemp()
-    expected = write_netflow_v9(d, n_files=2, records_per_file=10)
+    expected = write_netflow_v9(d, n_files=2, records_per_file=30)
     got = []
     for fn in sorted(os.listdir(d)):
         got.extend(decode_flow_stream(open(os.path.join(d, fn), "rb").read()))
     assert got == expected
+    # the full §1.2 contract is populated: exact epoch-ms ts/te (the
+    # sysUptime-relative→absolute arithmetic), td = (te-ts)/1000, IPv6
+    # rows from template 258, protocol names, flag strings, exporter ra
+    ts, te, td, sa, da, sp, dp, pr, flg, ipkt, ibyt, ra = got[7]
+    assert ts == 1_709_251_207_000 and te - ts == 7 * 37 and td == (te - ts) / 1000.0
+    assert pr in ("TCP", "UDP") and len(flg) == 6 and ra == "sid-7"
+    v6_rows = [t for t in got if ":" in t[3]]
+    assert len(v6_rows) == 10 and all(t[3].startswith("2001:db8::") for t in v6_rows)
+    assert all(t[1] >= t[0] and t[2] == (t[1] - t[0]) / 1000.0 for t in got)
 
     d2 = tempfile.mkdtemp()
     expected2 = write_ipfix(d2)  # enterprise-bit skip path exercised
@@ -1088,17 +1097,33 @@ def test_netflow_v9_decoder_roundtrip_and_template_cache():
     for fn in sorted(os.listdir(d2)):
         got2.extend(decode_flow_stream(open(os.path.join(d2, fn), "rb").read()))
     assert got2 == expected2
+    # IPFIX rides absolute flowStart/EndMilliseconds (IEs 152/153)
+    assert got2[0][0] == 1_709_281_200_000 and got2[0][-1] == "sid-9"
 
-    # statefulness: find packet-2 offset (second v9 header) and decode
-    # from there — the template-257 records must be lost
+    # exporter passthrough: the transport-peer identity reaches ra
+    d3 = tempfile.mkdtemp()
+    exp3 = write_netflow_v9(d3, n_files=1, records_per_file=6, exporter="192.0.2.9")
+    got3 = decode_flow_stream(
+        open(os.path.join(d3, os.listdir(d3)[0]), "rb").read(), exporter="192.0.2.9"
+    )
+    assert got3 == exp3 and all(t[-1] == "192.0.2.9" for t in got3)
+
+    # statefulness: locate packet 2 (version=9, count=15, sysUptime=up2
+    # — unique byte signature) and decode from there: with the packet-1
+    # template cache lost, ALL 15 packet-2 records are undecodable
     raw = open(os.path.join(d, sorted(os.listdir(d))[0]), "rb").read()
-    off = 20
-    while off < len(raw):
-        if struct.unpack_from(">H", raw, off)[0] == 9:
-            break
-        off += 2
+    off = raw.index(struct.pack(">HHI", 9, 15, 3_600_000 + 1000))
     tail_only = decode_flow_stream(raw[off:])
-    assert len(tail_only) < 10  # the 257-template records are undecodable
+    assert tail_only == []
+
+    # desync guard (ADVICE r3): an orphan data FlowSet (template never
+    # announced) must not derail the walk — the reserved-flowset-id check
+    # resynchronizes on the next packet header, so a following intact
+    # capture decodes in full
+    hdr = struct.pack(">HHIIII", 9, 5, 3_600_000, 1_709_251_200, 0, 7)
+    orphan = struct.pack(">HH", 300, 12) + b"\x01" * 8
+    resynced = decode_flow_stream(hdr + orphan + raw)
+    assert resynced == expected[:30]
 
 
 def test_netflow_v9_key_matches_generator(spark, sf_dir):
@@ -1120,15 +1145,20 @@ def test_netflow_v9_key_matches_generator(spark, sf_dir):
     for _, row in pdf.iterrows():
         name = row["capture"]
         if name.startswith("nfcapd.v9."):
-            f, n = int(name.split(".")[-1]), 30
+            f, n, b_end = int(name.split(".")[-1]), 30, 25
         else:
-            f, n = 100 + int(name.split(".")[-1]), 20
-        exp = [_expected_tuple(f, r) for r in range(n)]
+            f, n, b_end = 100 + int(name.split(".")[-1]), 20, 99
+        exp = [_expected_tuple(f, r, v6=r >= b_end) for r in range(n)]
         assert int(row["n_flows"]) == n
-        assert int(row["pkts"]) == sum(e[5] for e in exp)
-        assert int(row["bytes"]) == sum(e[6] for e in exp)
-        assert int(row["n_src"]) == len({e[0] for e in exp})
-        assert int(row["n_udp"]) == sum(1 for e in exp if e[4] == 17)
+        assert int(row["pkts"]) == sum(e[9] for e in exp)
+        assert int(row["bytes"]) == sum(e[10] for e in exp)
+        assert int(row["n_src"]) == len({e[3] for e in exp})
+        assert int(row["n_udp"]) == sum(1 for e in exp if e[7] == "UDP")
+        assert int(row["n_v6"]) == sum(1 for e in exp if ":" in e[3])
+        assert int(row["first_ms"]) == min(e[0] for e in exp)
+        assert int(row["last_ms"]) == max(e[1] for e in exp)
+        assert abs(float(row["sum_td"]) - round(sum(e[2] for e in exp), 3)) < 1e-9
+        assert int(row["n_exporters"]) == 1
 
 
 @pytest.mark.parametrize("sfd", CROSS_SF_DIRS)

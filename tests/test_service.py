@@ -318,3 +318,37 @@ def test_service_backfill_replaces_only_target_partitions(spark, tmp_path):
     after = svc.table()
     assert after.filter(F.col("dt") == target).count() == 50
     assert after.filter(F.col("dt") != target).count() == before_other
+
+
+def test_v9_decode_feeds_partitioned_sink(spark, tmp_path):
+    """VERDICT r3 next-#1 done-condition: the native v9/IPFIX template
+    decode emits the full §1.2 schema and feeds the partitioned sorted
+    sink UNCHANGED — no decode_cmd subprocess seam. Round-trips the
+    generator ground truth through binaryFile→mapInPandas→parquet."""
+    from nfdump2clickhouse_spark.schemas import FLOWS
+    from nfdump2clickhouse_spark.sources.flows import read_v9_directory
+    from nfdump2clickhouse_spark.sources.netflow_v9 import write_netflow_v9
+    from nfdump2clickhouse_spark.sources.sinks import write_flows_partitioned
+
+    cap_dir = str(tmp_path / "captures")
+    expected = write_netflow_v9(cap_dir, n_files=3, records_per_file=16,
+                                exporter="192.0.2.7")
+    flows = read_v9_directory(spark, cap_dir, flowsrc="edge1",
+                              exporter="192.0.2.7")
+    # contract: every FLOWS column present and typed per schemas.FLOWS
+    for field in FLOWS.fields:
+        assert flows.schema[field.name].dataType == field.dataType, field
+    table = str(tmp_path / "table")
+    write_flows_partitioned(flows, table)
+    back = spark.read.parquet(table)
+    rows = back.orderBy("ts", "sa").collect()
+    assert len(rows) == len(expected) == 48
+    exp = sorted(expected)
+    assert [int(r.ts.timestamp() * 1000) for r in rows] == [e[0] for e in exp]
+    assert [r.td for r in rows] == [e[2] for e in exp]
+    assert {r.flowsrc for r in rows} == {"edge1"}
+    assert {r.ra for r in rows} == {"192.0.2.7"}
+    # v6 rows carry NULL sa_num (v4-only pushdown index), v4 rows don't
+    assert all((r.sa_num is None) == (":" in r.sa) for r in rows)
+    # layout: hive partitions by dt=/flowsrc= exist on disk
+    assert any(p.startswith("dt=") for p in os.listdir(table))
