@@ -511,3 +511,23 @@ def test_auc_no_unpartitioned_window(spark, sf_dir):
 
     df = SPECS["ml_eval_auc"].fn(spark, sf_dir)
     assert not unpartitioned_window_specs(df)
+
+
+def test_lpa_no_mandatory_broadcast(spark, sf_dir):
+    """graph_label_propagation's star fold must carry NO broadcast hint
+    (VERDICT r3 wrong-#2): customer/supplier grow with SF (15M+ rows at
+    the 100 TB mandate) and a forced broadcast ships the whole dim to
+    every executor. Hint-free, AQE picks broadcast at runtime only when
+    the dim really is small — the same closure as text_tfidf (r2) and
+    graph_pagerank. Asserted on the analyzed logical plan, where user
+    hints surface as ResolvedHint. The operator localCheckpoints the
+    edge fold (which would hide any hint from the final plan), so the
+    pin inspects the pre-checkpoint fold directly."""
+    from nfdump2clickhouse_spark.operators.wave15 import _lpa_edges
+
+    analyzed = (
+        _lpa_edges(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed, analyzed
+    final = SPECS["graph_label_propagation"].fn(spark, sf_dir)
+    assert "ResolvedHint" not in final._jdf.queryExecution().analyzed().toString()
