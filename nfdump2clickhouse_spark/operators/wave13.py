@@ -288,14 +288,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes at distinct values of v, so first aggregate to per-distinct-
     value group counts (one shuffle; ties collapse here, which the RANGE
     frame handled in the oracle), then compute BOTH cumulative counts
-    with the two-phase range-partitioned prefix sum (`pack_token_budget`
-    pattern): range-partition on v, collect one (d0,d1) subtotal per
-    partition (P rows — O(P) driver work), broadcast start offsets back,
-    and run the running sums as windows PARTITIONED BY partition id, so
-    no task ever sees more than its value range. D stays the INTEGER max
-    of |c0·n1 − c1·n0| — no float CDF subtraction to drift cross-engine;
-    ks_e6 is the exact round-half-up scaled statistic. n0/n1 fall out of
-    the subtotal pass for free."""
+    with ``functions.distributed.prefix_sums`` (the shared two-phase
+    scan: literal-boundary range ids, one O(P) subtotal collect,
+    pid-partitioned windows), so no task ever sees more than its value
+    range. D stays the INTEGER max of |c0·n1 − c1·n0| — no float CDF
+    subtraction to drift cross-engine; ks_e6 is the exact round-half-up
+    scaled statistic. n0/n1 fall out of the subtotal pass for free."""
     li = table(spark, sf_dir, "lineitem")
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
     s = li.select(
@@ -309,37 +307,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("grp") == 0).alias("d0"),
         F.count_if(F.col("grp") == 1).alias("d1"),
     )
-    parts = dv.repartitionByRange(8, "v").sortWithinPartitions("v")
-    # materialize ONE partitioning (repartitionByRange resamples split
-    # points per execution — see pack_token_budget's phantom-bin note)
-    parts = parts.withColumn("pid", F.spark_partition_id()).localCheckpoint()
-    subtotals = (
-        parts.groupBy("pid")
-        .agg(F.sum("d0").alias("t0"), F.sum("d1").alias("t1"))
-        .orderBy("pid")
-        .collect()
-    )
-    off0, off1, acc0, acc1 = {}, {}, 0, 0
-    for row in subtotals:
-        off0[row["pid"]], off1[row["pid"]] = acc0, acc1
-        acc0 += row["t0"]
-        acc1 += row["t1"]
-    n0, n1 = acc0, acc1  # total group sizes, free from the subtotal pass
-    o0 = F.coalesce(
-        *[F.when(F.col("pid") == p, F.lit(o)) for p, o in off0.items()], F.lit(0)
-    )
-    o1 = F.coalesce(
-        *[F.when(F.col("pid") == p, F.lit(o)) for p, o in off1.items()], F.lit(0)
-    )
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = parts.select(
-        (o0 + F.sum("d0").over(w)).alias("c0"),
-        (o1 + F.sum("d1").over(w)).alias("c1"),
-    )
+    from ..functions.distributed import prefix_sums
+
+    p, tot = prefix_sums(dv, ["v"], ["d0", "d1"])
+    n0, n1 = tot["d0"], tot["d1"]  # group sizes, free from the subtotal pass
+    c = p.select(F.col("_ps_d0").alias("c0"), F.col("_ps_d1").alias("c1"))
     n0l = F.lit(n0).cast("bigint")
     n1l = F.lit(n1).cast("bigint")
     return (

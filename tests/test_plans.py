@@ -460,13 +460,17 @@ def test_hamming_retrieval_banded_no_corpus_broadcast(spark, sf_dir):
 def test_round3_shuffle_budgets(spark, sf_dir):
     """Exchange budgets for the round-3 keys (counts include broadcast
     exchanges — same convention as the earlier budget tests). The
-    exact_ntile / KS keys read from localCheckpointed prefix-sum state,
-    so only their post-checkpoint exchanges appear here."""
+    exact_ntile keys read from localCheckpointed global_rank state, so
+    only their post-checkpoint exchanges appear; stats_ks_test moved to
+    the checkpoint-free literal-boundary prefix_sums in r4, so its FULL
+    lineage (distinct-value agg + pid window + final 1-row agg) is now
+    visible in one plan — one more Exchange in the plan text, one FEWER
+    materialization at runtime."""
     budgets = {
         "sample_temperature": 6,   # 2 aggs + rank window + final agg + 2 bcast
         "emb_pq_quantize": 3,      # explode->subspace agg (+ sort)
         "tokenizer_bpe_apply": 1,  # one per-source agg; encode is shuffle-free
-        "stats_ks_test": 2,        # pid windows + final 1-row agg
+        "stats_ks_test": 3,        # dv agg + pid window + final 1-row agg
         "curriculum_binning": 2,   # pid window + phase agg
         "events_rfm_segmentation": 2,
         "emb_binarize_hamming": 3, # band join bcast + dedup + top-5 window

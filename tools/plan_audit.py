@@ -65,7 +65,7 @@ AUDITED: dict[str, str] = {
     "text_line_dedup": "ONE chunk-keyed shuffle (canonical-copy window) + per-doc regroup",
     "flows_stat_report": "grouping-sets Expand: 3 stat dims from one scan; WindowGroupLimit top-5",
     # reworked round 3 (VERDICT r2 perf-weak closures)
-    "stats_ks_test": "distinct-value agg collapses ties; two-phase pid-partitioned prefix sums (NO unpartitioned window); integer D",
+    "stats_ks_test": "distinct-value agg collapses ties; shared literal-boundary prefix_sums (NO unpartitioned window, NO checkpoint); integer D",
     "events_rfm_segmentation": "one user agg; exact_ntile two-phase rank per tercile — no global-sort window",
     "curriculum_binning": "exact_ntile two-phase rank: range-partition + pid windows, closed-form tiles",
     "emb_binarize_hamming": "row-local sign-pack fold; 8x8-bit band equi-join broadcasting only the probe side (no corpus NLJ)",
@@ -75,10 +75,14 @@ AUDITED: dict[str, str] = {
     "ann_ivfpq_search": "candidate stage joins queries to the 4-byte-code index only; full vectors fetched for the 50-id shortlist",
     "dedup_semantic_cluster": "pair space blocked to per-cell equi-joins; soft 2-cell assignment; exact verify in-cell",
     "dedup_substring_spans": "one gram-keyed shuffle + max_df cap; span merge is a (pair, diagonal)-partitioned window, no global sort",
-    "ml_eval_auc": "distinct-value agg + pid-partitioned prefix sums (KS machinery); no unpartitioned window",
+    "ml_eval_auc": "distinct-value agg + shared literal-boundary prefix_sums; null scores excluded; no unpartitioned window",
     "join_asof_nearest": "ONE user-keyed sort serves both direction windows; no per-row range probe",
     "features_target_encoding": "one (cat, fold) agg; cross-fold lookup is a broadcast self-join on the tiny agg",
-    "agg_winsorized_mean": "grouped_rank slices skewed groups; no per-group window funnel",
+    "agg_winsorized_mean": "grouped_rank slices skewed groups; no per-group window funnel, no checkpoint (literal-boundary pids)",
+    # reworked round 4 (VERDICT r3 wrong-#3 / next-#5/#6 closures)
+    "pack_token_budget": "exclusive token prefix via shared prefix_sums: literal split boundaries, one pid-window shuffle, zero materialization",
+    "events_peak_concurrency": "sweep line: boundary agg collapses ties, shared prefix_sums runs the running sum pid-partitioned",
+    "graph_label_propagation": "hint-free star fold (AQE picks the join); per-round join+argmax on the checkpointed |E| edge table",
 }
 
 
