@@ -46,3 +46,5 @@ from . import wave15  # noqa: F401  (r3 additions: v9/IPFIX decode, IVF-PQ
 #   register LAST so a sweep budget cut costs them, not cheap hash keys;
 #   wave15's two cheap hash keys ride the same tail, which rotation will
 #   still reach rounds before any re-certification)
+from . import wave16  # noqa: F401  (r4: sessionization, windowed funnel,
+#   DQ rules, behavioral entropy — all cheap hash keys)

@@ -2206,3 +2206,80 @@ def test_weekday_seasonality_reconciles(spark, sf_dir):
     assert sorted(pdf["dow"]) == list(range(1, 8))
     assert int(pdf["n_orders"].sum()) == table(spark, sf_dir, "orders").count()
     assert 10000 - 7 <= int(pdf["share_bp"].sum()) <= 10000
+
+
+_WAVE16 = [
+    "events_sessionize_gap",
+    "events_funnel_windowed",
+    "data_quality_rules",
+    "events_user_entropy",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE16)
+def test_wave16_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF discipline for the round-4 keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_funnel_windowed_dp_vs_bruteforce(spark, sf_dir):
+    """The linear greedy-latest DP must equal a brute-force python chain
+    search over every user's event list — independent of the join-based
+    SQL oracle, this pins the DP's optimality argument (greedy-latest
+    chain start is optimal because span<=W is the only constraint)."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave16 import _FUNNEL_W_S
+
+    pdf = (
+        _table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type",
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("t"),
+        )
+        .toPandas()
+    )
+    depths = {}
+    for uid, g in pdf.groupby("user_id"):
+        ev = sorted(zip(g["t"], g["event_type"]))
+        s1 = [t for t, ty in ev if ty == "signup"]
+        depth = 1 if s1 else 0
+        best = 0
+        for t2, ty2 in ev:
+            if ty2 != "click":
+                continue
+            starts = [t1 for t1 in s1 if t1 <= t2 and t2 - t1 <= _FUNNEL_W_S]
+            if starts:
+                depth = max(depth, 2)
+                for t3, ty3 in ev:
+                    if ty3 == "purchase" and t3 >= t2 and any(
+                        t3 - t1 <= _FUNNEL_W_S for t1 in starts
+                    ):
+                        depth = 3
+        depths[uid] = depth
+    from collections import Counter
+    exp = Counter(depths.values())
+    got = {
+        int(r["depth"]): int(r["n_users"])
+        for _, r in SPECS["events_funnel_windowed"].fn(spark, sf_dir).toPandas().iterrows()
+    }
+    assert got == {d: n for d, n in exp.items()}, (got, dict(exp))
+
+
+def test_sessionize_gap_invariants(spark, sf_dir):
+    """Session accounting must reconcile: total events across sessions ==
+    user's event count, and session count is 1 + number of >30min gaps."""
+    pdf = SPECS["events_sessionize_gap"].fn(spark, sf_dir).toPandas()
+    from nfdump2clickhouse_spark.catalog import table as _table
+    ev = (
+        _table(spark, sf_dir, "events")
+        .groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    )
+    assert (pdf.set_index("user_id")["n_events"].sort_index() == ev.sort_index()).all()
+    assert (pdf["n_sessions"] >= 1).all()
+    assert (pdf["max_session_events"] <= pdf["n_events"]).all()
