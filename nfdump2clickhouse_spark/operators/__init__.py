@@ -48,3 +48,5 @@ from . import wave15  # noqa: F401  (r3 additions: v9/IPFIX decode, IVF-PQ
 #   still reach rounds before any re-certification)
 from . import wave16  # noqa: F401  (r4: sessionization, windowed funnel,
 #   DQ rules, behavioral entropy — all cheap hash keys)
+from . import wave17  # noqa: F401  (r4: k-anonymity, repeat-factor mixing,
+#   SRM chi2, k-core peeling)

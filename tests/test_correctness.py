@@ -2283,3 +2283,65 @@ def test_sessionize_gap_invariants(spark, sf_dir):
     assert (pdf.set_index("user_id")["n_events"].sort_index() == ev.sort_index()).all()
     assert (pdf["n_sessions"] >= 1).all()
     assert (pdf["max_session_events"] <= pdf["n_events"]).all()
+
+
+_WAVE17 = [
+    "privacy_k_anonymity",
+    "sample_repeat_factor",
+    "stats_chi2_srm",
+    "graph_kcore",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE17)
+def test_wave17_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF discipline for the round-4 wave-17 keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_kcore_fixpoint_reached(spark, sf_dir):
+    """The unrolled peel count must be PAST the fixpoint: running the
+    same peel with one extra round must not change the surviving set
+    (otherwise the fixed unroll silently under-peels)."""
+    import nfdump2clickhouse_spark.operators.wave17 as w17
+
+    base = w17.graph_kcore(spark, sf_dir).toPandas()
+    orig = w17._KCORE_ROUNDS
+    try:
+        w17._KCORE_ROUNDS = orig + 1
+        more = w17.graph_kcore(spark, sf_dir).toPandas()
+    finally:
+        w17._KCORE_ROUNDS = orig
+    b = base.sort_values("node").reset_index(drop=True)
+    m = more.sort_values("node").reset_index(drop=True)
+    assert b.equals(m), "peel had not converged within the unrolled rounds"
+
+
+def test_kcore_is_maximal_subgraph(spark, sf_dir):
+    """Every surviving node's core_degree must be >= k, and the core is
+    consistent: degrees counted only among survivors."""
+    import nfdump2clickhouse_spark.operators.wave17 as w17
+
+    pdf = w17.graph_kcore(spark, sf_dir).toPandas()
+    if len(pdf):
+        assert (pdf["core_degree"] >= w17._KCORE_K).all()
+
+
+def test_repeat_factor_copies_bounds(spark, sf_dir):
+    """Copies per doc are floor(w) or floor(w)+1, and the per-source
+    effective rate lands within one integer copy of the weight."""
+    pdf = SPECS["sample_repeat_factor"].fn(spark, sf_dir).toPandas()
+    w_by_mod = {0: 2.5, 1: 1.25, 2: 1.0, 3: 0.4}
+    for _, r in pdf.iterrows():
+        w = w_by_mod[int(r["source"][3:]) % 4]
+        assert abs(r["n_emitted"] / r["n_docs"] - w) <= 0.5, r["source"]
+        lo, hi = int(w), int(w) + 1
+        # epoch_sum consistency: sum c(c+1)/2 with c in {lo, hi}
+        n_hi = r["n_emitted"] - lo * r["n_docs"]
+        n_lo = r["n_docs"] - n_hi
+        exp = n_lo * lo * (lo + 1) // 2 + n_hi * hi * (hi + 1) // 2
+        assert r["epoch_sum"] == exp, r["source"]
