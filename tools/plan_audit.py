@@ -80,9 +80,16 @@ AUDITED: dict[str, str] = {
     "features_target_encoding": "one (cat, fold) agg; cross-fold lookup is a broadcast self-join on the tiny agg",
     "agg_winsorized_mean": "grouped_rank slices skewed groups; no per-group window funnel, no checkpoint (literal-boundary pids)",
     # reworked round 4 (VERDICT r3 wrong-#3 / next-#5/#6 closures)
-    "pack_token_budget": "exclusive token prefix via shared prefix_sums: literal split boundaries, one pid-window shuffle, zero materialization",
+    "pack_token_budget": "exclusive token prefix via shared prefix_sums: literal split boundaries, one pid-window shuffle",
     "events_peak_concurrency": "sweep line: boundary agg collapses ties, shared prefix_sums runs the running sum pid-partitioned",
     "graph_label_propagation": "hint-free star fold (AQE picks the join); per-round join+argmax on the checkpointed |E| edge table",
+    # wave-16/17 (round 4)
+    "events_sessionize_gap": "lag flag, session ids, and both aggs all ride ONE user-keyed exchange",
+    "events_funnel_windowed": "linear greedy-latest DP on one user-keyed sort window; no per-step self-join",
+    "data_quality_rules": "single-table rules share one multi-aggregate scan per table; FK/date rules are two AQE key-joins",
+    "privacy_k_anonymity": "one QI group-size agg + 4-row broadcast threshold grid",
+    "sample_repeat_factor": "scan-local hash copies + row-local explode(sequence); only the reconciliation aggregates",
+    "graph_kcore": "star fold once + checkpoint; peel rounds are semi-joins on the tiny edge table",
 }
 
 
