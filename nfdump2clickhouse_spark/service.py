@@ -30,6 +30,7 @@ from __future__ import annotations
 import configparser
 import logging
 import os
+import shutil
 from dataclasses import dataclass, field
 from datetime import date
 
@@ -54,7 +55,13 @@ class SourceConfig:
     name: str
     watch_dir: str
     flowsrc: str
-    fmt: str = "parquet"  # "parquet" (staged) or "csv" (raw nfdump -o csv)
+    # "parquet" (staged), "csv" (raw nfdump -o csv), or "v9" (raw nfcapd
+    # v9/IPFIX export packets, decoded natively — no nfdump subprocess)
+    fmt: str = "parquet"
+    # transport-peer address of the exporter for fmt="v9" (nfcapd knows
+    # it from the UDP socket; file replay supplies it from config like
+    # flowsrc). None → the in-band source id renders as "sid-<n>".
+    exporter: str | None = None
     # Per-file decode command, the reference's hot path (`nfdump -r
     # <file> -o csv` [P SURVEY §3.1 E2]): a template with {file} and
     # {out} placeholders, run once per NEW file in watch_dir; its CSV
@@ -100,6 +107,7 @@ def parse_config(path: str) -> ServiceConfig:
             watch_dir=cp[sec]["watchdir"],
             flowsrc=cp[sec].get("flowsrc", sec),
             fmt=cp[sec].get("format", "parquet"),
+            exporter=cp[sec].get("exporter") or None,
             decode_cmd=cp[sec].get("decode_cmd") or None,
         )
         for sec in cp.sections()
@@ -225,6 +233,62 @@ class FlowService:
             self._log.info("source=%s decoded file=%s", src.name, name)
         return done
 
+    def decode_v9_files(self, src: SourceConfig) -> list[str]:
+        """Native decode of new nfcapd v9/IPFIX capture files into
+        FLOWS-schema parquet in the staging dir — the
+        nfdump-subprocess-free replacement for ``decode_cmd`` (VERDICT
+        r3 next-#1: the decoded frame feeds the normal staged-parquet
+        stream + partitioned sink unchanged). Same success-only `.done`
+        ledger as the subprocess path, so a failed decode retries on
+        the next run and a replayed run is a no-op.
+
+        One rotation file per call keeps the unit of retry the capture
+        file, exactly like nfcapd's own rotation; the decode itself
+        runs on executors via binaryFile + mapInPandas
+        (``sources.flows.read_v9_directory``)."""
+        from .sources.flows import read_v9_directory
+
+        staging = self._staging_dir(src)
+        ledger = os.path.join(staging, "_decoded")
+        os.makedirs(ledger, exist_ok=True)
+        done = []
+        for name in sorted(os.listdir(src.watch_dir)):
+            path = os.path.join(src.watch_dir, name)
+            marker = os.path.join(ledger, f"{name}.done")
+            if not os.path.isfile(path) or os.path.exists(marker):
+                continue
+            tmp_out = os.path.join(staging, f"_tmp_{name}")
+            try:
+                df = read_v9_directory(
+                    self.spark, path, flowsrc=src.flowsrc, exporter=src.exporter
+                )
+                df.write.mode("overwrite").parquet(tmp_out)
+                # flatten the part files into the staging dir (the file
+                # stream source lists plain files, not write dirs) —
+                # rename is atomic on one filesystem, so the stream never
+                # sees a half-written rotation
+                n_part = 0
+                for part in sorted(os.listdir(tmp_out)):
+                    if part.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(tmp_out, part),
+                            os.path.join(staging, f"{name}.{n_part:03d}.parquet"),
+                        )
+                        n_part += 1
+                shutil.rmtree(tmp_out, ignore_errors=True)
+            except Exception as ex:  # corrupt capture: log, retry next run
+                shutil.rmtree(tmp_out, ignore_errors=True)
+                self._log.warning(
+                    "source=%s v9 decode failed file=%s err=%s",
+                    src.name, name, str(ex)[-500:],
+                )
+                continue
+            with open(marker, "w") as fh:
+                fh.write("ok")
+            done.append(name)
+            self._log.info("source=%s v9-decoded file=%s", src.name, name)
+        return done
+
     # --- streams -----------------------------------------------------------
 
     def _source_stream(self, src: SourceConfig) -> DataFrame:
@@ -240,7 +304,10 @@ class FlowService:
                 .csv(watch)
             )
             return _with_layout_columns(project_flows(raw, src.flowsrc))
-        flows = reader.schema(FLOWS).parquet(src.watch_dir)
+        # fmt="v9": the native decode stage stages FLOWS parquet; the
+        # stream then rides the ordinary staged-parquet path below
+        watch = self._staging_dir(src) if src.fmt == "v9" else src.watch_dir
+        flows = reader.schema(FLOWS).parquet(watch)
         return _with_layout_columns(
             flows.withColumn("flowsrc", F.coalesce("flowsrc", F.lit(src.flowsrc)))
         )
@@ -270,6 +337,8 @@ class FlowService:
         for src in self.config.sources:
             if src.decode_cmd:
                 self.decode_new_files(src)
+            elif src.fmt == "v9":
+                self.decode_v9_files(src)
             writer = (
                 self._source_stream(src)
                 .writeStream.foreachBatch(self._sink(src))

@@ -352,3 +352,48 @@ def test_v9_decode_feeds_partitioned_sink(spark, tmp_path):
     assert all((r.sa_num is None) == (":" in r.sa) for r in rows)
     # layout: hive partitions by dt=/flowsrc= exist on disk
     assert any(p.startswith("dt=") for p in os.listdir(table))
+
+
+def test_service_native_v9_source_end_to_end(spark, tmp_path):
+    """fmt=v9: the service's native decode stage replaces the
+    decode_cmd subprocess — new nfcapd v9/IPFIX files decode to staged
+    FLOWS parquet (success-only ledger, idempotent), stream through the
+    ordinary staged-parquet path, and land in the partitioned table.
+    A second drain ingests nothing; a newly-arrived rotation ingests
+    exactly its rows."""
+    from nfdump2clickhouse_spark.sources.netflow_v9 import write_netflow_v9
+
+    watch = tmp_path / "captures"
+    expected = write_netflow_v9(str(watch), n_files=2, records_per_file=12,
+                                exporter="203.0.113.5")
+    conf = tmp_path / "svc.conf"
+    conf.write_text(
+        f"""[general]
+table_path = {tmp_path}/table
+checkpoint_root = {tmp_path}/ckpt
+
+[edge-v9]
+watchdir = {watch}
+flowsrc = edge9
+format = v9
+exporter = 203.0.113.5
+"""
+    )
+    cfg = parse_config(str(conf))
+    assert cfg.sources[0].fmt == "v9" and cfg.sources[0].exporter == "203.0.113.5"
+    svc = FlowService(spark, cfg)
+    svc.run_once()
+    tbl = spark.read.parquet(f"{tmp_path}/table")
+    assert tbl.count() == len(expected) == 24
+    row = tbl.orderBy("ts", "sa").first()
+    assert row.flowsrc == "edge9" and row.ra == "203.0.113.5"
+    # idempotent re-drain
+    svc.run_once()
+    assert spark.read.parquet(f"{tmp_path}/table").count() == 24
+    # late rotation arrives -> only its rows are added
+    write_netflow_v9(str(tmp_path / "late"), n_files=1, records_per_file=6,
+                     exporter="203.0.113.5")
+    os.rename(str(tmp_path / "late" / "nfcapd.v9.0000"),
+              str(watch / "nfcapd.v9.9999"))
+    svc.run_once()
+    assert spark.read.parquet(f"{tmp_path}/table").count() == 30
