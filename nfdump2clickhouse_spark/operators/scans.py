@@ -328,6 +328,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_stream_stream_join(spark)
 
 
+@register("stream_v9_source")  # rows-only: real Python DataSource stream
+# reader over an nfcapd dir; offset = last rotation name (O(1) state)
+def stream_v9_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.run_v9_stream_source(spark)
+
+
 @register("maint_compaction")  # rows-only: writes temp files; counts vary
 # with parquet encoding, so no cross-engine oracle
 def maint_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -186,3 +186,18 @@ def test_stream_progress_metrics_reconcile(spark, sf_dir):
     assert int(pdf["input_rows"].sum()) == src.count()
     assert int(pdf["state_rows"].iloc[-1]) == src.select("user_id").distinct().count()
     assert len(pdf) == 3  # one micro-batch per rotation
+
+
+def test_v9_stream_source_offsets_ingest_exactly_once(spark):
+    """stream_v9_source: the Python DataSource stream reader must drain
+    2 rotations, then ingest ONLY the late third rotation on the next
+    micro-batch (offset = last rotation name), with full-contract rows."""
+    from nfdump2clickhouse_spark.streaming.pipeline import run_v9_stream_source
+
+    pdf = run_v9_stream_source(spark).toPandas().sort_values("capture")
+    assert list(pdf["capture"]) == [
+        "nfcapd.v9.0000", "nfcapd.v9.0001", "nfcapd.v9.0002"]
+    assert list(pdf["n_flows"]) == [10, 10, 6]
+    assert (pdf["n_first_drain"] == 20).all()
+    assert (pdf["n_total"] == 26).all()
+    assert (pdf["first_ms"] > 1_700_000_000_000).all()
