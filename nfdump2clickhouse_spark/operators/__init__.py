@@ -50,3 +50,5 @@ from . import wave16  # noqa: F401  (r4: sessionization, windowed funnel,
 #   DQ rules, behavioral entropy — all cheap hash keys)
 from . import wave17  # noqa: F401  (r4: k-anonymity, repeat-factor mixing,
 #   SRM chi2, k-core peeling)
+from . import wave18  # noqa: F401  (r4: unigram-LM tokenizer EM + ZCA
+#   whitening — iterative/eigen rows-only keys, register late)

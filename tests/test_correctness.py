@@ -2345,3 +2345,125 @@ def test_repeat_factor_copies_bounds(spark, sf_dir):
         n_lo = r["n_docs"] - n_hi
         exp = n_lo * lo * (lo + 1) // 2 + n_hi * hi * (hi + 1) // 2
         assert r["epoch_sum"] == exp, r["source"]
+
+
+def test_unigram_em_matches_pure_python_reference(spark, sf_dir):
+    """tokenizer_unigram_em must reproduce an INDEPENDENT pure-Python
+    Viterbi-EM (recursive memoized segmenter, separate code path from
+    the engine's iterative DP) run on the same word-frequency dict —
+    same seed rule, same tie-breaks, identical top-50 (piece, count)."""
+    import math
+    from functools import lru_cache
+
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.functions.text import words
+    from nfdump2clickhouse_spark.operators.wave18 import (
+        _EM_ITERS, _MAX_PIECE, _SEED_N, _TOP_OUT,
+    )
+
+    wf = (
+        _table(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    freq = {r["w"]: int(r["count"]) for r in wf}
+
+    # seed: weighted substring counts, chars guaranteed
+    sub: dict[str, int] = {}
+    for w, f in freq.items():
+        for i in range(len(w)):
+            for l in range(1, min(_MAX_PIECE, len(w) - i) + 1):
+                sub[w[i : i + l]] = sub.get(w[i : i + l], 0) + f
+    top = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:_SEED_N]
+    counts = {p: c for p, c in sub.items() if len(p) == 1}
+    for p, c in top:
+        counts.setdefault(p, c)
+
+    for _ in range(_EM_ITERS):
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+
+        def segment(word):
+            # recursive formulation (vs the engine's iterative DP)
+            @lru_cache(maxsize=None)
+            def best(i):
+                # best segmentation of word[i:]; returns (score, -n, seq)
+                if i == len(word):
+                    return (0.0, 0, ())
+                b = (float("-inf"), 0, ())
+                for l in range(1, min(_MAX_PIECE, len(word) - i) + 1):
+                    piece = word[i : i + l]
+                    if piece not in logp:
+                        continue
+                    tail = best(i + l)
+                    if tail[0] == float("-inf"):
+                        continue
+                    cand = (logp[piece] + tail[0], -1 + tail[1],
+                            (piece,) + tail[2])
+                    if cand[:2] > b[:2] or (cand[:2] == b[:2] and cand[2] < b[2]):
+                        b = cand
+                return b
+
+            return best(0)[2]
+
+        nxt: dict[str, int] = {}
+        for w, f in freq.items():
+            for piece in segment(w):
+                nxt[piece] = nxt.get(piece, 0) + f
+        counts = nxt
+
+    total = sum(counts.values())
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOP_OUT]
+    exp_rows = [
+        (p, c, (2 * 10**6 * c + total) // (2 * total)) for p, c in exp
+    ]
+    got = [
+        (r["piece"], int(r["count"]), int(r["prob_e6"]))
+        for r in SPECS["tokenizer_unigram_em"].fn(spark, sf_dir).collect()
+    ]
+    assert got == exp_rows
+
+
+def test_unigram_em_pieces_are_multichar_subwords(spark, sf_dir):
+    """The learned inventory must contain genuine multi-char subword
+    pieces (an EM that collapses to characters learned nothing)."""
+    pdf = SPECS["tokenizer_unigram_em"].fn(spark, sf_dir).toPandas()
+    assert (pdf["piece"].str.len() > 1).sum() >= 10
+    assert (pdf["count"] > 0).all()
+
+
+def test_whitening_covariance_is_identity(spark, sf_dir):
+    """emb_whitening contract: the whitened sample has ~zero mean and
+    ~identity covariance, and matches a full-numpy ZCA of the same
+    table (same eigen floor)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["emb_whitening"].fn(spark, sf_dir)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    Z = np.stack(got["white"].to_numpy())
+    n = len(Z)
+    assert abs(Z.mean(axis=0)).max() < 1e-8
+    cov = Z.T @ Z / n
+    assert abs(cov - np.eye(cov.shape[0])).max() < 1e-6
+    # independent numpy reference
+    emb = (
+        _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    c = Xc.T @ Xc / n
+    vals, vecs = np.linalg.eigh(c)
+    W = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 1e-6))) @ vecs.T
+    Zref = Xc @ W.T
+    assert abs(Z - Zref).max() < 1e-6
+    # norm_r column is the rounded row norm
+    assert np.allclose(got["norm_r"], np.round(np.linalg.norm(Z, axis=1), 4))
