@@ -52,3 +52,5 @@ from . import wave17  # noqa: F401  (r4: k-anonymity, repeat-factor mixing,
 #   SRM chi2, k-core peeling)
 from . import wave18  # noqa: F401  (r4: unigram-LM tokenizer EM + ZCA
 #   whitening — iterative/eigen rows-only keys, register late)
+from . import wave19  # noqa: F401  (r4: interval-overlap join, ANOVA,
+#   multiline-quoted CSV robustness)

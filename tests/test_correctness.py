@@ -2467,3 +2467,64 @@ def test_whitening_covariance_is_identity(spark, sf_dir):
     assert abs(Z - Zref).max() < 1e-6
     # norm_r column is the rounded row norm
     assert np.allclose(got["norm_r"], np.round(np.linalg.norm(Z, axis=1), 4))
+
+
+_WAVE19 = [
+    "join_interval_overlap",
+    "stats_anova_f",
+    "scan_csv_multiline_quoted",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE19)
+def test_wave19_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF discipline for the round-4 wave-19 keys. stats_anova_f
+    exists in this list for a reason: its cross-group double fold
+    diverged at the last ulp ONLY at sf0.1 until the fold order was
+    pinned (array_sort+aggregate / list_reduce(ORDER BY))."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_interval_overlap_vs_bruteforce(spark, sf_dir):
+    """The binned-equi-join overlap formulation must equal a brute-force
+    pandas interval check (third formulation, independent of both the
+    engine's bins and the oracle's non-equi join)."""
+    import pandas as pd
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["join_interval_overlap"].fn(spark, sf_dir)
+        .toPandas().sort_values("c_start").reset_index(drop=True)
+    )
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).toPandas()
+    o["wstart"] = o["o_orderdate"].dt.to_period("W").dt.start_time
+    top = (
+        o.groupby("wstart").size().reset_index(name="n")
+        .sort_values(["n", "wstart"], ascending=[False, True]).head(20)
+    )
+    rows = []
+    for ws in top["wstart"]:
+        ce = ws + pd.Timedelta(days=14)
+        m = o[(o["o_orderdate"] < ce) & (o["o_orderdate"] + pd.Timedelta(days=7) > ws)]
+        rows.append((ws, len(m), round(m["o_totalprice"].sum(), 2)))
+    exp = pd.DataFrame(rows, columns=["c_start", "n_orders", "revenue"]).sort_values(
+        "c_start").reset_index(drop=True)
+    assert list(got["c_start"]) == list(exp["c_start"])
+    assert list(got["n_orders"]) == list(exp["n_orders"])
+    assert (got["revenue"] - exp["revenue"]).abs().max() < 0.02
+
+
+def test_csv_multiline_content_roundtrip(spark, sf_dir):
+    """Beyond the hash: the parsed notes must be BYTE-identical to the
+    written construction (newline + doubled-quote survival)."""
+    pdf = SPECS["scan_csv_multiline_quoted"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_newlines"] == 1).all()
+    assert (pdf["n_commas"] == 2).all()
+    assert len(pdf) > 100
