@@ -53,8 +53,13 @@ EXTRAS = [
     "curation_manifest_e2e",
     "snapshot_diff",
     # round 3
-    "stats_ks_test",        # reworked: two-phase distributed CDF prefix sums
+    "stats_ks_test",        # reworked r4: shared literal-boundary prefix_sums
     "sample_temperature",   # integer-quota mixture sampling
+    # round 4
+    "pack_token_budget",    # shared prefix_sums (exclusive form)
+    "agg_winsorized_mean",  # grouped_rank, literal-boundary pids
+    "events_sessionize_gap",  # one-exchange sessionization cascade
+    "join_interval_overlap",  # binned interval-overlap equi-join
 ]
 
 
