@@ -107,28 +107,55 @@ def seed_codebook(e: DataFrame, k: int) -> list[list[float]]:
 
 def train_ivf_codebook(e: DataFrame, k: int, iters: int) -> list[list[float]]:
     """Seed + `iters` distributed Lloyd iterations; returns the k×dim
-    codebook. Per iteration: literal-codebook argmin assignment (zero
-    Exchange), then ONE (cell, pos) partial-avg shuffle — P·k·dim rows,
-    flat in corpus size — and a k-row collect. Shared by
-    `ann_ivf_probe` and `ann_ivfpq_search`."""
+    codebook. Per iteration ONE Arrow-batched numpy job: each batch
+    computes its argmin assignment with a (n, k, dim) broadcast
+    subtraction and emits per-cell (count, sum-vector) partials — ≤ k
+    rows per batch regardless of batch size — which collect straight to
+    the driver and combine in numpy. No shuffle at all (the previous
+    formulation posexploded the corpus ×dim and shuffled it twice per
+    iteration; the r3 HOF-hot-path gotcha applies to training just as
+    it did to PQ encode). Scan-side assignment stays the plan-pinned
+    literal-HOF `ivf_assign`. Shared by `ann_ivf_probe`,
+    `ann_ivfpq_search`, and `dedup_semantic_cluster`."""
+    import numpy as np
+
     codebook = seed_codebook(e, k)
     for _ in range(iters):
-        upd = (
-            ivf_assign(e, codebook)
-            .select("cell", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("cval"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s.cval,
-                ).alias("centroid")
-            )
-            .collect()
+        bcb = e.sparkSession.sparkContext.broadcast(
+            np.array(codebook, dtype=np.float64)
         )
-        for r in upd:  # empty cells keep their previous centroid
-            codebook[r.cell] = list(r.centroid)
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = bcb.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["emb"].to_numpy())
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d.argmin(1)
+                rows = []
+                for cell in range(C.shape[0]):
+                    m = a == cell
+                    if m.any():
+                        rows.append(
+                            (cell, int(m.sum()), X[m].sum(0).tolist())
+                        )
+                yield pd.DataFrame(rows, columns=["cell", "cnt", "sums"])
+
+        parts = e.select("emb").mapInPandas(
+            partials, "cell int, cnt long, sums array<double>"
+        ).collect()
+        sums = np.zeros((k, len(codebook[0])))
+        cnts = np.zeros(k)
+        for r in parts:
+            sums[r["cell"]] += np.array(r["sums"])
+            cnts[r["cell"]] += r["cnt"]
+        for cell in range(k):  # empty cells keep their previous centroid
+            if cnts[cell] > 0:
+                codebook[cell] = (sums[cell] / cnts[cell]).tolist()
     return codebook
 
 
@@ -335,53 +362,89 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KS)
         .collect()
     )
-    pq = [
-        [[float(v) for v in row["resid"][s * SUB : (s + 1) * SUB]] for row in seeds]
-        for s in range(M)
-    ]  # [subspace][code][dim]
+    import numpy as np
 
-    def encode_sub(s, book):  # nested-literal + HOF argmin (janino-safe)
-        sub = F.slice("resid", s * SUB + 1, SUB)
-        dists = F.transform(
-            F.lit(book[s]),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    pq = np.array(
+        [
+            [list(row["resid"][s * SUB : (s + 1) * SUB]) for row in seeds]
+            for s in range(M)
+        ],
+        dtype=np.float64,
+    )  # (M, KS, SUB)
 
-    # 2 Lloyd iterations per PQ codebook — ALL subspaces in ONE shuffle per
-    # iteration: explode each row to (subspace, code, pos, val), partial-avg,
-    # collect M·KS·SUB floats (1024 here) of driver state
-    for _ in range(2):
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    encode_sub(s, pq).alias("code"),
-                    F.slice("resid", s * SUB + 1, SUB).alias("sub"),
+    # PQ encode is ARROW-BATCHED NUMPY, not per-row HOF lambdas: the
+    # M·KS·SUB argmin is ~1024 flops/row, and HOF lambdas run ~8M
+    # steps/s (the r3 gotcha) while the batched (n,KS,SUB) broadcast
+    # subtraction is one GEMM-shaped op per subspace — AND it spares
+    # janino the 8×16-aggregate expression tree that dominated this
+    # key's wall with recompiles (9.9 s warm before, sf0.1). The
+    # QUERY-side reconstruction below stays a JVM literal HOF: it is
+    # fused into the candidate join where codegen earns its keep.
+    def _encode(pq_arr, emit_sub: bool):
+        bpq = assigned.sparkSession.sparkContext.broadcast(pq_arr)
+
+        def enc(batches):
+            import numpy as np
+            import pandas as pd
+
+            P = bpq.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                R = np.stack(pdf["resid"].to_numpy())
+                codes = np.empty((len(R), M), dtype=np.int32)
+                for s_i in range(M):
+                    X = R[:, s_i * SUB : (s_i + 1) * SUB]
+                    d = ((X[:, None, :] - P[s_i][None, :, :]) ** 2).sum(-1)
+                    codes[:, s_i] = d.argmin(1)
+                if not emit_sub:
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "cell": pdf["cell"],
+                            "codes": [c.tolist() for c in codes],
+                        }
+                    )
+                    continue
+                # training: per-(subspace, code) partial sums per batch —
+                # M·KS rows of SUB-float sums, independent of batch rows
+                rows = []
+                for s_i in range(M):
+                    X = R[:, s_i * SUB : (s_i + 1) * SUB]
+                    for code in range(pq_arr.shape[1]):
+                        m = codes[:, s_i] == code
+                        if m.any():
+                            rows.append(
+                                (s_i, code, int(m.sum()), X[m].sum(0).tolist())
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["s", "code", "cnt", "sums"]
                 )
-                for s in range(M)
-            ]
-        )
-        upd = (
-            assigned.select(F.explode(entries).alias("x"))
-            .select("x.s", "x.code", F.posexplode("x.sub").alias("pos", "val"))
-            .groupBy("s", "code", "pos")
-            .agg(F.avg("val").alias("cval"))
-            .collect()
-        )
-        for r in upd:  # codes nobody used keep their previous centroid
-            pq[r["s"]][r["code"]][r["pos"]] = float(r["cval"])
+
+        return enc
+
+    # 2 Lloyd iterations per PQ codebook: ONE small Arrow job each; the
+    # per-batch partials (≤ M·KS rows/batch) collect straight to the
+    # driver and combine in numpy — no shuffle at all
+    for _ in range(2):
+        parts = assigned.select("vec_id", "cell", "resid").mapInPandas(
+            _encode(pq, emit_sub=True),
+            "s int, code int, cnt long, sums array<double>",
+        ).collect()
+        sums = np.zeros((M, KS, SUB))
+        cnts = np.zeros((M, KS))
+        for r in parts:
+            sums[r["s"], r["code"]] += np.array(r["sums"])
+            cnts[r["s"], r["code"]] += r["cnt"]
+        used = cnts > 0  # codes nobody used keep their previous centroid
+        pq[used] = sums[used] / cnts[used][:, None]
 
     # the compressed index: (vec_id, cell, 8 codes) — 4 bytes/vec at scale
-    index = assigned.select(
-        "vec_id",
-        "cell",
-        F.array(*[encode_sub(s, pq) for s in range(M)]).alias("codes"),
+    index = assigned.select("vec_id", "cell", "resid").mapInPandas(
+        _encode(pq, emit_sub=False),
+        "vec_id long, cell int, codes array<int>",
     ).localCheckpoint()
+    pq = pq.tolist()  # plain nested floats for the F.lit below
 
     # queries probe their nearest cells
     probe_cells = F.transform(
