@@ -314,3 +314,129 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_newlines"),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(COALESCE(value, -100) / 100) AS BIGINT) AS vb,
+             COUNT(DISTINCT event_type) AS l,
+             COUNT(*) AS g
+      FROM events GROUP BY 1, 2
+    ),
+    ls(l_min) AS (VALUES (2), (3), (5))
+    SELECT CAST(ls.l_min AS INT) AS l_min,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(count_if(q.l < ls.l_min) AS BIGINT) AS n_groups_below,
+           CAST(COALESCE(SUM(CASE WHEN q.l < ls.l_min THEN q.g END), 0)
+                AS BIGINT) AS n_rows_below,
+           CAST(10000 * COALESCE(SUM(CASE WHEN q.l < ls.l_min THEN q.g END), 0)
+                // SUM(q.g) AS BIGINT) AS rows_bp
+    FROM q, ls GROUP BY ls.l_min
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the step AFTER `privacy_k_anonymity`: a QI
+    group can be large (k-anonymous) yet expose its members anyway if
+    every row shares the same SENSITIVE value; l-diversity requires ≥ l
+    distinct sensitive values per group [P — Machanavajjhala 2007].
+    Here QI = (day, value-bucket), sensitive = event_type; report the
+    group and row share below l for a threshold grid.
+
+    Scale shape: ONE (QI → distinct-sensitive-count, size) aggregation
+    (count_distinct rides the same shuffle as the size), then the tiny
+    broadcast threshold grid + final agg — the `privacy_k_anonymity`
+    plan with a distinct-count added."""
+    e = table(spark, sf_dir, "events")
+    q = e.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor(F.coalesce(F.col("value"), F.lit(-100)) / 100)
+        .cast("bigint")
+        .alias("vb"),
+    ).agg(
+        F.countDistinct("event_type").alias("l"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    ls = spark.createDataFrame([(2,), (3,), (5,)], "l_min int")
+    return (
+        q.crossJoin(F.broadcast(ls))
+        .groupBy("l_min")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.count_if(F.col("l") < F.col("l_min"))
+            .cast("bigint")
+            .alias("n_groups_below"),
+            F.coalesce(
+                F.sum(F.when(F.col("l") < F.col("l_min"), F.col("g"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_rows_below"),
+            F.expr(
+                "CAST(10000 * COALESCE(SUM(CASE WHEN l < l_min THEN g END), 0)"
+                " DIV SUM(g) AS BIGINT)"
+            ).alias("rows_bp"),
+        )
+    )
+
+
+@register("ts_holt_winters")  # rows-only: the recursion is not
+# SQL-expressible; pinned against an independent pandas loop in tests
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality,
+    fixed α=0.3 β=0.1 γ=0.2) per event-type daily series, forecasting
+    the next 7 days — the classical baseline every anomaly detector and
+    capacity forecast is judged against [P — Holt/Winters literature].
+    Fixed smoothing constants keep the key deterministic (parameter
+    fitting would need an optimizer — out of contract).
+
+    Scale shape: the corpus-sized work is the ONE (series, day) count
+    agg; the recursion is inherently sequential IN TIME but independent
+    ACROSS series, so it runs as applyInPandas per series key — the
+    canonical Spark shape for per-entity recurrences (thousands of
+    series parallelize; each series is one short numpy loop)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as _F
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    m, alpha, beta, gamma, horizon = 7, 0.3, 0.1, 0.2, 7
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        if len(y) < 2 * m:  # not enough history for seasonal init
+            return pd.DataFrame(
+                {"series": [], "h": [], "forecast_r": []}
+            ).astype({"series": str, "h": "int32", "forecast_r": float})
+        level = y[:m].mean()
+        trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
+        seas = [y[i] - level for i in range(m)]
+        for t in range(len(y)):
+            s = seas[t % m]
+            new_level = alpha * (y[t] - s) + (1 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1 - beta) * trend
+            seas[t % m] = gamma * (y[t] - new_level) + (1 - gamma) * s
+            level = new_level
+        n = len(y)
+        return pd.DataFrame(
+            {
+                "series": pdf["series"].iloc[0],
+                "h": list(range(1, horizon + 1)),
+                "forecast_r": [
+                    round(level + h * trend + seas[(n + h - 1) % m], 4)
+                    for h in range(1, horizon + 1)
+                ],
+            }
+        )
+
+    return daily.groupBy("series").applyInPandas(
+        hw, "series string, h int, forecast_r double"
+    )

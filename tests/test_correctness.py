@@ -2528,3 +2528,50 @@ def test_csv_multiline_content_roundtrip(spark, sf_dir):
     assert (pdf["n_newlines"] == 1).all()
     assert (pdf["n_commas"] == 2).all()
     assert len(pdf) > 100
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_l_diversity_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["privacy_l_diversity"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"privacy_l_diversity@{sfd}")
+
+
+def test_holt_winters_matches_reference_loop(spark, sf_dir):
+    """ts_holt_winters pinned against an independent pandas/python
+    recursion over the same daily series (same fixed alpha/beta/gamma,
+    same seasonal init) — bit-identical forecasts."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    daily = (
+        _table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("series"), F.to_date("ts").alias("day"))
+        .count()
+        .toPandas()
+    )
+    m, alpha, beta, gamma = 7, 0.3, 0.1, 0.2
+    exp = {}
+    for series, g in daily.groupby("series"):
+        y = g.sort_values("day")["count"].astype(float).to_numpy()
+        if len(y) < 2 * m:
+            continue
+        level = y[:m].mean()
+        trend = (y[m:2*m].mean() - y[:m].mean()) / m
+        seas = [y[i] - level for i in range(m)]
+        for t in range(len(y)):
+            s = seas[t % m]
+            nl = alpha * (y[t] - s) + (1 - alpha) * (level + trend)
+            trend = beta * (nl - level) + (1 - beta) * trend
+            seas[t % m] = gamma * (y[t] - nl) + (1 - gamma) * s
+            level = nl
+        for h in range(1, 8):
+            exp[(series, h)] = round(level + h * trend + seas[(len(y) + h - 1) % m], 4)
+    got = {
+        (r["series"], int(r["h"])): r["forecast_r"]
+        for r in SPECS["ts_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert len(got) == 5 * 7  # five event types x 7-day horizon
