@@ -535,3 +535,38 @@ def test_lpa_no_mandatory_broadcast(spark, sf_dir):
     assert "ResolvedHint" not in analyzed, analyzed
     final = SPECS["graph_label_propagation"].fn(spark, sf_dir)
     assert "ResolvedHint" not in final._jdf.queryExecution().analyzed().toString()
+
+
+def test_round4_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the round-4 keys (broadcast exchanges
+    included, as in the earlier budget tests) — each pins the shape its
+    docstring claims."""
+    budgets = {
+        # both windows + both aggs on ONE user-keyed exchange
+        "events_sessionize_gap": 1,
+        # linear DP: one user-keyed sort window + final depth agg
+        "events_funnel_windowed": 2,
+        # two partial+final aggs on the user key share one exchange each
+        "events_user_entropy": 2,
+        # QI group agg + broadcast grid + final agg
+        "privacy_k_anonymity": 3,
+        "privacy_l_diversity": 4,  # +1: count_distinct is a two-phase agg
+        # distinct + agg on (event_type, user)
+        "stats_chi2_srm": 3,
+        # scan-local copies + row-local explode; only reconciliation aggs
+        "sample_repeat_factor": 4,
+        # group agg + ordered 3-row fold (single final agg)
+        "stats_anova_f": 2,
+        # binned equi-join: camp top-20 (agg+TakeOrdered), join, pair agg,
+        # final agg
+        "join_interval_overlap": 7,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+    # sessionization must not fall back to an unpartitioned window
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    for key in ["events_sessionize_gap", "events_funnel_windowed"]:
+        assert not unpartitioned_window_specs(SPECS[key].fn(spark, sf_dir)), key
