@@ -440,3 +440,62 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("series").applyInPandas(
         hw, "series string, h int, forecast_r double"
     )
+
+
+@register("maint_rowgroup_skipping")  # rows-only: engine-reported scan
+# metrics; the sorted<unsorted skipping contract is pinned in tests
+def maint_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED row-group skipping — the proof behind the MergeTree
+    sparse-index analogy (SURVEY §4.3.1): the same flow data written
+    sorted-by-(sa_num) vs unsorted, scanned under the same narrow
+    address-range predicate, reporting each scan's OWN numOutputRows
+    metric (rows the parquet reader actually emitted after min/max
+    row-group pruning). On the sorted layout matching rows concentrate
+    in few row groups and the reader skips the rest; unsorted, every
+    row group straddles the range and nothing skips. This converts the
+    layout claim the plan tests assert structurally into an engine-
+    reported number (`observe_metrics` discipline: read the engine's
+    telemetry, don't re-derive it).
+
+    Scale note: small parquet.block.size here only makes the effect
+    visible on a fixture-sized file; at production block sizes the
+    mechanism is identical — it is exactly what
+    `write_flows_partitioned`'s sortWithinPartitions buys."""
+    from ..functions.ip import ipv4_to_num
+    from ..schemas import FLOWS
+    from ..sources.flows import write_flow_files
+
+    src = tempfile.mkdtemp(prefix="sf_rgskip_src_")
+    write_flow_files(spark, src, n_files=2, rows_per_file=4000)
+    raw = spark.read.schema(FLOWS).parquet(os.path.join(src, "*")).withColumns(
+        {"sa_num": ipv4_to_num(F.col("sa"))}
+    )
+    layouts = {}
+    for name, df in (
+        ("sorted", raw.repartition(1).sortWithinPartitions("sa_num")),
+        ("unsorted", raw.repartition(1)),
+    ):
+        out = os.path.join(tempfile.mkdtemp(prefix="sf_rgskip_"), "t")
+        df.write.option("parquet.block.size", 64 * 1024).parquet(out)
+        layouts[name] = out
+
+    def measure(path):
+        q = (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("sa_num") >= 167772160) & (F.col("sa_num") < 167772260)
+            )
+            .select("sa", "ipkt")
+        )
+        n_result = len(q.collect())
+        leaf = q._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        n_scan = int(leaf.metrics().apply("numOutputRows").value())
+        return n_scan, n_result
+
+    rows = []
+    for name, path in layouts.items():
+        n_scan, n_result = measure(path)
+        rows.append((name, n_scan, n_result))
+    return spark.createDataFrame(
+        rows, "layout string, scan_rows bigint, result_rows bigint"
+    )

@@ -570,3 +570,15 @@ def test_round4_shuffle_budgets(spark, sf_dir):
 
     for key in ["events_sessionize_gap", "events_funnel_windowed"]:
         assert not unpartitioned_window_specs(SPECS[key].fn(spark, sf_dir)), key
+
+
+def test_rowgroup_skipping_is_real(spark, sf_dir):
+    """The sorted layout's scan must emit a fraction of the unsorted
+    scan's rows under the same predicate (engine-reported metric), and
+    both must produce the identical result set size."""
+    pdf = (
+        SPECS["maint_rowgroup_skipping"].fn(spark, sf_dir)
+        .toPandas().set_index("layout")
+    )
+    assert pdf.loc["sorted", "result_rows"] == pdf.loc["unsorted", "result_rows"]
+    assert pdf.loc["sorted", "scan_rows"] < pdf.loc["unsorted", "scan_rows"] / 4, pdf
