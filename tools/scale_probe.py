@@ -38,6 +38,13 @@ PROBED = [
     "dedup_ngram_jaccard",    # capped inverted index under 8x dup mass
     "dedup_substring_spans",  # diagonal span merge under 8x dup mass
     "dedup_minhash_pure",
+    # round 4
+    "events_sessionize_gap",  # one-exchange window cascade
+    "events_funnel_windowed", # linear greedy-latest DP
+    "join_interval_overlap",  # binned interval-overlap equi-join
+    "stats_anova_f",          # two-level agg + ordered fold
+    "graph_kcore",            # star fold + bounded peel rounds
+    "ann_ivfpq_search",       # Arrow-batched PQ train/encode (reworked r4)
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
