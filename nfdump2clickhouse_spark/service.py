@@ -419,6 +419,17 @@ class FlowService:
         """The queryable at-rest table (the reference's `nfsen.flows`)."""
         return self.spark.read.parquet(self.config.table_path)
 
+    def sql(self, query: str) -> DataFrame:
+        """Run ANSI SQL against the at-rest table as ``flows`` — the
+        reference's users query ClickHouse with SQL [P], and this is
+        the drop-in surface for those queries: ``svc.sql("SELECT sa,
+        sum(ibyt) FROM flows WHERE dt = '2024-03-01' GROUP BY sa")``.
+        The view is the partitioned parquet table, so dt=/flowsrc=
+        predicates prune directories and ts/sa_num predicates skip row
+        groups exactly as with the DataFrame API."""
+        self.table().createOrReplaceTempView("flows")
+        return self.spark.sql(query)
+
     def query_filter(self, nfdump_filter: str) -> DataFrame:
         """Run an nfdump filter expression against the at-rest table —
         the one-liner that lets a reference user bring their existing

@@ -632,7 +632,50 @@ def run_v9_stream_source(spark: SparkSession) -> DataFrame:
 
     cap_dir, ckpt = _tmp("v9src"), _tmp("v9ckpt")
     write_netflow_v9(cap_dir, n_files=2, records_per_file=10)
+    _register_v9_stream_source(spark)
+    name = _mem_name()
+    q = (
+        spark.readStream.format("v9_stream")
+        .option("path", cap_dir)
+        .load()
+        .withColumn("batch", F.lit(0))
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.table(name).count()
+        # a third rotation arrives (lexicographically later name)
+        import shutil as _sh
 
+        extra = _tmp("v9extra")
+        write_netflow_v9(extra, n_files=1, records_per_file=6)
+        _sh.move(
+            os.path.join(extra, "nfcapd.v9.0000"),
+            os.path.join(cap_dir, "nfcapd.v9.0002"),
+        )
+        q.processAllAvailable()
+        n_total = spark.table(name).count()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("capture")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("ibyt").alias("bytes"),
+            F.min("ts").alias("first_ms"),
+        )
+        .withColumn("n_first_drain", F.lit(n_first))
+        .withColumn("n_total", F.lit(n_total))
+    )
+
+
+def _register_v9_stream_source(spark: SparkSession) -> None:
+    """Register the ``v9_stream`` Python DataSource (stream reader with
+    last-rotation-name offsets) on this session; idempotent."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceStreamReader,
@@ -696,41 +739,24 @@ def run_v9_stream_source(spark: SparkSession) -> DataFrame:
             return V9StreamReader(self.options)
 
     spark.dataSource.register(V9StreamSource)
-    name = _mem_name()
+
+
+def run_v9_restartable(spark: SparkSession, cap_dir: str, ckpt: str) -> int:
+    """One availableNow drain of the v9 stream source into a parquet
+    sink at ``ckpt``'s sibling, returning the cumulative row count —
+    used by the checkpoint-restart test: each call is a NEW query
+    resuming from the committed offset."""
+    _register_v9_stream_source(spark)
+    out = ckpt + "_out"
     q = (
         spark.readStream.format("v9_stream")
         .option("path", cap_dir)
         .load()
-        .withColumn("batch", F.lit(0))
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.format("parquet")
+        .option("path", out)
         .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-        n_first = spark.table(name).count()
-        # a third rotation arrives (lexicographically later name)
-        import shutil as _sh
-
-        extra = _tmp("v9extra")
-        write_netflow_v9(extra, n_files=1, records_per_file=6)
-        _sh.move(
-            os.path.join(extra, "nfcapd.v9.0000"),
-            os.path.join(cap_dir, "nfcapd.v9.0002"),
-        )
-        q.processAllAvailable()
-        n_total = spark.table(name).count()
-    finally:
-        q.stop()
-    return (
-        spark.table(name)
-        .groupBy("capture")
-        .agg(
-            F.count(F.lit(1)).alias("n_flows"),
-            F.sum("ibyt").alias("bytes"),
-            F.min("ts").alias("first_ms"),
-        )
-        .withColumn("n_first_drain", F.lit(n_first))
-        .withColumn("n_total", F.lit(n_total))
-    )
+    q.awaitTermination()
+    return spark.read.parquet(out).count()

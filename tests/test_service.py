@@ -397,3 +397,29 @@ exporter = 203.0.113.5
               str(watch / "nfcapd.v9.9999"))
     svc.run_once()
     assert spark.read.parquet(f"{tmp_path}/table").count() == 30
+
+
+def test_service_sql_surface(spark, tmp_path):
+    """svc.sql(): ANSI SQL over the at-rest table as `flows` — the
+    migration path for the reference's ClickHouse SQL users."""
+    from nfdump2clickhouse_spark.service import FlowService, ServiceConfig, SourceConfig
+    from nfdump2clickhouse_spark.sources.flows import write_flow_files
+
+    watch = str(tmp_path / "w")
+    write_flow_files(spark, watch, n_files=2, rows_per_file=150)
+    cfg = ServiceConfig(
+        table_path=str(tmp_path / "table"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=(SourceConfig(name="s1", watch_dir=watch, flowsrc="s1"),),
+    )
+    svc = FlowService(spark, cfg)
+    svc.run_once()
+    out = svc.sql(
+        "SELECT flowsrc, COUNT(*) AS n, SUM(ibyt) AS bytes"
+        " FROM flows GROUP BY flowsrc"
+    ).collect()
+    assert len(out) == 1 and out[0].n == 300 and out[0].flowsrc == "s1"
+    # dt predicate prunes partitions (plan shows PartitionFilters)
+    q = svc.sql("SELECT sa, ibyt FROM flows WHERE dt = DATE'2024-03-01'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan

@@ -201,3 +201,33 @@ def test_v9_stream_source_offsets_ingest_exactly_once(spark):
     assert (pdf["n_first_drain"] == 20).all()
     assert (pdf["n_total"] == 26).all()
     assert (pdf["first_ms"] > 1_700_000_000_000).all()
+
+
+def test_v9_stream_source_checkpoint_restart(spark, tmp_path):
+    """The offset contract survives a REAL restart: stop the query,
+    start a NEW query on the same checkpoint, drop in a later rotation
+    — only the new rotation is ingested (the committed offset, not a
+    fresh initialOffset, decides)."""
+    import os
+    import shutil
+
+    from nfdump2clickhouse_spark.sources.netflow_v9 import write_netflow_v9
+    from nfdump2clickhouse_spark.streaming.pipeline import run_v9_stream_source  # noqa: F401
+    # run_v9_stream_source registers the v9_stream data source on import-use;
+    # register it here the same way for an independent query pair
+    import nfdump2clickhouse_spark.streaming.pipeline as sp
+
+    cap = str(tmp_path / "caps")
+    write_netflow_v9(cap, n_files=2, records_per_file=8)
+    ckpt = str(tmp_path / "ckpt")
+    out1 = sp.run_v9_restartable(spark, cap, ckpt)
+    assert out1 == 16  # both initial rotations
+    # late rotation lands while no query is running
+    extra = str(tmp_path / "extra")
+    write_netflow_v9(extra, n_files=1, records_per_file=5)
+    shutil.move(
+        os.path.join(extra, "nfcapd.v9.0000"),
+        os.path.join(cap, "nfcapd.v9.0002"),
+    )
+    out2 = sp.run_v9_restartable(spark, cap, ckpt)
+    assert out2 == 21  # 16 replay-free + exactly the 5 new rows
