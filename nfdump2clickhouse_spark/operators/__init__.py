@@ -54,3 +54,5 @@ from . import wave18  # noqa: F401  (r4: unigram-LM tokenizer EM + ZCA
 #   whitening — iterative/eigen rows-only keys, register late)
 from . import wave19  # noqa: F401  (r4: interval-overlap join, ANOVA,
 #   multiline-quoted CSV robustness)
+from . import wave20  # noqa: F401  (r4: CUPED variance reduction +
+#   freshness SLA)

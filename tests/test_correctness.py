@@ -2575,3 +2575,79 @@ def test_holt_winters_matches_reference_loop(spark, sf_dir):
     }
     assert got == exp
     assert len(got) == 5 * 7  # five event types x 7-day horizon
+
+
+_WAVE20 = ["events_cuped_adjust", "data_freshness_sla"]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE20)
+def test_wave20_keys_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF discipline for the round-4 wave-20 keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_cuped_actually_reduces_variance(spark, sf_dir):
+    """CUPED contract verified against a pandas recomputation: theta is
+    the OLS slope, the adjusted per-user metric has variance
+    (1 - rho^2) * var(post), and the reported var_reduction_bp matches
+    the pandas rho^2 within a basis point."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave20 import _MULT, _SPLIT
+
+    e = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"), "value")
+        .toPandas()
+    )
+    import pandas as pd
+
+    split = pd.Timestamp(_SPLIT).date()
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    u = e.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "pre": g.loc[g["d"] < split, "cents"].sum(),
+                "post": g.loc[g["d"] >= split, "cents"].sum(),
+            }
+        ),
+        include_groups=False,
+    )
+    pre, post = u["pre"].to_numpy(float), u["post"].to_numpy(float)
+    theta = np.cov(pre, post, bias=True)[0, 1] / np.var(pre)
+    adj = post - theta * (pre - pre.mean())
+    rho2 = np.cov(pre, post, bias=True)[0, 1] ** 2 / (
+        np.var(pre) * np.var(post)
+    )
+    assert np.var(adj) <= np.var(post)  # CUPED never hurts (pooled theta)
+    assert abs(np.var(adj) / np.var(post) - (1 - rho2)) < 1e-9
+    got = SPECS["events_cuped_adjust"].fn(spark, sf_dir).toPandas()
+    assert abs(float(got["theta_r"].iloc[0]) - round(theta, 4)) < 1e-9
+    assert abs(int(got["var_reduction_bp"].iloc[0]) - round(10000 * rho2)) <= 1
+    # arm means reconcile with the hash-split recomputation
+    arms = (u.reset_index().assign(
+        arm=lambda d: (d["user_id"] * _MULT) % 4294967296 % 2))
+    for _, r in got.iterrows():
+        g = arms[arms["arm"] == r["arm"]]
+        assert abs(r["mean_post"] - round(g["post"].mean() / 100, 4)) < 1e-9
+
+
+def test_freshness_sla_watermark_consistency(spark, sf_dir):
+    """Every stream's lag is nonnegative; at least one stream sits AT
+    the watermark (lag 0); totals reconcile with the events table."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    pdf = SPECS["data_freshness_sla"].fn(spark, sf_dir).toPandas()
+    assert (pdf["lag_s"] >= 0).all() and (pdf["lag_s"] == 0).any()
+    n = _table(spark, sf_dir, "events").count()
+    assert pdf["n_total"].sum() == n
+    assert (pdf["n_last_day"] <= pdf["n_total"]).all()
