@@ -118,24 +118,44 @@ def _parse_templates(payload: bytes, ipfix: bool) -> list[tuple[int, list]]:
         if tid == 0 or n_fields == 0:  # padding reached
             break
         fields = []
+        complete = True
         for _ in range(n_fields):
+            if off + 4 > len(payload):  # truncated template: drop it —
+                complete = False        # the decoder stays total on
+                break                   # corrupt/cut captures (fuzz pin)
             ftype, flen = struct.unpack_from(">HH", payload, off)
             off += 4
             if ipfix and ftype & 0x8000:  # enterprise bit: skip PEN
+                if off + 4 > len(payload):
+                    complete = False
+                    break
                 off += 4
                 ftype &= 0x7FFF
             fields.append((ftype, flen))
+        if not complete:
+            break
         out.append((tid, fields))
     return out
 
 
-def _parse_data(payload: bytes, fields: list) -> list[dict]:
+def _parse_data(
+    payload: bytes, fields: list, max_recs: int | None = None
+) -> list[dict]:
+    """``max_recs`` is the packet header's remaining record budget (v9):
+    flowsets pad to a 32-bit boundary, so a template whose record is
+    ≤ 3 bytes makes "tail is padding" ambiguous — the header count is
+    the RFC 3954 disambiguator (found by the hypothesis fuzzer: a
+    2-byte record parsed its own 2 padding bytes as a phantom record).
+    IPFIX needs no budget — RFC 7011 §3.3.1 requires padding shorter
+    than any record."""
     rec_len = sum(flen for _, flen in fields)
     if rec_len <= 0:  # malformed template: zero-length record would
         return []     # never advance `off` (ADVICE r3: OOM loop guard)
     out = []
     off = 0
-    while off + rec_len <= len(payload):  # tail < rec_len is padding
+    while off + rec_len <= len(payload) and (
+        max_recs is None or len(out) < max_recs
+    ):  # tail < rec_len is padding
         rec: dict = {}
         for ftype, flen in fields:
             slot = _FIELD_SLOT.get(ftype)
@@ -206,6 +226,8 @@ def _parse_options_templates(payload: bytes) -> list[tuple[int, list, list]]:
         off += 6
         if tid == 0:
             break
+        if off + scope_len + opt_len > len(payload):
+            break  # truncated options template: drop (total on cut input)
         scope, opts = [], []
         for _ in range(scope_len // 4):
             t, l = struct.unpack_from(">HH", payload, off)
@@ -291,7 +313,7 @@ def decode_flow_stream(
                     if rec_len <= 0:
                         continue
                     p = 0
-                    while p + rec_len <= len(payload):
+                    while p + rec_len <= len(payload) and seen < count:
                         q = p + sum(l for _, l in scope)  # skip scope values
                         for t, l in opts:
                             if t == _OPT_SAMPLING_INTERVAL:
@@ -305,7 +327,7 @@ def decode_flow_stream(
                     fields = templates.get((source_id, fsid))
                     if fields is None:
                         continue  # data before its template: undecodable
-                    recs = _parse_data(payload, fields)
+                    recs = _parse_data(payload, fields, count - seen)
                     seen += len(recs)
                     flows.extend(
                         _finalize(r, export_ms, sys_uptime, ra) for r in recs

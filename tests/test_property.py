@@ -295,3 +295,126 @@ def test_integer_halfup_division_matches_python(spark, vals):
     ).collect()[0].r
     import math
     assert got == math.floor(s / n + 0.5)
+
+
+# --- NetFlow v9 decoder fuzz (round 4) ---------------------------------------
+# The fixed generator pins known-good streams; these properties pack
+# RANDOM templates and records with an independent inline encoder and
+# require the decoder to reproduce the RFC 3954 semantics exactly, stay
+# total on truncation, and stop cleanly on trailing garbage.
+
+_V4_ADDRS = [(8, 4), (12, 4)]
+_V6_ADDRS = [(27, 16), (28, 16)]
+_SCALARS = [(7, 2), (11, 2), (4, 1), (6, 1), (2, 4), (1, 4)]
+_TIMES = [(22, 4), (21, 4)]
+_SKIPS = [(10, 2), (14, 2), (16, 4), (48, 1), (61, 1)]
+
+
+@st.composite
+def v9_packet(draw):
+    addr_mode = draw(st.sampled_from(["v4", "v6", "none"]))
+    fields = {"v4": list(_V4_ADDRS), "v6": list(_V6_ADDRS), "none": []}[
+        addr_mode
+    ]
+    fields += draw(
+        st.lists(st.sampled_from(_SCALARS + _TIMES + _SKIPS), min_size=1,
+                 max_size=8)
+    )
+    fields = draw(st.permutations(fields))
+    n_rec = draw(st.integers(1, 5))
+    recs = [
+        [draw(st.integers(0, (1 << (8 * l)) - 1)) for _, l in fields]
+        for _ in range(n_rec)
+    ]
+    sys_up = draw(st.integers(0, 2**32 - 1))
+    unix_s = draw(st.integers(1_000_000_000, 2_000_000_000))
+    source = draw(st.integers(0, 1000))
+    tid = draw(st.integers(256, 5000))
+    return list(fields), recs, sys_up, unix_s, source, tid
+
+
+def _pack_v9(fields, recs, sys_up, unix_s, source, tid):
+    """Independent wire encoder (NOT the module's generator)."""
+    import struct
+
+    tmpl_body = struct.pack(">HH", tid, len(fields)) + b"".join(
+        struct.pack(">HH", t, l) for t, l in fields
+    )
+    tmpl = struct.pack(">HH", 0, 4 + len(tmpl_body)) + tmpl_body
+    body = b"".join(
+        b"".join(int(v).to_bytes(l, "big") for (t, l), v in zip(fields, rec))
+        for rec in recs
+    )
+    pad = (-len(body)) % 4
+    data = struct.pack(">HH", tid, 4 + len(body) + pad) + body + b"\x00" * pad
+    hdr = struct.pack(
+        ">HHIIII", 9, 1 + len(recs), sys_up, unix_s, 0, source
+    )
+    return hdr + tmpl + data
+
+
+def _expected_v9(fields, recs, sys_up, unix_s, source):
+    """Reference decode per RFC semantics + the module's contract
+    (duplicate field types: last occurrence wins)."""
+    import ipaddress
+
+    _PROTO = {1: "ICMP", 2: "IGMP", 6: "TCP", 17: "UDP", 41: "IPv6",
+              47: "GRE", 50: "ESP", 58: "ICMP6", 89: "OSPF", 132: "SCTP"}
+    flag_bits = [("U", 0x20), ("A", 0x10), ("P", 0x08), ("R", 0x04),
+                 ("S", 0x02), ("F", 0x01)]
+    out = []
+    for rec in recs:
+        slot = {}
+        for (t, l), v in zip(fields, rec):
+            slot[t] = v
+        export_ms = unix_s * 1000
+        ts = export_ms - sys_up + slot[22] if 22 in slot else export_ms
+        te = export_ms - sys_up + slot[21] if 21 in slot else ts
+        if 27 in slot or 28 in slot:
+            sa = str(ipaddress.IPv6Address(slot.get(27, 0)))
+            da = str(ipaddress.IPv6Address(slot.get(28, 0)))
+        else:
+            v4 = lambda x: ".".join(
+                str((x >> s) & 255) for s in (24, 16, 8, 0))
+            sa, da = v4(slot.get(8, 0)), v4(slot.get(12, 0))
+        pr = _PROTO.get(slot[4], str(slot[4])) if 4 in slot else None
+        flg = (
+            "".join(c if slot[6] & b else "." for c, b in flag_bits)
+            if 6 in slot
+            else None
+        )
+        out.append(
+            (ts, te, (te - ts) / 1000.0, sa, da, slot.get(7, 0),
+             slot.get(11, 0), pr, flg, slot.get(2, 0), slot.get(1, 0),
+             f"sid-{source}")
+        )
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(v9_packet())
+def test_v9_decoder_fuzz_roundtrip(pkt):
+    from nfdump2clickhouse_spark.sources.netflow_v9 import decode_flow_stream
+
+    fields, recs, sys_up, unix_s, source, tid = pkt
+    raw = _pack_v9(fields, recs, sys_up, unix_s, source, tid)
+    assert decode_flow_stream(raw) == _expected_v9(
+        fields, recs, sys_up, unix_s, source
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(v9_packet(), st.integers(1, 40), st.binary(min_size=0, max_size=64))
+def test_v9_decoder_total_on_truncation_and_garbage(pkt, cut, junk):
+    """Truncation never raises and only ever drops whole records from
+    the tail; appended non-v9 garbage after an intact packet changes
+    nothing (the decoder stops at the first unknown version)."""
+    from nfdump2clickhouse_spark.sources.netflow_v9 import decode_flow_stream
+
+    fields, recs, sys_up, unix_s, source, tid = pkt
+    raw = _pack_v9(fields, recs, sys_up, unix_s, source, tid)
+    full = _expected_v9(fields, recs, sys_up, unix_s, source)
+    got = decode_flow_stream(raw[: max(0, len(raw) - cut)])
+    assert got == full[: len(got)]  # prefix property, never garbage rows
+    if junk[:2] not in (b"\x00\x09", b"\x00\x0a"):
+        assert decode_flow_stream(raw + junk) == full
