@@ -254,3 +254,49 @@ def data_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wm") - F.col("last_s") > 3600).alias("breach_1h"),
         (F.col("wm") - F.col("last_s") > 86400).alias("breach_1d"),
     )
+
+
+@register("meta_registry_catalog")  # rows-only: self-referential — no
+# external oracle can know the registry; reconciliation pinned in tests
+def meta_registry_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's information_schema: every registered query key as a
+    row — module, capability family (key prefix), whether it carries a
+    cross-engine SQL oracle, and its one-line summary. ClickHouse users
+    live in system.* tables [P]; this is the equivalent self-describing
+    surface, and it is how the SURVEY §2 inventory can be cross-walked
+    mechanically instead of by hand.
+
+    Static registration order (not the certification-rotated view): the
+    catalog describes what EXISTS, the rotation decides what gets swept
+    next — two different questions."""
+    import importlib
+
+    from .. import registry as _r
+
+    _r._load_operators()
+
+    def summary(spec):
+        # fall back to the operator module's doc: several early keys
+        # document themselves at module level, and rewriting their
+        # docstrings would invalidate certified source hashes for a
+        # cosmetic change
+        doc = (spec.doc or "").strip()
+        if not doc:
+            doc = (importlib.import_module(spec.fn.__module__).__doc__ or "").strip()
+        return doc.split("\n")[0][:100]
+
+    rows = [
+        (
+            k,
+            s.fn.__module__.rsplit(".", 1)[-1],
+            k.split("_", 1)[0],
+            s.oracle is not None,
+            summary(s),
+        )
+        for k, s in _r._REGISTRY.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key string, module string, family string, hash_checked boolean,"
+        " summary string",
+    )

@@ -2651,3 +2651,16 @@ def test_freshness_sla_watermark_consistency(spark, sf_dir):
     n = _table(spark, sf_dir, "events").count()
     assert pdf["n_total"].sum() == n
     assert (pdf["n_last_day"] <= pdf["n_total"]).all()
+
+
+def test_registry_catalog_reconciles(spark, sf_dir):
+    """meta_registry_catalog must describe exactly the registered keys:
+    same key set as all_specs, correct hash_checked flags, a nonempty
+    summary for every key (every operator is documented), and module
+    attribution that actually imports."""
+    pdf = SPECS["meta_registry_catalog"].fn(spark, sf_dir).toPandas()
+    assert set(pdf["key"]) == set(SPECS)
+    oracled = {k for k, s in SPECS.items() if s.oracle is not None}
+    assert set(pdf.loc[pdf["hash_checked"], "key"]) == oracled
+    assert (pdf["summary"].str.len() > 0).all(), "undocumented key"
+    assert pdf["key"].is_unique
