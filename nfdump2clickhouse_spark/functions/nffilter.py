@@ -233,7 +233,12 @@ class _Parser:
                 # pr == '<digits>' and silently match nothing (ADVICE r1)
                 raise NfFilterError(f"unknown protocol number: {name}")
             name = _PROTO_NUMS.get(name, _PROTO_ALIASES.get(name.lower(), name.upper()))
-            return F.upper(F.col("pr")) == name
+            # null-SAFE equality: the filter language is two-valued
+            # boolean algebra (nfdump has no NULLs), so a null protocol
+            # must be plain False — SQL three-valued logic would turn
+            # `not proto tcp` into "silently drop unknown-proto rows"
+            # (found by the hypothesis fuzzer)
+            return F.upper(F.col("pr")).eqNullSafe(name)
 
         if tok == "packets":
             return self._cmp(F.col("ipkt"), "packets")
@@ -262,7 +267,8 @@ class _Parser:
                 raise NfFilterError(f"bad flags {letters!r}")
             pred = F.lit(True)
             for ch in letters.upper():
-                pred = pred & F.col("flg").contains(ch)
+                # coalesce: null flg is "no flags set", never NULL-poison
+                pred = pred & F.coalesce(F.col("flg").contains(ch), F.lit(False))
             return pred
 
         raise NfFilterError(f"unexpected token {tok!r}")

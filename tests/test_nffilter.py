@@ -51,8 +51,14 @@ CASES = [
         & (F.upper(c("pr")) == "TCP"),
     ),
     (
+        # null-safe proto (r4 fuzz finding): a null-proto record IS
+        # "not udp and not icmp" — two-valued filter algebra, not SQL
+        # three-valued logic
         "not (proto udp or proto icmp)",
-        lambda c: ~((F.upper(c("pr")) == "UDP") | (F.upper(c("pr")) == "ICMP")),
+        lambda c: ~(
+            F.upper(c("pr")).eqNullSafe("UDP")
+            | F.upper(c("pr")).eqNullSafe("ICMP")
+        ),
     ),
     (
         "dst port 53 or dst port 443 and packets > 100",
@@ -137,7 +143,7 @@ EXT_CASES = [
     ("bpp >= 500", lambda c: (c("ipkt") > 0) & (c("ibyt") / c("ipkt") >= 500)),
     (
         "any and not proto 1",
-        lambda c: F.lit(True) & ~(F.upper(c("pr")) == "ICMP"),
+        lambda c: F.lit(True) & ~F.upper(c("pr")).eqNullSafe("ICMP"),
     ),
 ]
 
@@ -204,7 +210,9 @@ def _rand_ast(rng, depth=0):
     if leaf == "proto":
         name = rng.choice(["tcp", "udp", "icmp", "6", "17"])
         want = {"6": "TCP", "17": "UDP"}.get(name, name.upper())
-        return f"proto {name}", lambda c, w=want: F.upper(c("pr")) == w
+        # null-safe (r4): null proto is plain False, so `not proto X`
+        # keeps unknown-proto rows — two-valued filter algebra
+        return f"proto {name}", lambda c, w=want: F.upper(c("pr")).eqNullSafe(w)
     if leaf == "packets":
         v = rng.choice([100, 1000, 5000])
         return f"packets > {v}", lambda c, v=v: c("ipkt") > v

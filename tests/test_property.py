@@ -418,3 +418,148 @@ def test_v9_decoder_total_on_truncation_and_garbage(pkt, cut, junk):
     assert got == full[: len(got)]  # prefix property, never garbage rows
     if junk[:2] not in (b"\x00\x09", b"\x00\x0a"):
         assert decode_flow_stream(raw + junk) == full
+
+
+# --- nffilter compiler fuzz (round 4) ----------------------------------------
+# Random filter ASTs rendered to text, compiled to Columns, evaluated on
+# a fixed flows frame — and cross-checked against an INDEPENDENT Python
+# evaluator implementing the documented semantics (src|dst default
+# direction, CIDR ranges, null protocol never matches, flags subset,
+# rate filters undefined at td=0/ipkt=0).
+
+_FLOW_ROWS = [
+    # (sa, da, sp, dp, pr, flg, ipkt, ibyt, td)
+    ("10.0.0.1", "192.168.1.5", 443, 53222, "TCP", ".A..S.", 10, 4000, 2.0),
+    ("10.0.7.9", "10.0.0.1", 80, 443, "TCP", ".AP.SF", 1, 40, 0.0),
+    ("172.16.3.4", "8.8.8.8", 53222, 53, "UDP", "......", 2, 120, 0.5),
+    ("192.168.1.5", "172.16.3.4", 53, 8080, "UDP", "......", 90, 90000, 10.0),
+    ("8.8.8.8", "10.0.7.9", 123, 123, None, "......", 5, 380, 1.0),
+    ("10.0.0.255", "9.9.9.9", 22, 22, "ICMP", "...R..", 0, 0, 0.0),
+]
+
+
+def _ip2num(a):
+    p = a.split(".")
+    return (int(p[0]) << 24) | (int(p[1]) << 16) | (int(p[2]) << 8) | int(p[3])
+
+
+@st.composite
+def nf_filter(draw, depth=0):
+    if depth < 3 and draw(st.booleans()):
+        op = draw(st.sampled_from(["and", "or", "not"]))
+        if op == "not":
+            inner, ev = draw(nf_filter(depth=depth + 1))
+            return f"not ({inner})", (lambda r, ev=ev: not ev(r))
+        l, evl = draw(nf_filter(depth=depth + 1))
+        r_, evr = draw(nf_filter(depth=depth + 1))
+        if op == "and":
+            return f"({l}) and ({r_})", (
+                lambda r, a=evl, b=evr: a(r) and b(r)
+            )
+        return f"({l}) or ({r_})", (lambda r, a=evl, b=evr: a(r) or b(r))
+    kind = draw(
+        st.sampled_from(
+            ["host", "net", "port", "proto", "packets", "bytes", "flags",
+             "pps", "bpp", "any"]
+        )
+    )
+    dirn = draw(st.sampled_from(["", "src ", "dst "]))
+
+    def pick(r, src_v, dst_v, d=dirn):
+        if d == "src ":
+            return [src_v(r)]
+        if d == "dst ":
+            return [dst_v(r)]
+        return [src_v(r), dst_v(r)]
+
+    if kind == "any":
+        return "any", (lambda r: True)
+    if kind == "host":
+        a = draw(st.sampled_from([row[0] for row in _FLOW_ROWS] + ["1.2.3.4"]))
+        return f"{dirn}host {a}", (
+            lambda r, a=a: any(v == a for v in pick(r, lambda x: x[0], lambda x: x[1]))
+        )
+    if kind == "net":
+        base = draw(st.sampled_from(["10.0.0.0", "192.168.0.0", "172.16.0.0", "8.0.0.0"]))
+        bits = draw(st.sampled_from([8, 12, 16, 24]))
+        lo = _ip2num(base) & ((0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF)
+        hi = lo + (1 << (32 - bits)) - 1
+        return f"{dirn}net {base}/{bits}", (
+            lambda r, lo=lo, hi=hi: any(
+                lo <= _ip2num(v) <= hi
+                for v in pick(r, lambda x: x[0], lambda x: x[1])
+            )
+        )
+    if kind == "port":
+        cmp_op = draw(st.sampled_from(["", "< ", "<= ", "> ", ">= ", "= "]))
+        v = draw(st.sampled_from([22, 53, 80, 123, 443, 8080, 53222]))
+        import operator as _op
+
+        fn = {"": _op.eq, "= ": _op.eq, "< ": _op.lt, "<= ": _op.le,
+              "> ": _op.gt, ">= ": _op.ge}[cmp_op]
+        return f"{dirn}port {cmp_op}{v}", (
+            lambda r, fn=fn, v=v: any(
+                fn(x, v) for x in pick(r, lambda x: x[2], lambda x: x[3])
+            )
+        )
+    if kind == "proto":
+        p = draw(st.sampled_from(["tcp", "udp", "icmp", "6", "17"]))
+        name = {"6": "TCP", "17": "UDP"}.get(p, p.upper())
+        return f"proto {p}", (
+            lambda r, name=name: r[4] is not None and r[4].upper() == name
+        )
+    if kind == "packets":
+        v = draw(st.sampled_from([1, 2, 5, 10, 90]))
+        op = draw(st.sampled_from(["> ", "< ", ">= ", ""]))
+        import operator as _op
+
+        fn = {"": _op.eq, "> ": _op.gt, "< ": _op.lt, ">= ": _op.ge}[op]
+        return f"packets {op}{v}", (lambda r, fn=fn, v=v: fn(r[6], v))
+    if kind == "bytes":
+        v = draw(st.sampled_from([40, 120, 4000, 90000]))
+        op = draw(st.sampled_from(["> ", "< ", ""]))
+        import operator as _op
+
+        fn = {"": _op.eq, "> ": _op.gt, "< ": _op.lt}[op]
+        return f"bytes {op}{v}", (lambda r, fn=fn, v=v: fn(r[7], v))
+    if kind == "flags":
+        letters = draw(st.sampled_from(["A", "S", "AS", "R", "F", "P"]))
+        return f"flags {letters}", (
+            lambda r, L=letters: all(c in r[5] for c in L)
+        )
+    if kind == "pps":
+        v = draw(st.sampled_from([1, 4, 5, 9]))
+        return f"pps > {v}", (lambda r, v=v: r[8] > 0 and r[6] / r[8] > v)
+    # bpp
+    v = draw(st.sampled_from([40, 60, 400, 1000]))
+    return f"bpp > {v}", (lambda r, v=v: r[6] > 0 and r[7] / r[6] > v)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(nf_filter())
+def test_nffilter_fuzz_matches_reference_evaluator(spark, fx):
+    """compile_filter on a random expression must select exactly the
+    rows the independent Python evaluator selects."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.functions.ip import ipv4_to_num
+    from nfdump2clickhouse_spark.functions.nffilter import compile_filter
+
+    text, ev = fx
+    global _NF_DF
+    try:
+        _NF_DF
+    except NameError:
+        _NF_DF = spark.createDataFrame(
+            _FLOW_ROWS,
+            "sa string, da string, sp int, dp int, pr string, flg string,"
+            " ipkt long, ibyt long, td double",
+        ).withColumns(
+            {"sa_num": ipv4_to_num(F.col("sa")),
+             "da_num": ipv4_to_num(F.col("da"))}
+        ).cache()
+        _NF_DF.count()
+    got = {r.sa for r in _NF_DF.filter(compile_filter(text)).collect()}
+    exp = {row[0] for row in _FLOW_ROWS if ev(row)}
+    assert got == exp, text
