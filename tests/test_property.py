@@ -563,3 +563,22 @@ def test_nffilter_fuzz_matches_reference_evaluator(spark, fx):
     got = {r.sa for r in _NF_DF.filter(compile_filter(text)).collect()}
     exp = {row[0] for row in _FLOW_ROWS if ev(row)}
     assert got == exp, text
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 32),
+       st.integers(0, 2**32 - 1))
+def test_cidr_range_matches_stdlib(addr, bits, probe):
+    """functions/ip.cidr_range vs the stdlib ipaddress network math:
+    same [lo, hi] bounds and same membership verdict for a random probe
+    address, for every prefix length including /0 and /32."""
+    import ipaddress
+
+    from nfdump2clickhouse_spark.functions.ip import cidr_range
+
+    a = ".".join(str((addr >> s) & 255) for s in (24, 16, 8, 0))
+    lo, hi = cidr_range(f"{a}/{bits}")
+    net = ipaddress.ip_network(f"{a}/{bits}", strict=False)
+    assert lo == int(net.network_address)
+    assert hi == int(net.broadcast_address)
+    assert (lo <= probe <= hi) == (ipaddress.ip_address(probe) in net)
