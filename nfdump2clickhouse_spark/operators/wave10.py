@@ -23,6 +23,41 @@ _NF5_HEADER = struct.Struct(">HHIIIIBBH")  # 24 bytes
 _NF5_RECORD = struct.Struct(">IIIHHIIIIHHBBBBHHBBH")  # 48 bytes
 
 
+def decode_v5(content: bytes) -> list[tuple]:
+    """Pure v5 decode of one capture: 24-byte header + 48-byte records →
+    [(sa, da, sp, dp, pr, ipkt, ibyt), ...]. TOTAL on truncated input:
+    the header's record count is trusted only as an upper bound — a cut
+    file yields the whole records present and stops (the same
+    truncation-totality contract the v9 decoder fuzz pinned)."""
+    hdr_fmt, rec_fmt = ">HHIIIIBBH", ">IIIHHIIIIHHBBBBHHBBH"
+    hdr_size, rec_size = struct.calcsize(hdr_fmt), struct.calcsize(rec_fmt)
+    if len(content) < hdr_size:
+        return []
+    ver, cnt = struct.unpack_from(">HH", content, 0)[:2]
+    if ver != 5:
+        return []
+    out = []
+    off = hdr_size
+    for _ in range(cnt):
+        if off + rec_size > len(content):
+            break  # truncated capture: keep the complete records
+        (
+            src, dst, _nh, _in, _out2,
+            pkts, octets, _first, _last,
+            sp, dp, _pad, flags, proto, _tos,
+            _sas, _das, _sm, _dm, _p2,
+        ) = struct.unpack_from(rec_fmt, content, off)
+        off += rec_size
+        out.append(
+            (
+                f"{src >> 24}.{(src >> 16) & 255}.{(src >> 8) & 255}.{src & 255}",
+                f"{dst >> 24}.{(dst >> 16) & 255}.{(dst >> 8) & 255}.{dst & 255}",
+                sp, dp, int(proto), int(pkts), int(octets),
+            )
+        )
+    return out
+
+
 def write_netflow_v5(
     path: str,
     n_files: int = 4,
@@ -82,39 +117,12 @@ def flows_netflow_v5_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sf_nf5_")
     write_netflow_v5(base)
 
-    # plain format strings, not module-level Struct objects: compiled
-    # Structs don't pickle into the Python-worker closure
-    hdr_fmt, rec_fmt = ">HHIIIIBBH", ">IIIHHIIIIHHBBBBHHBBH"
-    hdr_size, rec_size = struct.calcsize(hdr_fmt), struct.calcsize(rec_fmt)
-
     def decode(batches):
-        import struct as st
-
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                if len(content) < hdr_size:
-                    continue
-                ver, cnt = st.unpack_from(">HH", content, 0)[:2]
-                if ver != 5:
-                    continue
-                off = hdr_size
-                for _ in range(cnt):
-                    (
-                        src, dst, _nh, _in, _out2,
-                        pkts, octets, _first, _last,
-                        sp, dp, _pad, flags, proto, _tos,
-                        _sas, _das, _sm, _dm, _p2,
-                    ) = st.unpack_from(rec_fmt, content, off)
-                    off += rec_size
-                    out.append(
-                        (
-                            os.path.basename(path),
-                            f"{src >> 24}.{(src >> 16) & 255}.{(src >> 8) & 255}.{src & 255}",
-                            f"{dst >> 24}.{(dst >> 16) & 255}.{(dst >> 8) & 255}.{dst & 255}",
-                            sp, dp, int(proto), int(pkts), int(octets),
-                        )
-                    )
+                cap = os.path.basename(path)
+                out.extend((cap, *t) for t in decode_v5(bytes(content)))
             if out:
                 yield pd.DataFrame(
                     out,

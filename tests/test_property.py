@@ -582,3 +582,36 @@ def test_cidr_range_matches_stdlib(addr, bits, probe):
     assert lo == int(net.network_address)
     assert hi == int(net.broadcast_address)
     assert (lo <= probe <= hi) == (ipaddress.ip_address(probe) in net)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 8), st.integers(0, 400), st.binary(max_size=32))
+def test_v5_decoder_total_on_truncation(n_rec, cut, junk):
+    """decode_v5 is total on cut captures (drops whole records from the
+    tail, never crashes, never emits a partial record) and ignores a
+    record-count header that overstates the payload."""
+    import struct as st
+
+    from nfdump2clickhouse_spark.operators.wave10 import decode_v5
+
+    recs = [
+        st.pack(
+            ">IIIHHIIIIHHBBBBHHBBH",
+            (10 << 24) | i, (192 << 24) | i, 0, 1, 2,
+            i + 1, (i + 1) * 100, 0, 500, 1024 + i, 443,
+            0, 0x18, 6, 0, 0, 0, 24, 24, 0,
+        )
+        for i in range(n_rec)
+    ]
+    hdr = st.pack(">HHIIIIBBH", 5, n_rec, 0, 1_700_000_000, 0, 0, 0, 0, 0)
+    raw = hdr + b"".join(recs)
+    full = decode_v5(raw)
+    assert len(full) == n_rec and full[0][0] == "10.0.0.0"
+    got = decode_v5(raw[: max(0, len(raw) - cut)])
+    assert got == full[: len(got)]
+    # overstated count: header claims n_rec+3 records
+    over = st.pack(">HHIIIIBBH", 5, n_rec + 3, 0, 1_700_000_000, 0, 0, 0, 0, 0)
+    assert decode_v5(over + b"".join(recs) + junk[: len(junk) - len(junk) % 1]) == (
+        decode_v5(over + b"".join(recs) + junk)
+    )
+    assert len(decode_v5(over + b"".join(recs))) == n_rec
