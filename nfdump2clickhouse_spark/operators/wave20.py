@@ -300,3 +300,82 @@ def meta_registry_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, module string, family string, hash_checked boolean,"
         " summary string",
     )
+
+
+@register(
+    "flows_blacklist_match",
+    oracle="""
+    WITH f AS (
+      SELECT (10 * 16777216) + ((user_id % 50) * 256) + (event_id % 250)
+               AS sa_num,
+             '10.0.' || CAST(user_id % 50 AS VARCHAR) || '.'
+               || CAST(event_id % 250 AS VARCHAR) AS sa,
+             user_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS ibyt
+      FROM events WHERE value IS NOT NULL
+    ),
+    r(rule, lo, hi) AS (VALUES
+      ('exact:10.0.7.7',   167773959, 167773959),
+      ('net:10.0.13.0/24', 167775488, 167775743),
+      ('net:10.0.40.0/22', 167782400, 167783423),
+      ('exact:10.0.49.249', 167784953, 167784953),
+      ('net:10.0.8.0/23',  167774208, 167774719))
+    SELECT r.rule,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(COUNT(DISTINCT f.sa) AS BIGINT) AS n_src,
+           CAST(SUM(f.ibyt) AS BIGINT) AS total_bytes
+    FROM r JOIN f ON f.sa_num BETWEEN r.lo AND r.hi
+    GROUP BY r.rule
+    """,
+)
+def flows_blacklist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threat-intel blacklist matching — THE SOC query the reference's
+    users run all day [P — nfsen/nfdump practice]: which flows touched
+    a listed address or network, per rule, with volume. Exact entries
+    and CIDR prefixes compile to the SAME [lo, hi] numeric-range form
+    (an exact IP is lo = hi), so one mechanism serves both — and the
+    same ranges push down to parquet row-group stats when run against
+    the at-rest table (`FlowService.query_filter` shares the machinery).
+
+    Scale shape: the rules table is tiny and BROADCASTS (the legitimate
+    broadcast — intel lists are thousands of rows, flows are the 100 TB
+    side); the range join is per-row arithmetic against the broadcast
+    ranges, never a shuffle of the corpus; one aggregation per rule
+    follows. `join_ip_prefix_lookup` is the scale path when the prefix
+    table itself grows large (bucketed equi-join)."""
+    from ..functions.ip import cidr_range
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    f = e.select(
+        (
+            F.lit(10 * 16777216)
+            + (F.col("user_id") % 50) * 256
+            + (F.col("event_id") % 250)
+        ).alias("sa_num"),
+        F.concat(
+            F.lit("10.0."),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 250).cast("string"),
+        ).alias("sa"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("ibyt"),
+    )
+    rules = []
+    for spec in ["10.0.7.7", "10.0.13.0/24", "10.0.40.0/22", "10.0.49.249",
+                 "10.0.8.0/23"]:
+        lo, hi = cidr_range(spec if "/" in spec else f"{spec}/32")
+        label = ("net:" if "/" in spec else "exact:") + spec
+        rules.append((label, lo, hi))
+    r = spark.createDataFrame(rules, "rule string, lo long, hi long")
+    return (
+        f.join(
+            F.broadcast(r),
+            (F.col("sa_num") >= F.col("lo")) & (F.col("sa_num") <= F.col("hi")),
+        )
+        .groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_flows"),
+            F.countDistinct("sa").cast("bigint").alias("n_src"),
+            F.sum("ibyt").cast("bigint").alias("total_bytes"),
+        )
+    )

@@ -2664,3 +2664,11 @@ def test_registry_catalog_reconciles(spark, sf_dir):
     assert set(pdf.loc[pdf["hash_checked"], "key"]) == oracled
     assert (pdf["summary"].str.len() > 0).all(), "undocumented key"
     assert pdf["key"].is_unique
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+def test_blacklist_match_across_sfs(sfd, spark, ddb_by_sf):
+    spec = SPECS["flows_blacklist_match"]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"flows_blacklist_match@{sfd}")

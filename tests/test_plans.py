@@ -582,3 +582,16 @@ def test_rowgroup_skipping_is_real(spark, sf_dir):
     )
     assert pdf.loc["sorted", "result_rows"] == pdf.loc["unsorted", "result_rows"]
     assert pdf.loc["sorted", "scan_rows"] < pdf.loc["unsorted", "scan_rows"] / 4, pdf
+
+
+def test_blacklist_broadcasts_only_rules(spark, sf_dir):
+    """The intel list broadcasts; the flows side must never shuffle for
+    the range join (at 100 TB the corpus side stays put)."""
+    df = SPECS["flows_blacklist_match"].fn(spark, sf_dir)
+    plan = get_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # non-broadcast Exchanges: the count_distinct's two-phase agg
+    # ((rule, sa) partial dedup, then rule) — never the corpus join side
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle <= 2, plan
+    assert "BuildRight" in plan  # the RULES side is the built/broadcast side
