@@ -379,3 +379,45 @@ def flows_blacklist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ibyt").cast("bigint").alias("total_bytes"),
         )
     )
+
+
+@register("agg_hll_sliding_union")  # rows-only: HLL estimates are
+# implementation-defined; exact-window error bound pinned in tests
+def agg_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users from REUSED daily HLL sketches: one
+    pass builds a sketch per day, then each window is a union of 7
+    already-built sketches — `win_sliding_distinct` recomputes each
+    window exactly and is the correctness baseline; THIS is how the
+    metric survives 100 TB, because the corpus is touched once and the
+    window arithmetic happens on kilobyte sketches (the ClickHouse
+    uniqState/uniqMerge pattern [P], here via Spark's native
+    hll_sketch_agg / hll_union_agg).
+
+    Scale shape: one (day) sketch agg over the corpus; the 7-day
+    windows come from joining the TINY (days × sketch) table to a
+    generated day grid and union-merging — corpus never rescanned, and
+    backfilling a late day rebuilds one daily sketch, not 7 windows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_day"),
+    )
+    # window w covers days (w-6 .. w): explode each day onto the 7
+    # windows it contributes to — row-local, 7 rows per DAY (tiny)
+    win = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "wend"
+        ),
+        "day",
+        "sk",
+    )
+    out = (
+        win.groupBy("wend")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") == 7)  # full windows only
+        .select("wend", "approx_users", "n_days")
+    )
+    return out

@@ -2672,3 +2672,33 @@ def test_blacklist_match_across_sfs(sfd, spark, ddb_by_sf):
     spark_pdf = spec.fn(spark, sfd).toPandas()
     oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
     compare_frames(spark_pdf, oracle_pdf, f"flows_blacklist_match@{sfd}")
+
+
+def test_hll_sliding_union_error_bound(spark, sf_dir):
+    """The sketch-union sliding distinct must track the exact sliding
+    distinct within HLL error (default lgConfigK=12 => ~1.6% standard
+    error; assert 5% with headroom) on every full window."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_hll_sliding_union"].fn(spark, sf_dir)
+        .toPandas().set_index("wend")["approx_users"]
+    )
+    assert len(got) > 0
+    e = _table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    exact = {}
+    days = [r.day for r in e.select("day").distinct().collect()]
+    import datetime
+
+    for w in got.index:
+        lo = w - datetime.timedelta(days=6)
+        exact[w] = (
+            e.filter((F.col("day") >= lo) & (F.col("day") <= w))
+            .select("user_id").distinct().count()
+        )
+    for w, approx in got.items():
+        assert abs(approx - exact[w]) / max(exact[w], 1) < 0.05, (w, approx, exact[w])
