@@ -56,3 +56,4 @@ from . import wave19  # noqa: F401  (r4: interval-overlap join, ANOVA,
 #   multiline-quoted CSV robustness)
 from . import wave20  # noqa: F401  (r4: CUPED variance reduction +
 #   freshness SLA)
+from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode)
