@@ -57,3 +57,5 @@ from . import wave19  # noqa: F401  (r4: interval-overlap join, ANOVA,
 from . import wave20  # noqa: F401  (r4: CUPED variance reduction +
 #   freshness SLA)
 from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode)
+from . import wave22  # noqa: F401  (r5: flow stitching, URL dedup, rank
+#   stats, perplexity filter, DP release)

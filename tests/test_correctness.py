@@ -2702,3 +2702,135 @@ def test_hll_sliding_union_error_bound(spark, sf_dir):
         )
     for w, approx in got.items():
         assert abs(approx - exact[w]) / max(exact[w], 1) < 0.05, (w, approx, exact[w])
+
+
+# --- wave-22 (round 5) -------------------------------------------------------
+
+_WAVE22 = [
+    "flows_stitch_rotation",
+    "dedup_url_canonicalize",
+    "stats_mann_whitney",
+    "text_lm_perplexity_filter",
+    "privacy_dp_counts",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE22)
+def test_wave22_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the round-5 keys: the sf0.1 ANSI int32-literal
+    overflow in the Mann-Whitney rank constant was caught exactly here
+    (invisible at sf0.01 where n0(n0+1) squeaks under 2^31)."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_stitch_conserves_segments_and_bytes(spark, sf_dir):
+    """Stitching re-groups segments, never drops or duplicates them:
+    Σ n_seg·n_flows = input rows, Σ bytes preserved."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    pdf = SPECS["flows_stitch_rotation"].fn(spark, sf_dir).toPandas()
+    e = _table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    n_in = e.count()
+    byt_in = e.select(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("b")
+    ).collect()[0].b
+    assert int((pdf.n_seg * pdf.n_flows).sum()) == n_in
+    assert int(pdf.total_bytes.sum()) == byt_in
+    assert (pdf.n_seg >= 1).all()
+
+
+def test_url_canonicalize_collapses_variants(spark, sf_dir):
+    """Every canonical URL absorbs all raw spellings of its resource;
+    the canonical key never contains a tracking param, an uppercase
+    host, or a port."""
+    pdf = SPECS["dedup_url_canonicalize"].fn(spark, sf_dir).toPandas()
+    assert (pdf.n_variants <= pdf.n_raw).all()
+    assert (pdf.n_variants > 1).any()  # the collapse actually happened
+    assert not pdf.canonical_url.str.contains("utm_").any()
+    assert not pdf.canonical_url.str.contains(":443").any()
+    host = pdf.canonical_url.str.split("/").str[0]
+    assert (host == host.str.lower()).all()
+
+
+def test_mann_whitney_unbiased_split_near_zero(spark, sf_dir):
+    """On an unbiased hash split, |z| must be small; U bounded by
+    n0·n1; tie term positive (prices tie heavily)."""
+    row = SPECS["stats_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= row.u0_2x <= 2 * row.n0 * row.n1
+    assert abs(row.z) < 4.0
+    assert row.tie_cubes > 0
+
+
+def test_mann_whitney_matches_numpy_ranks(spark, sf_dir):
+    """Independent recomputation: rebuild U and z from the raw values
+    with numpy average ranks (the textbook formulation) and pin exact
+    equality of the integer statistics — the oracle shares our SQL
+    shape; this check does not."""
+    import math
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    li = _table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    pdf = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 2).alias("g"),
+    ).toPandas()
+    v, g = pdf.v.to_numpy(), pdf.g.to_numpy()
+    uniq, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+    below = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    rank2 = 2 * below + cnt + 1  # 2x-scaled average rank per distinct v
+    r0_2x = int(rank2[inv][g == 0].sum())
+    n0, n1 = int((g == 0).sum()), int((g == 1).sum())
+    n = n0 + n1
+    u0_2x = r0_2x - n0 * (n0 + 1)
+    tie_cubes = int((cnt.astype(object) ** 3 - cnt).sum())
+    assert (row.n0, row.n1) == (n0, n1)
+    assert row.u0_2x == u0_2x
+    assert row.tie_cubes == tie_cubes
+    var = (n0 * n1 / 12.0) * ((n + 1) - tie_cubes / (n * (n - 1.0)))
+    z = (u0_2x - float(n0) * n1) / (2.0 * math.sqrt(var))
+    assert abs(row.z - round(z, 4)) < 2e-4
+
+
+def test_dp_counts_noise_bounded_and_reproducible(spark, sf_dir):
+    """Laplace(b=1) noise from a u bounded away from ±0.5 by 1/2^33:
+    |noise| <= ln(2^33) < 23; the release is a pure function of the
+    category key (two runs identical); true counts reconcile with the
+    events table."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    a = SPECS["privacy_dp_counts"].fn(spark, sf_dir).toPandas()
+    b = SPECS["privacy_dp_counts"].fn(spark, sf_dir).toPandas()
+    assert a.sort_values("event_type").reset_index(drop=True).equals(
+        b.sort_values("event_type").reset_index(drop=True)
+    )
+    noise_e4 = a.noisy_e4 - a.n_true * 10000
+    assert (noise_e4.abs() <= 23 * 10000).all()
+    assert (noise_e4 != 0).any()  # noise is actually applied
+    n = _table(spark, sf_dir, "events").count()
+    assert a.n_true.sum() == n
+
+
+def test_perplexity_filter_reconciles_with_lm_scores(spark, sf_dir):
+    """The per-source report must reconcile with the `text_ngram_lm`
+    per-doc scores it is built on: same doc universe, kept counts equal
+    a pandas recomputation at the same threshold."""
+    lm = SPECS["text_ngram_lm"].fn(spark, sf_dir).toPandas()
+    rep = SPECS["text_lm_perplexity_filter"].fn(spark, sf_dir).toPandas()
+    assert rep.n_docs.sum() == len(lm)
+    assert rep.n_kept.sum() == int((lm.avg_logp >= -6.2).sum())
+    assert ((rep.kept_bp >= 0) & (rep.kept_bp <= 10000)).all()
+    assert (rep.n_kept <= rep.n_docs).all()

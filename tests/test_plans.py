@@ -595,3 +595,44 @@ def test_blacklist_broadcasts_only_rules(spark, sf_dir):
     n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffle <= 2, plan
     assert "BuildRight" in plan  # the RULES side is the built/broadcast side
+
+
+def test_wave22_exchange_budgets(spark, sf_dir):
+    """Round-5 keys: the audited plan shapes (PLANS.md discipline).
+    flows_stitch_rotation plans ONE data-sized exchange on the flow key
+    shared by the lag window, the island window, AND the (k, island)
+    aggregation — only the bounded distribution rollup exchanges again.
+    stats_mann_whitney rides the shared prefix_sums scan: the
+    distinct-value agg + one pid exchange, no unpartitioned window."""
+    budgets = {
+        "flows_stitch_rotation": 2,
+        "dedup_url_canonicalize": 2,   # canonical groupBy + distinct 2-phase
+        "privacy_dp_counts": 1,        # one partial+final count agg
+        "stats_mann_whitney": 2,
+        # bg→model agg, bounded-model window + score join, doc agg,
+        # source rollup — the text_ngram_lm shape plus two bounded stages
+        "text_lm_perplexity_filter": 6,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_stitch_window_and_agg_share_partitioning(spark, sf_dir):
+    """The island window and the (k, island) aggregation must reuse the
+    flow-key exchange — an extra exchange between them would double the
+    data-sized shuffle cost at 100 TB."""
+    plan = get_plan(SPECS["flows_stitch_rotation"].fn(spark, sf_dir), "simple")
+    head, _, tail = plan.partition("Window ")
+    # the only Exchange below (after) the first Window node is the final
+    # n_seg rollup's; the window-to-agg seam has none
+    assert head.count("Exchange") == 1, plan
+
+
+def test_mann_whitney_no_unpartitioned_window(spark, sf_dir):
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    assert not unpartitioned_window_specs(
+        SPECS["stats_mann_whitney"].fn(spark, sf_dir)
+    )

@@ -45,6 +45,9 @@ PROBED = [
     "stats_anova_f",          # two-level agg + ordered fold
     "graph_kcore",            # star fold + bounded peel rounds
     "ann_ivfpq_search",       # Arrow-batched PQ train/encode (reworked r4)
+    # round 5
+    "flows_stitch_rotation",  # one-exchange lag window + island agg
+    "stats_mann_whitney",     # shared prefix_sums rank scan
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
