@@ -62,3 +62,23 @@ def flows_nffile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("te").alias("last_ts"),
         F.round(F.sum("td"), 3).alias("sum_td"),
     ).orderBy("flowsrc", "ra")
+
+
+@register("stream_nffile_source")  # rows-only: genuine StreamingQuery —
+# exactly-once across drains pinned in tests/test_nffile.py
+def stream_nffile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An nfcapd directory of nfdump ON-DISK files as a GENUINE
+    streaming source (Python DataSource stream-reader API) — the
+    streaming third of the nffile story next to `flows_nffile_decode`
+    (batch) and `FlowService` fmt="nffile" (batch-incremental).
+
+    Shares `stream_v9_source`'s offset design through one registrar
+    (``streaming/pipeline._register_flow_stream_source``): the offset
+    is the lexicographically last rotation NAME — O(1) state, no
+    unbounded seen-files log — and each micro-batch's partitions are
+    the files in (start, end], decoded whole-file on executors. The
+    demo drains 2 rotations, lands a third, drains again: the second
+    drain ingests ONLY the new rotation."""
+    from ..streaming.pipeline import run_nffile_stream_source
+
+    return run_nffile_stream_source(spark)

@@ -253,3 +253,20 @@ def test_registry_key_runs(spark, sf_dir):
     assert all(r.n_tcp > 0 and r.pkts > 0 for r in rows)
     assert df.columns == ["flowsrc", "ra", "n_flows", "pkts", "bytes",
                           "n_tcp", "n_v6", "first_ts", "last_ts", "sum_td"]
+
+
+def test_stream_nffile_source_exactly_once(spark, sf_dir):
+    """The streaming source over on-disk nffile rotations: the second
+    drain ingests ONLY the rotation that arrived after the first drain
+    (offset = last rotation name; no re-reads, no misses)."""
+    from nfdump2clickhouse_spark.registry import all_specs
+
+    pdf = all_specs()["stream_nffile_source"].fn(spark, sf_dir).toPandas()
+    assert set(pdf.capture) == {
+        "nfcapd.nf.0000", "nfcapd.nf.0001", "nfcapd.nf.0002"
+    }
+    assert pdf.n_first_drain.iloc[0] == 20  # 2 × 10 rotations
+    assert pdf.n_total.iloc[0] == 26        # + only the late 6-record file
+    assert pdf.set_index("capture").n_flows.to_dict() == {
+        "nfcapd.nf.0000": 10, "nfcapd.nf.0001": 10, "nfcapd.nf.0002": 6
+    }
