@@ -90,6 +90,12 @@ AUDITED: dict[str, str] = {
     "privacy_k_anonymity": "one QI group-size agg + 4-row broadcast threshold grid",
     "sample_repeat_factor": "scan-local hash copies + row-local explode(sequence); only the reconciliation aggregates",
     "graph_kcore": "star fold once + checkpoint; peel rounds are semi-joins on the tiny edge table",
+    # wave-22 (round 5)
+    "flows_stitch_rotation": "lag window, island window, and (k, island) agg all ride ONE flow-key exchange; bounded rollup second agg",
+    "dedup_url_canonicalize": "canonicalization is scan-local HOFs in codegen; one canonical-key groupBy (+ countDistinct 2-phase)",
+    "stats_mann_whitney": "distinct-value agg collapses ties; shared literal-boundary prefix_sums; exact-integer 2x-scaled ranks",
+    "text_lm_perplexity_filter": "bounded charset-squared model broadcasts into the score join; doc agg + source rollup",
+    "privacy_dp_counts": "one partial+final count agg; Laplace noise is row-local arithmetic on the category table",
 }
 
 
