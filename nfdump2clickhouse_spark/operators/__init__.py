@@ -59,3 +59,5 @@ from . import wave20  # noqa: F401  (r4: CUPED variance reduction +
 from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode)
 from . import wave22  # noqa: F401  (r5: flow stitching, URL dedup, rank
 #   stats, perplexity filter, DP release)
+from . import wave23  # noqa: F401  (r5: spatial grid join, forecast
+#   backtest, HLL intersection, grouped splits, vocab economics)

@@ -2834,3 +2834,190 @@ def test_perplexity_filter_reconciles_with_lm_scores(spark, sf_dir):
     assert rep.n_kept.sum() == int((lm.avg_logp >= -6.2).sum())
     assert ((rep.kept_bp >= 0) & (rep.kept_bp <= 10000)).all()
     assert (rep.n_kept <= rep.n_docs).all()
+
+
+# --- wave-23 (round 5) -------------------------------------------------------
+
+_WAVE23 = [
+    "join_spatial_grid",
+    "events_forecast_backtest",
+    "sample_group_shuffle_split",
+    "tokenizer_vocab_coverage",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE23)
+def test_wave23_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-23 hash keys (scale-dependent bugs —
+    int32 literal overflow, rounding-boundary ulps — hide from any
+    single SF)."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_spatial_grid_cover_is_complete(spark):
+    """The 3x3 cell neighborhood must be a COMPLETE candidate cover at
+    radius 100 km < 1 deg of latitude: the grid join's per-site counts
+    and distance mass equal the brute-force cross join's exactly
+    (sf0.001 keeps the quadratic reference tractable). The oracle
+    shares the grid construction; this check does not."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave23 import _RADIUS_KM
+
+    sfd = "/root/testdata/sf0.001"
+    got = (
+        SPECS["join_spatial_grid"].fn(spark, sfd)
+        .toPandas().set_index("site_id").sort_index()
+    )
+    n = _table(spark, sfd, "nation")
+    e = _table(spark, sfd, "events")
+    sites = n.select(
+        F.col("n_nationkey").alias("site_id"),
+        (-40.0 + (F.col("n_nationkey") * 7.0) % 80 + 0.5).alias("slat"),
+        (-150.0 + (F.col("n_nationkey") * 13.0) % 300 + 0.5).alias("slon"),
+    )
+    pings = e.select(
+        "event_id",
+        (-40.0 + (F.col("user_id") % 800) / 10.0 + 0.05).alias("plat"),
+        (
+            -150.0 + ((F.col("user_id") * 7 + F.col("event_id")) % 3000) / 10.0
+            + 0.05
+        ).alias("plon"),
+    )
+    plat, slat = F.col("plat"), F.col("slat")
+    h = (
+        F.pow(F.sin(F.radians(slat - plat) / 2), 2)
+        + F.cos(F.radians(plat))
+        * F.cos(F.radians(slat))
+        * F.pow(F.sin(F.radians(F.col("slon") - F.col("plon")) / 2), 2)
+    )
+    brute = (
+        sites.crossJoin(pings)
+        .select(
+            "site_id",
+            F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 4).alias("d"),
+        )
+        .filter(F.col("d") <= _RADIUS_KM)
+        .groupBy("site_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.sum(F.floor(F.col("d") * 1000).cast("bigint")).alias("dist_m_sum"),
+        )
+        .toPandas().set_index("site_id").sort_index()
+    )
+    assert got.index.tolist() == brute.index.tolist()
+    assert (got.n_within == brute.n_within).all()
+    assert (got.dist_m_sum == brute.dist_m_sum).all()
+
+
+def test_forecast_backtest_matches_pandas_rolling_origin(spark, sf_dir):
+    """Independent recomputation: per-type daily counts shifted by 1
+    and 7 days IN ROW ORDER of the sorted day index (the operator uses
+    lag over days present, not calendar days — pinned here), exact
+    integer MAE/MAPE sums."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_forecast_backtest"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    import pyspark.sql.functions as F
+
+    daily = (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .toPandas()
+    )
+    for et, grp in daily.groupby("event_type"):
+        g = grp.sort_values("day").reset_index(drop=True)
+        n = g["count"]
+        p1, p7 = n.shift(1), n.shift(7)
+        m = p1.notna() & p7.notna()
+        row = got.loc[et]
+        assert row.n_eval == int(m.sum())
+        assert row.abs_err_naive == int((n - p1)[m].abs().sum())
+        assert row.abs_err_snaive == int((n - p7)[m].abs().sum())
+        assert row.mape_naive_e4_sum == int(
+            ((n - p1)[m].abs() * 10000 // n[m]).sum()
+        )
+        assert row.mape_snaive_e4_sum == int(
+            ((n - p7)[m].abs() * 10000 // n[m]).sum()
+        )
+
+
+def test_hll_intersection_within_5pct_of_exact(spark, sf_dir):
+    """The pinned contract for the rows-only sketch key: the
+    inclusion-exclusion estimate lands within 5% of the exact
+    intersection carried alongside, and the cohorts genuinely differ
+    (est_a < est_union strictly — the r5 fixture rework that replaced
+    the degenerate everyone-does-everything cohorts)."""
+    row = SPECS["agg_hll_intersection"].fn(spark, sf_dir).collect()[0]
+    assert row.exact_both > 0
+    assert abs(row.est_intersection - row.exact_both) <= 0.05 * row.exact_both
+    assert row.est_a < row.est_union
+    assert row.est_b < row.est_union
+
+
+def test_group_split_no_entity_leakage(spark, sf_dir):
+    """The split must PARTITION the user universe (and with it every
+    event); the naive row-level audit must find leaked users > 0 at
+    every SF with >=2 events/user; split fractions near 80/10/10."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    pdf = (
+        SPECS["sample_group_shuffle_split"].fn(spark, sf_dir)
+        .toPandas().set_index("split")
+    )
+    e = _table(spark, sf_dir, "events")
+    assert set(pdf.index) == {"train", "val", "test"}
+    assert pdf.n_users.sum() == e.select("user_id").distinct().count()
+    assert pdf.n_events.sum() == e.count()
+    assert pdf.naive_leaky_users.nunique() == 1  # one global audit number
+    assert pdf.naive_leaky_users.iloc[0] > 0
+    frac = pdf.n_users / pdf.n_users.sum()
+    assert 0.6 <= frac["train"] <= 0.95
+
+
+def test_vocab_coverage_matches_pandas(spark, sf_dir):
+    """Independent recomputation of the vocabulary economics: same
+    regex tokenization, same deterministic top-K (count desc, word
+    asc), exact integer token accounting per source."""
+    import re
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave23 import _VOCAB_K
+
+    got = (
+        SPECS["tokenizer_vocab_coverage"].fn(spark, sf_dir)
+        .toPandas().set_index("source").sort_index()
+    )
+    docs = _table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    rows = []
+    for src, text in zip(docs.source, docs.text):
+        for w in re.split(r"[^a-z0-9]+", text.lower()):
+            if w:
+                rows.append((src, w))
+    words = pd.DataFrame(rows, columns=["source", "word"])
+    freq = (
+        words.groupby("word").size().reset_index(name="cnt")
+        .sort_values(["cnt", "word"], ascending=[False, True])
+    )
+    vocab = set(freq.head(_VOCAB_K).word)
+    words["n_tok"] = words.word.map(lambda w: 1 if w in vocab else len(w))
+    words["oov"] = (~words.word.isin(vocab)).astype(int)
+    ref = words.groupby("source").agg(
+        n_words=("word", "size"), n_tokens=("n_tok", "sum"),
+        n_oov_words=("oov", "sum"),
+    )
+    ref["tokens_per_word_e4"] = ref.n_tokens * 10000 // ref.n_words
+    assert got.index.tolist() == ref.index.tolist()
+    for c in ["n_words", "n_tokens", "n_oov_words", "tokens_per_word_e4"]:
+        assert (got[c] == ref[c]).all(), c

@@ -636,3 +636,70 @@ def test_mann_whitney_no_unpartitioned_window(spark, sf_dir):
     assert not unpartitioned_window_specs(
         SPECS["stats_mann_whitney"].fn(spark, sf_dir)
     )
+
+
+def test_wave23_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-23 keys: audited Exchange budgets (PLANS.md
+    discipline). Budgets count ALL Exchange nodes incl. broadcast;
+    the data-sized split per key is documented inline."""
+    budgets = {
+        # 1 broadcast (9x|sites| cells) + site_id agg — the pings side
+        # is never shuffled before the residual filter
+        "join_spatial_grid": 2,
+        # (type, day) agg + type window; the final rollup reuses the
+        # type partitioning (no third exchange)
+        "events_forecast_backtest": 2,
+        # both-sketch single agg (2-phase) + exact distinct 2-phase +
+        # the 1-row broadcast — the corpus is scanned twice (sketches
+        # once, exact-audit once; the audit is demo-only overhead)
+        "agg_hll_intersection": 4,
+        # user agg + split rollup + naive (user, s) distinct 2-phase +
+        # global count + 1-row broadcast
+        "sample_group_shuffle_split": 6,
+        # word agg + broadcast vocab + source rollup
+        "tokenizer_vocab_coverage": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_spatial_grid_broadcasts_cells_not_pings(spark, sf_dir):
+    """The exploded 3x3 cells table (9x|sites|, KBs) must be the
+    broadcast build side of the candidate join; the data-sized pings
+    side streams through with the haversine residual inside the join
+    condition — no BroadcastNestedLoopJoin anywhere (the naive
+    cross-join theta form this operator exists to avoid)."""
+    plan = get_plan(SPECS["join_spatial_grid"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    head, _, _ = plan.partition("BroadcastHashJoin")
+    # only the final site_id agg exchanges above the join
+    assert head.count("Exchange") == 1, plan
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
+    """The in-query vocab must plan as TakeOrderedAndProject
+    (per-partition top-K merged on the driver) — never a global sort
+    or an unpartitioned row_number window over the distinct-word table
+    (which grows with the corpus, Heaps' law)."""
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    df = SPECS["tokenizer_vocab_coverage"].fn(spark, sf_dir)
+    plan = get_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Window ") == 0, plan
+    assert not unpartitioned_window_specs(df)
+
+
+def test_forecast_backtest_window_partitioned_and_reused(spark, sf_dir):
+    """Both lag forecasts ride ONE per-type window; the final rollup
+    reuses the event_type partitioning (exactly 2 exchanges, no
+    unpartitioned window)."""
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    df = SPECS["events_forecast_backtest"].fn(spark, sf_dir)
+    assert not unpartitioned_window_specs(df)
+    plan = get_plan(df, "simple")
+    assert plan.count("Window ") == 1, plan

@@ -96,6 +96,12 @@ AUDITED: dict[str, str] = {
     "stats_mann_whitney": "distinct-value agg collapses ties; shared literal-boundary prefix_sums; exact-integer 2x-scaled ranks",
     "text_lm_perplexity_filter": "bounded charset-squared model broadcasts into the score join; doc agg + source rollup",
     "privacy_dp_counts": "one partial+final count agg; Laplace noise is row-local arithmetic on the category table",
+    # wave-23 (round 5)
+    "join_spatial_grid": "9x|sites| cell table is the broadcast build side; haversine residual inside the join condition; one site_id agg exchange",
+    "events_forecast_backtest": "both lag forecasts ride ONE per-type window; final rollup reuses the type partitioning (2 exchanges total)",
+    "agg_hll_intersection": "both cohort sketches built in ONE corpus pass (conditional sketch aggs); union merges the same states; 1-row crossJoin",
+    "sample_group_shuffle_split": "split is row-local arithmetic riding the user agg; bounded rollup + 1-row leakage-audit broadcast",
+    "tokenizer_vocab_coverage": "vocab top-K plans as TakeOrderedAndProject (never a global sort of the distinct-word table); K-row vocab broadcasts into the word stream",
 }
 
 

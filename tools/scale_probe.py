@@ -48,6 +48,8 @@ PROBED = [
     # round 5
     "flows_stitch_rotation",  # one-exchange lag window + island agg
     "stats_mann_whitney",     # shared prefix_sums rank scan
+    "join_spatial_grid",      # grid-bucketed candidate join (wave-23)
+    "tokenizer_vocab_coverage",  # TakeOrderedAndProject vocab + bcast join
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
