@@ -61,3 +61,5 @@ from . import wave22  # noqa: F401  (r5: flow stitching, URL dedup, rank
 #   stats, perplexity filter, DP release)
 from . import wave23  # noqa: F401  (r5: spatial grid join, forecast
 #   backtest, HLL intersection, grouped splits, vocab economics)
+from . import wave24  # noqa: F401  (r5: mergeable quantile sketches,
+#   bloom contamination screen, power analysis, feature hashing, Hill tail)

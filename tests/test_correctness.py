@@ -3021,3 +3021,171 @@ def test_vocab_coverage_matches_pandas(spark, sf_dir):
     assert got.index.tolist() == ref.index.tolist()
     for c in ["n_words", "n_tokens", "n_oov_words", "tokens_per_word_e4"]:
         assert (got[c] == ref[c]).all(), c
+
+
+# --- wave-24 (round 5) -------------------------------------------------------
+
+_WAVE24 = [
+    "agg_quantile_sketch_merge",
+    "events_power_analysis",
+    "ml_feature_hashing",
+    "stats_hill_tail_index",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE24)
+def test_wave24_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-24 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """The sketch quantiles must land within the bucketing's 1/16
+    relative-error bound of the EXACT quantiles, from below (the bucket
+    lower bound never exceeds any member), and be monotone."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_quantile_sketch_merge"].fn(spark, sf_dir)
+        .toPandas().set_index("flag")
+    )
+    exact = (
+        _table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.expr("percentile(c, 0.5)").alias("q50"),
+            F.expr("percentile(c, 0.9)").alias("q90"),
+            F.expr("percentile(c, 0.99)").alias("q99"),
+        )
+        .toPandas().set_index("flag")
+    )
+    for flag in got.index:
+        g, x = got.loc[flag], exact.loc[flag]
+        assert g.p50_cents <= g.p90_cents <= g.p99_cents
+        for p, q in [("p50_cents", "q50"), ("p90_cents", "q90"), ("p99_cents", "q99")]:
+            rel = abs(g[p] - x[q]) / x[q]
+            assert rel <= 1 / 16 + 1e-9, (flag, p, g[p], x[q], rel)
+
+
+def test_bloom_screen_no_false_negatives_and_exact_counts(spark, sf_dir, ddb):
+    """The Bloom contract: candidates are a SUPERSET of true matches
+    (bloom_hits >= exact_hits per source — no false negatives ever),
+    the exact hit counts equal an independent DuckDB recomputation of
+    cross-split shingle containment, and the measured FP mass stays
+    under 2% of probed shingles."""
+    got = (
+        SPECS["dedup_bloom_screen"].fn(spark, sf_dir)
+        .toPandas().set_index("source").sort_index()
+    )
+    assert (got.n_bloom_hits >= got.n_exact_hits).all()
+    assert (got.n_false_pos == got.n_bloom_hits - got.n_exact_hits).all()
+    assert got.n_false_pos.sum() <= 0.02 * got.n_shingles.sum()
+    ref = ddb.execute("""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        s AS (
+          SELECT DISTINCT doc_id, source,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4] AS sh
+          FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+        ),
+        h AS (SELECT DISTINCT sh FROM s WHERE doc_id % 10 < 8),
+        n AS (SELECT * FROM s WHERE doc_id % 10 >= 8)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) FILTER (WHERE sh IN (SELECT sh FROM h))
+                    AS BIGINT) AS n_exact_hits,
+               CAST(COUNT(DISTINCT CASE WHEN sh IN (SELECT sh FROM h)
+                    THEN doc_id END) AS BIGINT) AS docs_flagged
+        FROM n GROUP BY source ORDER BY source
+    """).df().set_index("source")
+    assert got.index.tolist() == ref.index.tolist()
+    assert (got.n_shingles == ref.n_shingles).all()
+    assert (got.n_exact_hits == ref.n_exact_hits).all()
+    assert (got.docs_flagged == ref.docs_flagged).all()
+
+
+def test_power_analysis_formula(spark, sf_dir):
+    """Independent recomputation of the power arithmetic from pandas
+    moments, and the structural sanity: detecting a 2% lift needs more
+    samples than the current MDE suggests iff current MDE > 2%."""
+    import math
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave24 import _Z_SUM
+
+    got = (
+        SPECS["events_power_analysis"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    pdf = _table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    pdf = pdf[pdf.value.notna()]
+    for et, grp in pdf.groupby("event_type"):
+        n, mean, v = len(grp), grp.value.mean(), grp.value.var(ddof=1)
+        row = got.loc[et]
+        assert row.n == n
+        assert abs(row["mean"] - round(mean, 4)) < 1e-9
+        assert row.mde_rel_e4 == math.floor(
+            10000 * _Z_SUM * math.sqrt(2 * v / n) / mean
+        )
+        assert row.n_per_arm_2pct == math.floor(
+            2 * v * _Z_SUM * _Z_SUM / (0.02 * mean) ** 2
+        ) + 1
+        # MDE above 2% at current traffic <=> need more than n per arm
+        assert (row.mde_rel_e4 > 200) == (row.n_per_arm_2pct > n)
+
+
+def test_feature_hashing_accounts_for_every_feature(spark, sf_dir):
+    """Mass conservation: bucket hits sum to 2x the row count (two
+    features per event); distinct features across buckets sum to the
+    true distinct-feature count (a feature hashes to exactly one
+    bucket); load spread is non-degenerate (no bucket holds >10% of
+    features)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["ml_feature_hashing"].fn(spark, sf_dir).toPandas()
+    e = _table(spark, sf_dir, "events").toPandas()
+    n_types = e.event_type.nunique()
+    n_shards = (e.user_id % 4096).nunique()
+    assert got.n_hits.sum() == 2 * len(e)
+    assert got.n_feats.sum() == n_types + n_shards
+    assert got.n_feats.max() <= 0.1 * (n_types + n_shards)
+
+
+def test_hill_tail_matches_numpy(spark, sf_dir):
+    """Independent numpy recomputation of the Hill estimator from the
+    top-(k+1) order statistics with the same deterministic tiebreak."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave24 import _HILL_K
+
+    got = (
+        SPECS["stats_hill_tail_index"].fn(spark, sf_dir)
+        .toPandas().set_index("flag").sort_index()
+    )
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).toPandas()
+    li["cents"] = np.floor(li.l_extendedprice * 100).astype("int64")
+    li["uid"] = li.l_orderkey * 10 + li.l_linenumber
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values(["cents", "uid"], ascending=[False, True])
+        top = g.head(_HILL_K + 1).cents.to_numpy()
+        xk = top[_HILL_K]
+        alpha = _HILL_K / (np.log(top[:_HILL_K]).sum() - _HILL_K * np.log(xk))
+        row = got.loc[flag]
+        assert row.k == _HILL_K
+        assert row.xk_cents == xk
+        assert abs(row.alpha - round(alpha, 4)) < 2e-4, (flag, row.alpha, alpha)
+        assert row.alpha > 0

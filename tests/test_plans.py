@@ -703,3 +703,68 @@ def test_forecast_backtest_window_partitioned_and_reused(spark, sf_dir):
     assert not unpartitioned_window_specs(df)
     plan = get_plan(df, "simple")
     assert plan.count("Window ") == 1, plan
+
+
+def test_wave24_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-24 keys: audited Exchange budgets (all Exchange
+    nodes incl. broadcast; data-sized split inline)."""
+    budgets = {
+        # (flag, month, bucket) sketch agg + (flag, bucket) merge +
+        # flag window; the final flag agg reuses the window exchange
+        "agg_quantile_sketch_merge": 3,
+        # post-checkpoint report: per-doc agg + exact agg + doc join +
+        # source rollup (the probe stage is pinned separately below)
+        "dedup_bloom_screen": 5,
+        # one grouped moment pass — the whole report
+        "events_power_analysis": 1,
+        # (bucket, feat) distinct partial + bucket agg
+        "ml_feature_hashing": 2,
+        # flag window (WindowGroupLimit-pruned) + broadcast xk + final
+        "stats_hill_tail_index": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_bloom_screen_probes_are_all_broadcast(spark, sf_dir):
+    """The pre-checkpoint screen (the data-sized stage at 100 TB): all
+    five probe joins must be BroadcastHashJoins against the KB-sized
+    bitmap table — the new batch reaches the screen predicate with NO
+    data-sized exchange after its shingle distinct. Inspected on the
+    pre-checkpoint frame directly (the operator's checkpoint would hide
+    it — the `graph_label_propagation` pin pattern)."""
+    from nfdump2clickhouse_spark.operators.wave24 import _SCREEN_K, _bloom_parts
+
+    _, flagged = _bloom_parts(spark, sf_dir)
+    plan = get_plan(flagged, "simple")
+    assert plan.count("BroadcastHashJoin") == _SCREEN_K, plan
+    assert "SortMergeJoin" not in plan, plan
+    # non-broadcast exchanges: only the two shingle distincts (hist is
+    # behind its own checkpoint; new's distinct is the one data-sized
+    # shuffle of the probe side)
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle <= 2, plan
+
+
+def test_hill_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-group top-(k+1) must prune per-partition BEFORE the
+    group exchange (WindowGroupLimit) — the corpus never globally
+    sorts, and only ~k rows per partition reach the shuffle."""
+    plan = get_plan(SPECS["stats_hill_tail_index"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_quantile_sketch_windows_share_flag_exchange(spark, sf_dir):
+    """Both window frames (running cum + partition total) and the final
+    flag aggregation must ride the SAME flag-hash exchange — the sketch
+    table is bucket-bounded, but the shape is what a 100 TB rollup
+    reuses."""
+    plan = get_plan(
+        SPECS["agg_quantile_sketch_merge"].fn(spark, sf_dir), "simple"
+    )
+    head, _, _ = plan.partition("Window ")
+    # above (after) the windows: only the final agg's reuse — no new
+    # exchange between window and agg
+    assert head.count("Exchange") == 0, plan

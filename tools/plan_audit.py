@@ -102,6 +102,12 @@ AUDITED: dict[str, str] = {
     "agg_hll_intersection": "both cohort sketches built in ONE corpus pass (conditional sketch aggs); union merges the same states; 1-row crossJoin",
     "sample_group_shuffle_split": "split is row-local arithmetic riding the user agg; bounded rollup + 1-row leakage-audit broadcast",
     "tokenizer_vocab_coverage": "vocab top-K plans as TakeOrderedAndProject (never a global sort of the distinct-word table); K-row vocab broadcasts into the word stream",
+    # wave-24 (round 5)
+    "agg_quantile_sketch_merge": "per-month integer log-bucket sketches merge with plain adds; windows + final agg share the flag exchange",
+    "dedup_bloom_screen": "historical corpus compressed to a <=32768-row bitmap table; 5 probe joins all broadcast (pre-checkpoint pin); exact verify on candidates only",
+    "events_power_analysis": "one grouped moment pass; the whole design report is scalar arithmetic on the group table",
+    "ml_feature_hashing": "hashing is scan-local md5 arithmetic; (bucket, feat) distinct partial is the only data-sized shuffle",
+    "stats_hill_tail_index": "per-group top-k prunes via WindowGroupLimit before the group exchange; estimator is arithmetic on 3x201 rows",
 }
 
 

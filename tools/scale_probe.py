@@ -50,6 +50,8 @@ PROBED = [
     "stats_mann_whitney",     # shared prefix_sums rank scan
     "join_spatial_grid",      # grid-bucketed candidate join (wave-23)
     "tokenizer_vocab_coverage",  # TakeOrderedAndProject vocab + bcast join
+    "dedup_bloom_screen",     # bloom screen under 8x dup mass (wave-24)
+    "agg_quantile_sketch_merge",  # mergeable sketch build + merge
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
