@@ -63,3 +63,5 @@ from . import wave23  # noqa: F401  (r5: spatial grid join, forecast
 #   backtest, HLL intersection, grouped splits, vocab economics)
 from . import wave24  # noqa: F401  (r5: mergeable quantile sketches,
 #   bloom contamination screen, power analysis, feature hashing, Hill tail)
+from . import wave25  # noqa: F401  (r5: k-center coreset, novelty curve,
+#   NDCG, Benjamini-Hochberg FDR, flow traffic matrix)

@@ -3189,3 +3189,151 @@ def test_hill_tail_matches_numpy(spark, sf_dir):
         assert row.xk_cents == xk
         assert abs(row.alpha - round(alpha, 4)) < 2e-4, (flag, row.alpha, alpha)
         assert row.alpha > 0
+
+
+# --- wave-25 (round 5) -------------------------------------------------------
+
+_WAVE25 = [
+    "text_novelty_curve",
+    "ml_eval_ndcg",
+    "stats_benjamini_hochberg",
+    "flows_traffic_matrix",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE25)
+def test_wave25_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-25 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_kcenter_matches_numpy_greedy(spark, sf_dir):
+    """Exact replication of the farthest-point traversal in numpy
+    (sequential float64 accumulation mirroring the zip_with fold order,
+    same lowest-id tie-break): identical center sequence, identical
+    rounded radii, and the selection radius is non-increasing (the
+    2-approximation invariant)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave25 import _KCENTER_K
+
+    got = SPECS["sample_kcenter_coreset"].fn(spark, sf_dir).toPandas()
+    pdf = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf.vec_id.to_numpy()
+    X = np.stack(pdf.embedding.map(np.asarray).to_list()).astype(np.float64)
+
+    def seqdist(A, c):
+        # sequential left-to-right accumulation, matching the HOF fold
+        acc = np.zeros(len(A))
+        for j in range(A.shape[1]):
+            acc = acc + (A[:, j] - c[j]) ** 2
+        return acc
+
+    sel = [0]
+    dmin = np.full(len(X), np.inf)
+    steps = [(1, int(ids[0]), 0.0)]
+    for step in range(2, _KCENTER_K + 1):
+        dmin = np.minimum(dmin, seqdist(X, X[sel[-1]]))
+        # max dmin, ties -> lowest vec_id (ids are sorted ascending)
+        best = int(np.argmax(dmin))
+        steps.append((step, int(ids[best]), round(float(dmin[best]), 4)))
+        sel.append(best)
+    ref = pd.DataFrame(steps, columns=["step", "vec_id", "radius2_at_selection"])
+    assert got.step.tolist() == ref.step.tolist()
+    assert got.vec_id.tolist() == ref.vec_id.tolist(), (
+        got.vec_id.tolist(), ref.vec_id.tolist()
+    )
+    assert np.allclose(
+        got.radius2_at_selection.to_numpy()[1:],
+        ref.radius2_at_selection.to_numpy()[1:],
+        rtol=0, atol=2e-4,
+    )
+    r = got.radius2_at_selection.to_numpy()[1:]
+    assert (np.diff(r) <= 1e-9).all()  # non-increasing selection radius
+    assert got.vec_id.nunique() == _KCENTER_K
+
+
+def test_novelty_curve_conserves_and_saturates(spark, sf_dir):
+    """Reconciliation: novel shingles across deciles sum to the global
+    distinct-shingle count (every shingle is novel exactly once);
+    decile 0 is the most novel decile; basis points bounded."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["text_novelty_curve"].fn(spark, sf_dir)
+        .toPandas().set_index("decile").sort_index()
+    )
+    d = _table(spark, sf_dir, "documents")
+    n_distinct = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(ws) - 4),"
+                    " i -> array_join(slice(ws, i, 5), ' ')))"
+                )
+            ).alias("sh")
+        )
+        .select("sh").distinct().count()
+    )
+    assert got.n_novel.sum() == n_distinct
+    assert ((got.novelty_bp >= 0) & (got.novelty_bp <= 10000)).all()
+    assert got.loc[0, "novelty_bp"] == got.novelty_bp.max()
+
+
+def test_ndcg_bounds_and_ideal(spark, sf_dir):
+    """Structural invariants: 0 <= NDCG <= 1, DCG <= IDCG, and IDCG is
+    positive whenever any relevant item exists in the query's pool."""
+    got = SPECS["ml_eval_ndcg"].fn(spark, sf_dir).toPandas()
+    assert (got.dcg_at10 <= got.idcg_at10 + 1e-9).all()
+    assert ((got.ndcg_at10 >= 0) & (got.ndcg_at10 <= 1.0 + 1e-9)).all()
+    assert (got.idcg_at10 > 0).all()
+
+
+def test_bh_dominates_bonferroni(spark, sf_dir):
+    """BH at FDR q rejects AT LEAST as much as Bonferroni at alpha = q
+    (Bonferroni's threshold q/m is BH's i=1 step), the battery is the
+    50 structural cells, and the reported cutoff is consistent with
+    the BH step function."""
+    row = SPECS["stats_benjamini_hochberg"].fn(spark, sf_dir).collect()[0]
+    assert row.n_tests == 50
+    assert 0 <= row.n_rejected_bonferroni <= row.n_rejected_bh <= row.n_tests
+    if row.n_rejected_bh > 0:
+        # cutoff p_(k) satisfies p_(k) <= k*q/m (q=0.1, e6 integers)
+        assert row.bh_cutoff_p_e6 * row.n_tests * 10 <= row.n_rejected_bh * 1000000
+    else:
+        assert row.bh_cutoff_p_e6 is None
+
+
+def test_traffic_matrix_conserves_bytes(spark, sf_dir):
+    """The full matrix (pre-top-20) conserves flow mass: every flow
+    lands in exactly one (src_net, dst_net) cell — cells sum to the
+    corpus totals; all labels come from the prefix table."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.joins import _PREFIX_TABLE
+
+    got = SPECS["flows_traffic_matrix"].fn(spark, sf_dir).toPandas()
+    labels = {label for _, label in _PREFIX_TABLE}
+    assert set(got.src_net) <= labels and set(got.dst_net) <= labels
+    e = _table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    n = e.count()
+    byt = e.select(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("b")
+    ).collect()[0].b
+    if len(got) < 20:  # top-20 covered the whole matrix -> exact totals
+        assert got.n_flows.sum() == n
+        assert got.total_bytes.sum() == byt
+    else:
+        assert got.n_flows.sum() <= n
+        assert got.total_bytes.sum() <= byt

@@ -768,3 +768,39 @@ def test_quantile_sketch_windows_share_flag_exchange(spark, sf_dir):
     # above (after) the windows: only the final agg's reuse — no new
     # exchange between window and agg
     assert head.count("Exchange") == 0, plan
+
+
+def test_wave25_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-25 keys: audited Exchange budgets (all Exchange
+    nodes incl. broadcast)."""
+    budgets = {
+        # within-doc dedup is row-local array_distinct (no (doc, sh)
+        # distinct shuffle); firsts agg + sh join + doc agg + decile
+        # rollup + mx broadcast — the scan runs twice (firsts + probe)
+        "text_novelty_curve": 8,
+        # post-checkpoint: ideal re-rank window + joins on the tiny
+        # per-query table
+        "ml_eval_ndcg": 3,
+        # post-checkpoint: conditional agg + 1-row broadcast + rollup
+        "stats_benjamini_hochberg": 3,
+        # two broadcast prefix enrichments + ONE matrix agg; top-20 is
+        # TakeOrderedAndProject
+        "flows_traffic_matrix": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_traffic_matrix_double_broadcast_enrichment(spark, sf_dir):
+    """Both prefix enrichments must be broadcast hash joins (the
+    exploded prefix table is KBs); the flow side never shuffles before
+    the bounded matrix aggregation; the top-20 plans as
+    TakeOrderedAndProject — no global sort."""
+    plan = get_plan(SPECS["flows_traffic_matrix"].fn(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle <= 1, plan

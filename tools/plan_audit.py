@@ -108,6 +108,11 @@ AUDITED: dict[str, str] = {
     "events_power_analysis": "one grouped moment pass; the whole design report is scalar arithmetic on the group table",
     "ml_feature_hashing": "hashing is scan-local md5 arithmetic; (bucket, feat) distinct partial is the only data-sized shuffle",
     "stats_hill_tail_index": "per-group top-k prunes via WindowGroupLimit before the group exchange; estimator is arithmetic on 3x201 rows",
+    # wave-25 (round 5)
+    "text_novelty_curve": "within-doc dedup is row-local array_distinct (no distinct shuffle); firsts agg + same-key join + bounded rollups",
+    "ml_eval_ndcg": "one (query, item) corpus agg; run + ideal rankings are windows on the tiny checkpointed score table",
+    "stats_benjamini_hochberg": "one moment pass + 1-row global broadcast; BH step is a window + conditional agg on the 50-cell battery",
+    "flows_traffic_matrix": "both prefix enrichments broadcast; ONE matrix agg; top-20 is TakeOrderedAndProject",
 }
 
 

@@ -52,6 +52,8 @@ PROBED = [
     "tokenizer_vocab_coverage",  # TakeOrderedAndProject vocab + bcast join
     "dedup_bloom_screen",     # bloom screen under 8x dup mass (wave-24)
     "agg_quantile_sketch_merge",  # mergeable sketch build + merge
+    "text_novelty_curve",     # shingle firsts under 8x dup mass (wave-25)
+    "flows_traffic_matrix",   # double broadcast LPM enrichment
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
