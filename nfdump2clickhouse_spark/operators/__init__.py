@@ -65,3 +65,5 @@ from . import wave24  # noqa: F401  (r5: mergeable quantile sketches,
 #   bloom contamination screen, power analysis, feature hashing, Hill tail)
 from . import wave25  # noqa: F401  (r5: k-center coreset, novelty curve,
 #   NDCG, Benjamini-Hochberg FDR, flow traffic matrix)
+from . import wave26  # noqa: F401  (r5: filter funnel, skew report,
+#   incremental minhash, ANN recall report, cache reuse)

@@ -3337,3 +3337,96 @@ def test_traffic_matrix_conserves_bytes(spark, sf_dir):
     else:
         assert got.n_flows.sum() <= n
         assert got.total_bytes.sum() <= byt
+
+
+# --- wave-26 (round 5) -------------------------------------------------------
+
+_WAVE26 = [
+    "curation_filter_funnel",
+    "maint_skew_report",
+    "maint_cache_inmemory",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE26)
+def test_wave26_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-26 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_filter_funnel_is_monotone(spark, sf_dir):
+    """The funnel can only lose documents at each gate, totals
+    reconcile with the corpus, and at least one gate actually bites
+    somewhere (a funnel where nothing dies is a fixture bug, not a
+    pipeline)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["curation_filter_funnel"].fn(spark, sf_dir).toPandas()
+    assert (got.pass_len <= got.n_docs).all()
+    assert (got.pass_alpha <= got.pass_len).all()
+    assert (got.pass_stopword <= got.pass_alpha).all()
+    assert (got.pass_dedup <= got.pass_stopword).all()
+    assert got.n_docs.sum() == _table(spark, sf_dir, "documents").count()
+    assert (got.pass_dedup < got.n_docs).any()
+    assert ((got.keep_bp >= 0) & (got.keep_bp <= 10000)).all()
+
+
+def test_skew_report_matches_pandas(spark, sf_dir):
+    """Independent pandas recomputation of every reported statistic."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["maint_skew_report"].fn(spark, sf_dir).collect()[0]
+    pdf = _table(spark, sf_dir, "lineitem").select("l_suppkey").toPandas()
+    f = pdf.l_suppkey.value_counts()
+    assert row.n_rows == len(pdf)
+    assert row.n_keys == len(f)
+    assert row.max_f == f.max()
+    assert row.min_f == f.min()
+    assert row.max_over_avg_e4 == f.max() * len(f) * 10000 // len(pdf)
+    top10 = f.reset_index().sort_values(
+        ["count", "l_suppkey"], ascending=[False, True]
+    ).head(10)["count"].sum()
+    assert row.top10_share_e6 == top10 * 1000000 // len(pdf)
+    part = f.reset_index().assign(p=lambda d: d.l_suppkey % 32).groupby("p")[
+        "count"
+    ].sum()
+    assert row.bucket_balance_e4 == part.max() * 10000 // max(part.min(), 1)
+
+
+def test_minhash_incremental_is_cross_split_slice_of_batch(spark, sf_dir):
+    """Every incremental hit is a cross-split pair (new x historical),
+    precision is 1.0 by construction (J >= 0.8 on exact verified sets),
+    and recall vs the batch-global key's cross-split pairs is >= 0.8
+    (same banding operating point, so the probabilistic loss is the
+    same banding loss — not a new mechanism)."""
+    inc = SPECS["dedup_minhash_incremental"].fn(spark, sf_dir).toPandas()
+    assert (inc.new_id % 10 >= 8).all()
+    assert (inc.hist_id % 10 < 8).all()
+    assert (inc.jaccard >= 0.8).all()
+    batch = SPECS["dedup_minhash_pure"].fn(spark, sf_dir).toPandas()
+    cross = batch[(batch.id1 % 10 < 8) != (batch.id2 % 10 < 8)]
+    want = {
+        (max(a, b) if max(a, b) % 10 >= 8 else min(a, b),
+         min(a, b) if max(a, b) % 10 >= 8 else max(a, b))
+        for a, b in zip(cross.id1, cross.id2)
+    }
+    want = {(n, h) for (n, h) in want if n % 10 >= 8 and h % 10 < 8}
+    got_pairs = set(zip(inc.new_id, inc.hist_id))
+    if want:
+        recall = len(got_pairs & want) / len(want)
+        assert recall >= 0.8, (recall, want - got_pairs)
+
+
+def test_ann_recall_report_arithmetic_and_floor(spark, sf_dir):
+    """recall_bp is exactly n_hit/k in basis points, k == 5 everywhere,
+    hits never exceed k, and the average recall clears the IVF
+    operating point's floor (~0.6 documented; 0.4 guard)."""
+    got = SPECS["ann_recall_report"].fn(spark, sf_dir).toPandas()
+    assert (got.k == 5).all()
+    assert (got.n_hit <= got.k).all()
+    assert (got.recall_bp == got.n_hit * 10000 // got.k).all()
+    assert got.recall_bp.mean() >= 4000, got.recall_bp.tolist()

@@ -804,3 +804,37 @@ def test_traffic_matrix_double_broadcast_enrichment(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffle <= 1, plan
+
+
+def test_wave26_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-26 keys: audited Exchange budgets."""
+    budgets = {
+        # md5-content window exchange + source rollup — the gates are
+        # scan-local arithmetic
+        "curation_filter_funnel": 2,
+        # ONE key-frequency agg (data-sized); tot/topten/part are
+        # arithmetic on the checkpointed key table + 1-row broadcasts
+        "maint_skew_report": 5,
+        # status agg + distinct 2-phase + 1-row broadcast, both over
+        # the single cached projection
+        "maint_cache_inmemory": 4,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_cache_inmemory_plans_in_memory_scan(spark, sf_dir):
+    """Both consumers of the cached projection must plan
+    InMemoryTableScan — the parquet scan materializes once into
+    executor memory and serves the status agg AND the distinct count."""
+    plan = get_plan(SPECS["maint_cache_inmemory"].fn(spark, sf_dir), "simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_skew_report_top10_is_take_ordered(spark, sf_dir):
+    """The heavy-hitter top-10 must plan as TakeOrderedAndProject over
+    the key-frequency table — never a global sort."""
+    plan = get_plan(SPECS["maint_skew_report"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan

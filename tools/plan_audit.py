@@ -113,6 +113,10 @@ AUDITED: dict[str, str] = {
     "ml_eval_ndcg": "one (query, item) corpus agg; run + ideal rankings are windows on the tiny checkpointed score table",
     "stats_benjamini_hochberg": "one moment pass + 1-row global broadcast; BH step is a window + conditional agg on the 50-cell battery",
     "flows_traffic_matrix": "both prefix enrichments broadcast; ONE matrix agg; top-20 is TakeOrderedAndProject",
+    # wave-26 (round 5)
+    "curation_filter_funnel": "gates are scan-local arithmetic; md5-content keep-first window + one source rollup",
+    "maint_skew_report": "ONE key-frequency agg; heavy-hitter top-10 is TakeOrderedAndProject; ratios are integer arithmetic on the key table",
+    "maint_cache_inmemory": "both consumers plan InMemoryTableScan over the single cached projection (one parquet scan total)",
 }
 
 

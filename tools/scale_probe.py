@@ -54,6 +54,8 @@ PROBED = [
     "agg_quantile_sketch_merge",  # mergeable sketch build + merge
     "text_novelty_curve",     # shingle firsts under 8x dup mass (wave-25)
     "flows_traffic_matrix",   # double broadcast LPM enrichment
+    "dedup_minhash_incremental",  # cross-split band probe, 8x dup mass
+    "maint_skew_report",      # one key-frequency agg + bounded arithmetic
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
