@@ -67,3 +67,5 @@ from . import wave25  # noqa: F401  (r5: k-center coreset, novelty curve,
 #   NDCG, Benjamini-Hochberg FDR, flow traffic matrix)
 from . import wave26  # noqa: F401  (r5: filter funnel, skew report,
 #   incremental minhash, ANN recall report, cache reuse)
+from . import wave27  # noqa: F401  (r5: SQL scripting, IDENTIFIER params,
+#   listagg, keyword salience, try_* safety)

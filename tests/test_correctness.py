@@ -3430,3 +3430,135 @@ def test_ann_recall_report_arithmetic_and_floor(spark, sf_dir):
     assert (got.n_hit <= got.k).all()
     assert (got.recall_bp == got.n_hit * 10000 // got.k).all()
     assert got.recall_bp.mean() >= 4000, got.recall_bp.tolist()
+
+
+# --- wave-27 (round 5) -------------------------------------------------------
+
+_WAVE27 = [
+    "sql_scripting_control_flow",
+    "sql_identifier_dynamic",
+    "agg_listagg",
+    "text_keywords_topk",
+    "sql_try_functions",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE27)
+def test_wave27_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-27 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_scripting_result_is_minimal_power(spark, sf_dir):
+    """The script's answer must be the MINIMAL covering power of two:
+    2^j covers >= 90%, 2^(j-1) does not; the coverage count reconciles
+    with a direct recount."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["sql_scripting_control_flow"].fn(spark, sf_dir).collect()[0]
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    n = li.count()
+    cov = li.filter(F.col("c") < row.threshold_cents).count()
+    cov_prev = li.filter(F.col("c") < row.threshold_cents / 2).count()
+    assert row.n_total == n
+    assert row.n_covered == cov
+    assert cov * 10 >= n * 9
+    assert cov_prev * 10 < n * 9
+    assert row.threshold_cents == 2 ** row.j
+
+
+def test_identifier_binding_rejects_bogus_name(spark, sf_dir):
+    """IDENTIFIER parameters are ANALYZED, not string-spliced: a bogus
+    table name fails resolution (no silent injection path), and the
+    legit call still works in the same session."""
+    from pyspark.errors import AnalysisException
+
+    SPECS["sql_identifier_dynamic"].fn(spark, sf_dir).collect()
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT * FROM IDENTIFIER(:tbl)", args={"tbl": "no_such_table_w27"}
+        ).collect()
+
+
+def test_listagg_equals_compositional_form(spark, sf_dir):
+    """The native LISTAGG result must equal the collect_set ->
+    array_sort -> array_join composition (the `agg_group_concat`
+    recipe) on the same grouping."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_listagg"].fn(spark, sf_dir)
+        .toPandas().set_index("o_orderstatus").sort_index()
+    )
+    ref = (
+        _table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .toPandas().set_index("o_orderstatus").sort_index()
+    )
+    assert (got.priorities == ref.priorities).all()
+    assert (got.n == ref.n).all()
+
+
+def test_keywords_match_pandas_argmax(spark, sf_dir):
+    """Independent pandas recomputation of the per-doc IDF argmax and
+    the headline rollup (same e6-integer idf, same tie-breaks)."""
+    import math
+    import re
+    from collections import Counter
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["text_keywords_topk"].fn(spark, sf_dir).toPandas()
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    doc_words = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        ws = {
+            w for w in re.split(r"[^a-z0-9]+", text.lower())
+            if w and len(w) >= 3
+        }
+        if ws:
+            doc_words[did] = ws
+    df = Counter(w for ws in doc_words.values() for w in ws)
+    nd = len(doc_words)
+    idf = {w: math.floor(math.log(nd / c) * 1000000) for w, c in df.items()}
+    top1 = Counter(
+        min(ws, key=lambda w: (-idf[w], w)) for ws in doc_words.values()
+    )
+    ref = sorted(top1.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert list(zip(got.keyword, got.n_docs_headlined)) == ref
+
+
+def test_try_functions_account_for_dirt(spark, sf_dir):
+    """NULL accounting reconciles with the synthesized dirt exactly:
+    every 5th user divides by zero, every 7th event's numeral is
+    corrupted; the surviving cast sum equals the clean-row user sum."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["sql_try_functions"].fn(spark, sf_dir).collect()[0]
+    e = _table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    assert row.n_rows == e.count()
+    assert row.n_div_null == e.filter(F.col("user_id") % 5 == 0).count()
+    assert row.n_cast_null == e.filter(F.col("event_id") % 7 == 0).count()
+    clean_sum = (
+        e.filter(F.col("event_id") % 7 != 0)
+        .agg(F.sum("user_id").alias("s")).collect()[0].s
+    )
+    assert row.cast_sum == clean_sum

@@ -838,3 +838,34 @@ def test_skew_report_top10_is_take_ordered(spark, sf_dir):
     the key-frequency table — never a global sort."""
     plan = get_plan(SPECS["maint_skew_report"].fn(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wave27_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-27 keys: audited Exchange budgets. (The scripting
+    key's plan is its final SELECT over script variables — no budget
+    to pin; its cost model is documented as O(log range) scans.)"""
+    budgets = {
+        # one partial+final agg — identical to the static query's plan
+        "sql_identifier_dynamic": 1,
+        # distinct-set partial + final agg (the listagg 2-phase)
+        "agg_listagg": 2,
+        # df window on word + per-doc argmax window + headline agg +
+        # the nd branch (doc distinct + its 1-row agg, broadcast back);
+        # final top-K is TakeOrderedAndProject
+        "text_keywords_topk": 6,
+        # one global aggregate over scan-local try_* arithmetic
+        "sql_try_functions": 1,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_keywords_windowgrouplimit_and_takeordered(spark, sf_dir):
+    """The per-doc argmax prunes via WindowGroupLimit (rank 1 of each
+    doc partition — never materializing full ranked lists) and the
+    final top-K is TakeOrderedAndProject."""
+    plan = get_plan(SPECS["text_keywords_topk"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

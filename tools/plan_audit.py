@@ -117,6 +117,11 @@ AUDITED: dict[str, str] = {
     "curation_filter_funnel": "gates are scan-local arithmetic; md5-content keep-first window + one source rollup",
     "maint_skew_report": "ONE key-frequency agg; heavy-hitter top-10 is TakeOrderedAndProject; ratios are integer arithmetic on the key table",
     "maint_cache_inmemory": "both consumers plan InMemoryTableScan over the single cached projection (one parquet scan total)",
+    # wave-27 (round 5)
+    "sql_identifier_dynamic": "IDENTIFIER params resolve at analysis time; plan identical to the static query (one partial+final agg)",
+    "agg_listagg": "native LISTAGG WITHIN GROUP; distinct set rides the partial aggregate (2-phase)",
+    "text_keywords_topk": "integer-e6 idf ranking; per-doc argmax prunes via WindowGroupLimit; headline top-K is TakeOrderedAndProject",
+    "sql_try_functions": "try_* arithmetic is scan-local codegen; one global aggregate",
 }
 
 
