@@ -69,3 +69,5 @@ from . import wave26  # noqa: F401  (r5: filter funnel, skew report,
 #   incremental minhash, ANN recall report, cache reuse)
 from . import wave27  # noqa: F401  (r5: SQL scripting, IDENTIFIER params,
 #   listagg, keyword salience, try_* safety)
+from . import wave28  # noqa: F401  (r5: LTTB downsampling, association
+#   rules, WoE binning, raw-log parse, ANALYZE stats)

@@ -3562,3 +3562,153 @@ def test_try_functions_account_for_dirt(spark, sf_dir):
         .agg(F.sum("user_id").alias("s")).collect()[0].s
     )
     assert row.cast_sum == clean_sum
+
+
+# --- wave-28 (round 5) -------------------------------------------------------
+
+_WAVE28 = [
+    "ts_downsample_lttb",
+    "events_association_rules",
+    "ml_feature_woe_binning",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE28)
+def test_wave28_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-28 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_lttb_endpoints_and_membership(spark, sf_dir):
+    """The downsample must keep BOTH series endpoints exactly, every
+    non-centroid picked point must be a real (day, count) point of the
+    source series, and the output is bounded by B + 4."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave28 import _LTTB_BUCKETS
+
+    got = SPECS["ts_downsample_lttb"].fn(spark, sf_dir).toPandas()
+    daily = (
+        _table(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_timestamp(F.to_date("ts").cast("timestamp")) / 86400)
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .toPandas()
+        .sort_values("x")
+    )
+    assert len(got) <= _LTTB_BUCKETS + 4
+    first, last = daily.iloc[0], daily.iloc[-1]
+    assert ((got.x_day == first.x) & (got.y == first.y)).any()
+    assert ((got.x_day == last.x) & (got.y == last.y)).any()
+    real = set(zip(daily.x, daily.y))
+    interior = got[(got.bucket >= 1) & (got.bucket <= _LTTB_BUCKETS - 2)]
+    assert all((x, y) in real for x, y in zip(interior.x_day, interior.y))
+    assert got.x_day.is_unique or got.x_day.nunique() >= len(got) - 2
+
+
+def test_association_rules_match_pandas(spark, sf_dir):
+    """Exact pandas recomputation of every support/confidence/lift
+    integer, plus the structural lift sanity (lift > 0, symmetric
+    support)."""
+    from itertools import combinations
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_association_rules"].fn(spark, sf_dir)
+        .toPandas().set_index(["ante", "cons"]).sort_index()
+    )
+    e = _table(spark, sf_dir, "events").select("user_id", "event_type").toPandas()
+    baskets = e.drop_duplicates()
+    n_users = baskets.user_id.nunique()
+    singles = baskets.event_type.value_counts().to_dict()
+    from collections import Counter
+
+    pair_n = Counter()
+    for _, grp in baskets.groupby("user_id"):
+        for a, b in combinations(sorted(grp.event_type), 2):
+            pair_n[(a, b)] += 1
+    for (a, b), n in pair_n.items():
+        if n * 100 < n_users:
+            assert (a, b) not in got.index
+            continue
+        row = got.loc[(a, b)]
+        assert row.n_both == n
+        assert row.support_e6 == n * 1000000 // n_users
+        assert row.confidence_e6 == n * 1000000 // singles[a]
+        assert row.lift_e6 == n * n_users * 1000000 // (singles[a] * singles[b])
+        assert row.lift_e6 > 0
+
+
+def test_woe_iv_terms_nonnegative_and_reconcile(spark, sf_dir):
+    """(p_share - n_share) and ln(p_share/n_share) always share a sign,
+    so every IV term is >= -1 (e6, floor slack); bin counts reconcile
+    with the corpus; WoE recomputed in python matches."""
+    import math
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["ml_feature_woe_binning"].fn(spark, sf_dir).toPandas()
+    assert (got.iv_term_e6 >= -1).all()  # floor of a >=0 quantity
+    e = _table(spark, sf_dir, "events").filter("value IS NOT NULL").toPandas()
+    assert got.n_pos.sum() + got.n_neg.sum() == len(e)
+    tp, tn = got.n_pos.sum(), got.n_neg.sum()
+    for _, r in got.iterrows():
+        woe = math.floor(
+            math.log((r.n_pos / tp) / (r.n_neg / tn)) * 1000000
+        )
+        assert abs(r.woe_e6 - woe) <= 1  # engine double ulp at the floor
+
+
+def test_raw_log_parse_accounts_for_corruption(spark, sf_dir):
+    """Malformed lines are exactly the every-13th corrupted ones;
+    parsed per-level counts reconcile with the source events."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["scan_text_regex_parse"].fn(spark, sf_dir)
+        .toPandas().set_index("level")
+    )
+    e = _table(spark, sf_dir, "events")
+    n_corrupt = e.filter(F.col("event_id") % 13 == 0).count()
+    assert got.loc["_MALFORMED", "n_lines"] == n_corrupt
+    ref = (
+        e.filter(F.col("event_id") % 13 != 0)
+        .groupBy(F.upper(F.substring("event_type", 1, 4)).alias("level"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .toPandas().set_index("level")
+    )
+    clean = got.drop("_MALFORMED")
+    assert clean.n_lines.sort_index().tolist() == ref.n_lines.sort_index().tolist()
+    assert clean.n_users.sort_index().tolist() == ref.n_users.sort_index().tolist()
+
+
+def test_analyze_stats_exact_counts_ndv_bounds(spark, sf_dir):
+    """Row count from the catalog is EXACT; per-column NDV (an HLL
+    estimate) lands within 10% of the true distinct count; the
+    projection has no nulls."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["maint_analyze_stats"].fn(spark, sf_dir).toPandas().set_index("column")
+    o = _table(spark, sf_dir, "orders")
+    n = o.count()
+    assert (got.n_rows == n).all()
+    assert (got.n_nulls == 0).all()
+    for c in got.index:
+        exact = o.select(c).distinct().count()
+        assert abs(got.loc[c, "ndv"] - exact) <= max(0.1 * exact, 2), (c, exact)

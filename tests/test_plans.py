@@ -869,3 +869,32 @@ def test_keywords_windowgrouplimit_and_takeordered(spark, sf_dir):
     plan = get_plan(SPECS["text_keywords_topk"].fn(spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wave28_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-28 keys: audited Exchange budgets. Budgets are on
+    the STATIC plan; lazy localCheckpoints still show their lineage
+    here but materialize once at runtime (the basket distinct /
+    bin table shuffle once, whatever the consumer count)."""
+    budgets = {
+        # daily agg + bounded idx window + picked window + ends union;
+        # anchors broadcast twice
+        "ts_downsample_lttb": 6,
+        # basket distinct (checkpointed at runtime) + sets agg + pair
+        # agg + singles aggs + 3 broadcasts
+        "events_association_rules": 9,
+        # one bin agg + 1-row totals broadcast
+        "ml_feature_woe_binning": 2,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_lttb_argmax_uses_window_group_limit(spark, sf_dir):
+    """The per-bucket triangle-area argmax prunes via WindowGroupLimit;
+    both anchor joins broadcast (the anchor table is <= B rows)."""
+    plan = get_plan(SPECS["ts_downsample_lttb"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

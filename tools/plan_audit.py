@@ -122,6 +122,10 @@ AUDITED: dict[str, str] = {
     "agg_listagg": "native LISTAGG WITHIN GROUP; distinct set rides the partial aggregate (2-phase)",
     "text_keywords_topk": "integer-e6 idf ranking; per-doc argmax prunes via WindowGroupLimit; headline top-K is TakeOrderedAndProject",
     "sql_try_functions": "try_* arithmetic is scan-local codegen; one global aggregate",
+    # wave-28 (round 5)
+    "ts_downsample_lttb": "ONE daily corpus agg; integer cross-product argmax prunes via WindowGroupLimit; anchors broadcast",
+    "events_association_rules": "basket distinct shuffles once (runtime checkpoint); pair generation is row-local combinations of bounded item sets",
+    "ml_feature_woe_binning": "one bin agg + 1-row totals broadcast; WoE/IV row-local on the 10-bin table",
 }
 
 
