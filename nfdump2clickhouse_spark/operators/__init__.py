@@ -71,3 +71,5 @@ from . import wave27  # noqa: F401  (r5: SQL scripting, IDENTIFIER params,
 #   listagg, keyword salience, try_* safety)
 from . import wave28  # noqa: F401  (r5: LTTB downsampling, association
 #   rules, WoE binning, raw-log parse, ANALYZE stats)
+from . import wave29  # noqa: F401  (r5: canonical-doc selection,
+#   silhouette, ratio delta method, port services, Neyman allocation)

@@ -3712,3 +3712,164 @@ def test_analyze_stats_exact_counts_ndv_bounds(spark, sf_dir):
     for c in got.index:
         exact = o.select(c).distinct().count()
         assert abs(got.loc[c, "ndv"] - exact) <= max(0.1 * exact, 2), (c, exact)
+
+
+# --- wave-29 (round 5) -------------------------------------------------------
+
+_WAVE29 = [
+    "dedup_canonical_doc",
+    "stats_ratio_delta_method",
+    "flows_port_services",
+    "sample_neyman_allocation",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE29)
+def test_wave29_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-29 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_canonical_doc_reconciles_with_clusters(spark, sf_dir):
+    """Every multi-member CC cluster appears exactly once, the
+    representative IS the longest member (ties to lowest id), and the
+    kept/total char accounting reconciles."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["dedup_canonical_doc"].fn(spark, sf_dir)
+        .toPandas().set_index("cluster_id").sort_index()
+    )
+    labels = SPECS["dedup_cluster_cc"].fn(spark, sf_dir).toPandas()
+    docs = (
+        _table(spark, sf_dir, "documents").select("doc_id", "n_chars").toPandas()
+    )
+    m = labels.merge(docs, on="doc_id")
+    multi = m.groupby("cluster_id").filter(lambda g: len(g) >= 2)
+    assert set(got.index) == set(multi.cluster_id)
+    for cid, grp in multi.groupby("cluster_id"):
+        best = grp.sort_values(["n_chars", "doc_id"], ascending=[False, True]).iloc[0]
+        row = got.loc[cid]
+        assert row.rep_doc_id == best.doc_id
+        assert row.kept_chars == best.n_chars
+        assert row.n_members == len(grp)
+        assert row.total_chars == grp.n_chars.sum()
+        assert row.kept_chars == grp.n_chars.max()
+
+
+def test_silhouette_matches_numpy_and_range(spark, sf_dir):
+    """Numpy replication of the simplified silhouette (centroid means,
+    euclidean distances, same (b-a)/max(a,b)); values in [-1, 1]."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["emb_cluster_silhouette"].fn(spark, sf_dir)
+        .toPandas().set_index("label").sort_index()
+    )
+    pdf = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).toPandas()
+    X = np.stack(pdf.embedding.map(np.asarray).to_list()).astype(np.float64)
+    lab = pdf.label.to_numpy()
+    cents = {l: X[lab == l].mean(axis=0) for l in np.unique(lab)}
+    svals = {l: [] for l in cents}
+    for i in range(len(X)):
+        d = {l: np.sqrt(((X[i] - c) ** 2).sum()) for l, c in cents.items()}
+        a = d[lab[i]]
+        b = min(v for l, v in d.items() if l != lab[i])
+        svals[lab[i]].append((b - a) / max(a, b))
+    assert ((got.mean_silhouette >= -1) & (got.mean_silhouette <= 1)).all()
+    for l, vals in svals.items():
+        assert got.loc[l, "n"] == len(vals)
+        assert abs(got.loc[l, "mean_silhouette"] - round(float(np.mean(vals)), 4)) < 2e-3
+        assert abs(got.loc[l, "min_silhouette"] - round(float(np.min(vals)), 4)) < 2e-3
+
+
+def test_ratio_delta_method_matches_numpy(spark, sf_dir):
+    """Numpy replication of the delta-method SE and the pinned
+    divergence: the naive mean-of-ratios differs from the true ratio
+    of means (the error the key exists to expose)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_ratio_delta_method"].fn(spark, sf_dir).collect()[0]
+    pdf = (
+        _table(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    g = pdf.groupby("user_id").value.agg(["sum", "count"])
+    x, y = g["sum"].to_numpy(), g["count"].to_numpy(dtype=float)
+    n = len(g)
+    r = x.mean() / y.mean()
+    se = (
+        np.sqrt(
+            (np.var(x, ddof=1) + r * r * np.var(y, ddof=1)
+             - 2 * r * np.cov(x, y, ddof=1)[0, 1]) / n
+        )
+        / y.mean()
+    )
+    assert row.n_users == n
+    assert abs(row.ratio - round(r, 4)) < 1e-9
+    assert abs(row.se_delta - round(se, 6)) < 2e-6
+    assert row.naive_ratio_of_means != row.ratio  # Jensen gap is real
+
+
+def test_port_services_conserve_flows(spark, sf_dir):
+    """Classification drops nothing: flows and bytes sum to the corpus
+    totals; shares bounded; 'other' exists (1024 ports, 7 mapped)."""
+    import pyspark.sql.functions as F
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["flows_port_services"].fn(spark, sf_dir).toPandas()
+    e = _table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    assert got.n_flows.sum() == e.count()
+    byt = e.select(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("b")
+    ).collect()[0].b
+    assert got.total_bytes.sum() == byt
+    assert "other" in set(got.service)
+    assert ((got.byte_share_bp >= 0) & (got.byte_share_bp <= 10000)).all()
+
+
+def test_neyman_allocates_exact_budget_optimally(spark, sf_dir):
+    """The allocation sums EXACTLY to the budget, follows N_h*sigma_h
+    ordering (monotone in the weight), and matches a python
+    largest-remainder replication on the same e6 integer weights."""
+    import math
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave29 import _NEYMAN_N
+
+    got = (
+        SPECS["sample_neyman_allocation"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    assert got.n_alloc.sum() == _NEYMAN_N
+    pdf = (
+        _table(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    wts = {}
+    for et, grp in pdf.groupby("event_type"):
+        sd = grp.value.std(ddof=1)
+        wts[et] = math.floor(len(grp) * sd * 1000000)
+    tot = sum(wts.values())
+    base = {et: w * _NEYMAN_N // tot for et, w in wts.items()}
+    rem = {et: w * _NEYMAN_N % tot for et, w in wts.items()}
+    leftover = _NEYMAN_N - sum(base.values())
+    order = sorted(wts, key=lambda et: (-rem[et], et))
+    for i, et in enumerate(order):
+        want = base[et] + (1 if i < leftover else 0)
+        assert got.loc[et, "n_alloc"] == want, (et, want, got.loc[et, "n_alloc"])

@@ -898,3 +898,25 @@ def test_lttb_argmax_uses_window_group_limit(spark, sf_dir):
     plan = get_plan(SPECS["ts_downsample_lttb"].fn(spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_wave29_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-29 keys: audited Exchange budgets. (The silhouette
+    key collects a k x 64 centroid literal — its scoring pass is
+    scan-local; no budget pinned on the collect boundary.)"""
+    budgets = {
+        # post-CC-checkpoint: cluster window + rollup share the
+        # cluster exchange; docs join broadcasts
+        "dedup_canonical_doc": 2,
+        # user agg + 1-row moment agg
+        "stats_ratio_delta_method": 2,
+        # service agg + distinct 2-phase + 1-row byte total broadcast
+        "flows_port_services": 5,
+        # strata agg (runtime-checkpointed) + bounded remainder window
+        # + 1-row total broadcast
+        "sample_neyman_allocation": 5,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

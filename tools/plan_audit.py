@@ -126,6 +126,11 @@ AUDITED: dict[str, str] = {
     "ts_downsample_lttb": "ONE daily corpus agg; integer cross-product argmax prunes via WindowGroupLimit; anchors broadcast",
     "events_association_rules": "basket distinct shuffles once (runtime checkpoint); pair generation is row-local combinations of bounded item sets",
     "ml_feature_woe_binning": "one bin agg + 1-row totals broadcast; WoE/IV row-local on the 10-bin table",
+    # wave-29 (round 5)
+    "dedup_canonical_doc": "cluster window + rollup share the cluster exchange over the checkpointed CC labels; docs join broadcasts",
+    "stats_ratio_delta_method": "one user-keyed agg + one 1-row moment pass — the whole analysis in two bounded aggregations",
+    "flows_port_services": "broadcast LEFT service map (misses keep flows as 'other'); 1-row byte total broadcast; bounded service rollup",
+    "sample_neyman_allocation": "one strata moment agg; e6-integer weights; largest-remainder apportionment on a bounded window",
 }
 
 
