@@ -73,3 +73,5 @@ from . import wave28  # noqa: F401  (r5: LTTB downsampling, association
 #   rules, WoE binning, raw-log parse, ANALYZE stats)
 from . import wave29  # noqa: F401  (r5: canonical-doc selection,
 #   silhouette, ratio delta method, port services, Neyman allocation)
+from . import wave30  # noqa: F401  (r5: Spearman rho, regression eval,
+#   feature scaling, circular time-of-day stats, Zipf slope)

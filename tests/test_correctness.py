@@ -3873,3 +3873,168 @@ def test_neyman_allocates_exact_budget_optimally(spark, sf_dir):
     for i, et in enumerate(order):
         want = base[et] + (1 if i < leftover else 0)
         assert got.loc[et, "n_alloc"] == want, (et, want, got.loc[et, "n_alloc"])
+
+
+# --- wave-30 (round 5) -------------------------------------------------------
+
+_WAVE30 = [
+    "stats_spearman_corr",
+    "ml_eval_regression",
+    "features_scaling",
+    "agg_circular_stats",
+    "text_zipf_slope",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE30)
+def test_wave30_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-30 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_spearman_matches_pandas_average_ranks(spark, sf_dir):
+    """Independent replication: pandas rank(method='average') per group,
+    then Pearson corr of the rank columns — the textbook Spearman with
+    tie correction. Also: |rho| <= 1."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["stats_spearman_corr"].fn(spark, sf_dir)
+        .toPandas().set_index("grp").sort_index()
+    )
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for grp, g in li.groupby("l_returnflag"):
+        rq = g.l_quantity.rank(method="average")
+        rp = g.l_extendedprice.rank(method="average")
+        rho = rq.corr(rp)  # Pearson on average ranks == Spearman
+        assert abs(got.loc[grp, "spearman_rho"] - round(rho, 4)) <= 1e-4, grp
+        assert got.loc[grp, "n"] == len(g)
+        assert abs(got.loc[grp, "spearman_rho"]) <= 1.0
+
+
+def test_regression_eval_matches_numpy(spark, sf_dir):
+    """Numpy replication of the even/odd split baseline metrics."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ml_eval_regression"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    ev = ev[ev.value != 0]  # MAPE undefined at a=0; key excludes them
+    train = ev[ev.event_id % 2 == 0].groupby("event_type").value.mean()
+    test = ev[ev.event_id % 2 == 1]
+    for et, g in test.groupby("event_type"):
+        a = g.value.to_numpy()
+        p = train[et]
+        rmse = np.sqrt(np.mean((a - p) ** 2))
+        mae = np.mean(np.abs(a - p))
+        r2 = 1 - np.sum((a - p) ** 2) / np.sum((a - a.mean()) ** 2)
+        mape = 100.0 * np.mean(np.abs((a - p) / a))
+        row = got.loc[et]
+        assert row.n_test == len(a)
+        for name, want in [("rmse", rmse), ("mae", mae), ("r2", r2),
+                           ("mape_pct", mape)]:
+            assert abs(row[name] - round(want, 4)) <= 2e-4, (et, name)
+
+
+def test_circular_stats_numpy_and_wraparound(spark, sf_dir):
+    """Numpy replication of the circular moments; R in [0, 1],
+    mean_hour in [0, 24); circ_variance == 1 - R."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_circular_stats"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("event_type", "ts").toPandas()
+    secs = (
+        ev.ts.dt.hour * 3600 + ev.ts.dt.minute * 60 + ev.ts.dt.second
+    ).to_numpy()
+    theta = 2 * np.pi * secs / 86400.0
+    for et, idx in ev.groupby("event_type").groups.items():
+        th = theta[np.asarray(idx)]
+        s, c = np.sin(th).mean(), np.cos(th).mean()
+        r = np.hypot(s, c)
+        ang = np.arctan2(s, c) % (2 * np.pi)
+        row = got.loc[et]
+        assert abs(row.resultant_len - round(r, 4)) <= 1e-4
+        assert abs(row.mean_hour - round(ang / (2 * np.pi) * 24, 4)) <= 1e-3
+        assert 0 <= row.resultant_len <= 1
+        assert 0 <= row.mean_hour < 24
+        assert abs(row.circ_variance - round(1 - r, 4)) <= 2e-4
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark, sf_dir):
+    """Numpy polyfit replication of the top-100 log-log OLS, from an
+    independently-built (collections.Counter) frequency table."""
+    import collections
+
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["text_zipf_slope"].fn(spark, sf_dir)
+        .toPandas().set_index("lang").sort_index()
+    )
+    docs = _table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    for lang, g in docs.groupby("lang"):
+        cnt = collections.Counter(
+            w for t in g.text for w in t.lower().split(" ") if w
+        )
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        freqs = np.array([f for _, f in ranked], dtype=float)
+        ranks = np.arange(1, len(ranked) + 1, dtype=float)
+        slope = np.polyfit(np.log(ranks), np.log(freqs), 1)[0]
+        row = got.loc[lang]
+        assert row.n_vocab == len(cnt), lang
+        assert abs(row.zipf_slope - round(slope, 4)) <= 2e-4, lang
+        assert row.zipf_slope < 0  # frequency falls with rank
+        assert 0 <= row.fit_r2 <= 1
+
+
+def test_features_scaling_recipe_invariants(spark, sf_dir):
+    """Scaling-recipe sanity from first principles: min-max mean in
+    [0, 1]; median between q1-ish and q3-ish bounds (iqr >= 0); numpy
+    replication of all three scaled means (np.percentile 'linear' ==
+    Spark `percentile` == DuckDB quantile_cont)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["features_scaling"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    for et, g in ev.groupby("event_type"):
+        v = g.value.to_numpy()
+        q1, med, q3 = np.percentile(v, [25, 50, 75])
+        mu, sigma = v.mean(), v.std(ddof=1)
+        mm = (v - v.min()) / (v.max() - v.min())
+        row = got.loc[et]
+        assert row["n"] == len(v)
+        assert 0 <= row.minmax_mean <= 1
+        assert row.iqr >= 0
+        # row["median"]: attribute access collides with Series.median()
+        assert abs(row["median"] - round(med, 4)) <= 1e-4
+        assert abs(row.minmax_mean - round(mm.mean(), 4)) <= 1e-4
+        assert abs(row.z_abs_mean - round(np.abs((v - mu) / sigma).mean(), 4)) <= 1e-4
+        assert abs(
+            row.robust_abs_mean - round(np.abs((v - med) / (q3 - q1)).mean(), 4)
+        ) <= 1e-4

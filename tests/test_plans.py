@@ -920,3 +920,40 @@ def test_wave29_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave30_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-30 keys: audited Exchange budgets."""
+    budgets = {
+        # ONE data-sized hash exchange (both rank windows + tie peers +
+        # final agg share hash(grp)) + the k-row output ordering
+        "stats_spearman_corr": 2,
+        # train agg + test agg + broadcast + k-row ordering
+        "ml_eval_regression": 4,
+        # moments agg + scaled-means agg + 2 broadcasts + k-row joins/order
+        "features_scaling": 6,
+        # one combinable (avg sin, avg cos) agg + k-row ordering
+        "agg_circular_stats": 2,
+        # (lang, word) agg + WindowGroupLimit top-100 + vocab agg + join
+        "text_zipf_slope": 6,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_zipf_topk_uses_window_group_limit(spark, sf_dir):
+    """The top-100-per-lang rank filter must prune map-side via
+    WindowGroupLimit — at 100 TB no language's full vocabulary may
+    sort on a single reducer. Broadcasts only; no SortMergeJoin."""
+    plan = get_plan(SPECS["text_zipf_slope"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_regression_eval_broadcasts_train_means(spark, sf_dir):
+    """The k-row train-mean table must broadcast onto the test split."""
+    plan = get_plan(SPECS["ml_eval_regression"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -131,6 +131,12 @@ AUDITED: dict[str, str] = {
     "stats_ratio_delta_method": "one user-keyed agg + one 1-row moment pass — the whole analysis in two bounded aggregations",
     "flows_port_services": "broadcast LEFT service map (misses keep flows as 'other'); 1-row byte total broadcast; bounded service rollup",
     "sample_neyman_allocation": "one strata moment agg; e6-integer weights; largest-remainder apportionment on a bounded window",
+    # wave-30 (round 5)
+    "stats_spearman_corr": "rank + RANGE-CURRENT-ROW tie peers + corr all ride ONE hash(grp) exchange; only the k-row ordering shuffles again",
+    "ml_eval_regression": "k-row train means broadcast onto the test split; four metrics from one pass of combinable sums",
+    "features_scaling": "fit/transform split: exact-percentile moments agg (k rows) broadcast back for the scaled means",
+    "agg_circular_stats": "one combinable (avg sin, avg cos) aggregate; trig is JVM codegen intrinsics",
+    "text_zipf_slope": "(lang,word) combinable agg; top-100 prunes via WindowGroupLimit; regr_slope over <=100*L rows",
 }
 
 
