@@ -37,15 +37,8 @@ from . import behavior  # noqa: F401
 from . import flows_analytics  # noqa: F401
 from . import dedup_extra  # noqa: F401
 from . import ann  # noqa: F401
-from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos)
 from . import wave10  # noqa: F401  (binary decode + SQL surface)
 from . import wave14  # noqa: F401  (binary retrieval + dedup bake-off)
-from . import scans  # noqa: F401  (streaming queries at the back)
-from . import wave15  # noqa: F401  (r3 additions: v9/IPFIX decode, IVF-PQ
-#   training pipelines, streaming curation — the priciest integration keys
-#   register LAST so a sweep budget cut costs them, not cheap hash keys;
-#   wave15's two cheap hash keys ride the same tail, which rotation will
-#   still reach rounds before any re-certification)
 from . import wave16  # noqa: F401  (r4: sessionization, windowed funnel,
 #   DQ rules, behavioral entropy — all cheap hash keys)
 from . import wave17  # noqa: F401  (r4: k-anonymity, repeat-factor mixing,
@@ -75,3 +68,18 @@ from . import wave29  # noqa: F401  (r5: canonical-doc selection,
 #   silhouette, ratio delta method, port services, Neyman allocation)
 from . import wave30  # noqa: F401  (r5: Spearman rho, regression eval,
 #   feature scaling, circular time-of-day stats, Zipf slope)
+from . import wave31  # noqa: F401  (r5: PPS-WOR sampling, Levene test,
+#   lift/gains table, CUSUM drift, WordPiece encode)
+from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos
+#   incl. the stream_state_reader full-lifecycle demo — rides the same
+#   expensive tail as wave15/scans)
+from . import wave15  # noqa: F401  (r3 additions: v9/IPFIX decode, IVF-PQ
+#   training pipelines, streaming curation — the priciest integration keys
+#   register LAST so a sweep budget cut costs them, not cheap hash keys;
+#   wave15's cheap hash keys ride the same tail, which rotation still
+#   reaches rounds before any re-certification)
+from . import scans  # noqa: F401  (streaming queries at the very back:
+#   the expensive StreamingQuery-lifecycle demos stay BEHIND every cheap
+#   hash family in raw registration order — wave15 and scans re-moved
+#   here when registry growth past 348 keys diluted their old mid-list
+#   positions below the pinned 0.6 tail fraction)

@@ -229,11 +229,17 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "white": [z.tolist() for z in Z],
+                    # comma-joined 8-decimal string, NOT array<double>:
+                    # the driver's pandas sort canonicalizer cannot sort
+                    # ndarray cells (the r1 canonicalizer-ERR failure
+                    # mode; SURVEY "flat scalar columns" rule)
+                    "white": [
+                        ",".join(f"{v:.8f}" for v in z) for z in Z
+                    ],
                     "norm_r": np.round(np.linalg.norm(Z, axis=1), 4),
                 }
             )
 
     return e.mapInPandas(
-        whiten, "vec_id long, white array<double>, norm_r double"
+        whiten, "vec_id long, white string, norm_r double"
     )

@@ -2448,9 +2448,13 @@ def test_whitening_covariance_is_identity(spark, sf_dir):
         SPECS["emb_whitening"].fn(spark, sf_dir)
         .toPandas().sort_values("vec_id").reset_index(drop=True)
     )
-    Z = np.stack(got["white"].to_numpy())
+    # white is a comma-joined 8-decimal string (driver-canonicalizer
+    # flat-column rule); parse back — quantization error is <= 5e-9
+    Z = np.stack(
+        [np.fromstring(s, sep=",") for s in got["white"]]
+    )
     n = len(Z)
-    assert abs(Z.mean(axis=0)).max() < 1e-8
+    assert abs(Z.mean(axis=0)).max() < 1e-7
     cov = Z.T @ Z / n
     assert abs(cov - np.eye(cov.shape[0])).max() < 1e-6
     # independent numpy reference
@@ -4038,3 +4042,191 @@ def test_features_scaling_recipe_invariants(spark, sf_dir):
         assert abs(
             row.robust_abs_mean - round(np.abs((v - med) / (q3 - q1)).mean(), 4)
         ) <= 1e-4
+
+
+# --- wave-31 (round 5) -------------------------------------------------------
+
+_WAVE31_HASH = [
+    "sample_ppswor",
+    "stats_levene_test",
+    "ml_eval_lift",
+    "ts_cusum_anomaly",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE31_HASH)
+def test_wave31_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-31 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_ppswor_is_exact_weighted_top200(spark, sf_dir):
+    """Pure-numpy replication of the Efraimidis–Spirakis draw: the
+    selected 200 order keys must be EXACTLY the 200 smallest rounded
+    exponential keys (ties by order key)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave31 import _M32, _MULT
+
+    got = SPECS["sample_ppswor"].fn(spark, sf_dir).toPandas()
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    k = o.o_orderkey.to_numpy().astype(object)  # python ints: no overflow
+    u = ((k * _MULT) % _M32 + 1.0) / (_M32 + 1.0)
+    es = np.round(
+        -np.log(u.astype(float)) / o.o_totalprice.to_numpy(), 9
+    )
+    order = np.lexsort((o.o_orderkey.to_numpy(), es))
+    want = set(o.o_orderkey.to_numpy()[order[:200]])
+    assert set(got.o_orderkey) == want
+    assert len(got) == 200
+    # heavier orders are sampled more often than a uniform draw would:
+    # the mean weight of the PPS sample exceeds the population mean
+    assert got.weight.mean() > o.o_totalprice.mean()
+
+
+def test_levene_matches_numpy(spark, sf_dir):
+    """Numpy Brown–Forsythe replication (median centers, one-way F on
+    absolute deviations); W >= 0 and dfs reconcile."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_levene_test"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    groups = [
+        np.abs(g.value.to_numpy() - np.percentile(g.value, 50))
+        for _, g in ev.groupby("event_type")
+    ]
+    k = len(groups)
+    nn = sum(len(g) for g in groups)
+    gm = np.concatenate(groups).mean()
+    ss_b = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ss_w = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    w = ((nn - k) / (k - 1)) * ss_b / ss_w
+    assert row.k_groups == k and row.n_total == nn
+    assert row.df1 == k - 1 and row.df2 == nn - k
+    assert abs(row.levene_w - round(w, 4)) <= 2e-4
+    assert row.levene_w >= 0
+
+
+def test_lift_table_invariants_and_pandas_replica(spark, sf_dir):
+    """Gains-table laws: capture is nondecreasing and ends at 1.0;
+    decile sizes differ by <= 1; pandas replication of capture/lift
+    from an independent exact NTILE."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ml_eval_lift"].fn(spark, sf_dir)
+        .toPandas().sort_values("decile").reset_index(drop=True)
+    )
+    assert list(got.decile) == list(range(1, 11))
+    assert (np.diff(got.cum_capture) >= -1e-12).all()
+    assert abs(got.cum_capture.iloc[-1] - 1.0) <= 1e-9
+    assert abs(got.cum_lift.iloc[-1] - 1.0) <= 1e-9
+    assert got.n.max() - got.n.min() <= 1
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    ev = ev.sort_values(["value", "event_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    n = len(ev)
+    q, r = divmod(n, 10)
+    sizes = [q + 1] * r + [q] * (10 - r)
+    ev["decile"] = np.repeat(np.arange(1, 11), sizes)
+    ev["label"] = (ev.event_type == "purchase").astype(int)
+    d = ev.groupby("decile").agg(n=("label", "size"), pos=("label", "sum"))
+    cum_pos = d.pos.cumsum()
+    want_capture = (cum_pos / d.pos.sum()).round(4)
+    want_lift = ((cum_pos / d.n.cumsum()) / (d.pos.sum() / d.n.sum())).round(4)
+    assert np.allclose(got.cum_capture, want_capture, atol=1e-4)
+    assert np.allclose(got.cum_lift, want_lift, atol=1e-4)
+    assert (got.n.to_numpy() == d.n.to_numpy()).all()
+
+
+def test_cusum_closed_form_equals_textbook_recursion(spark, sf_dir):
+    """THE identity pin: the window-function closed form
+    S_t = P_t - min(0, running_min(P)) must equal the textbook
+    recursion S_t = max(0, S_{t-1} + z_t - k) replayed in Python."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["ts_cusum_anomaly"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select("event_type", "ts").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"))
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+    )
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        c = g.cnt.to_numpy(dtype=float)
+        nd = len(c)
+        mu = c.sum() / nd
+        sd = ((c * c).sum() - c.sum() * c.sum() / nd) / (nd - 1)
+        sd = sd ** 0.5
+        s, out = 0.0, []
+        for x in c:
+            s = max(0.0, s + (x - mu) / sd - 0.5)
+            out.append(s)
+        rows = got[got.event_type == et].sort_values("day")
+        assert len(rows) == nd
+        for want, have, flag in zip(out, rows.cusum, rows.is_drift):
+            assert abs(have - round(want, 4)) <= 2e-4
+            assert flag == (want > 3.0)
+
+
+def test_wordpiece_canonical_examples_and_spark_economics(spark, sf_dir):
+    """Micro-pins of the greedy longest-match-first algorithm on the
+    canonical BERT example shapes, then full-corpus reconciliation of
+    the Spark economics against a pandas replay."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave31 import (
+        build_wordpiece_vocab,
+        wordpiece_encode,
+    )
+
+    v = {"un", "##aff", "##able", "runn", "##ing", "r", "##u", "##n"}
+    assert wordpiece_encode("unaffable", v) == ["un", "##aff", "##able"]
+    assert wordpiece_encode("running", v) == ["runn", "##ing"]
+    assert wordpiece_encode("run", v) == ["r", "##u", "##n"]
+    assert wordpiece_encode("xyz", v) == ["[UNK]"]  # unmatchable start
+    assert wordpiece_encode("runx", v) == ["[UNK]"]  # unmatchable tail
+    assert wordpiece_encode("a" * 101, v) == ["[UNK]"]  # length guard
+
+    got = (
+        SPECS["tokenizer_wordpiece_apply"].fn(spark, sf_dir)
+        .toPandas().set_index("source").sort_index()
+    )
+    vocab = set(build_wordpiece_vocab(spark, sf_dir))
+    docs = _table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    memo = {}
+    for src, g in docs.groupby("source"):
+        nw = nt = nu = 0
+        for t in g.text:
+            for w in t.lower().split(" "):
+                if not w:
+                    continue
+                if w not in memo:
+                    enc = wordpiece_encode(w, vocab)
+                    memo[w] = (len(enc), enc == ["[UNK]"])
+                nw += 1
+                nt += memo[w][0]
+                nu += int(memo[w][1])
+        row = got.loc[src]
+        assert (row.n_words, row.n_tokens, row.n_unk_words) == (nw, nt, nu), src
+        assert row.tokens_per_word == round(nt / nw, 4)
+    # the shrunk vocab must actually exercise splitting
+    assert (got.n_tokens > got.n_words).all()

@@ -957,3 +957,38 @@ def test_regression_eval_broadcasts_train_means(spark, sf_dir):
     plan = get_plan(SPECS["ml_eval_regression"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_wave31_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-31 keys: audited Exchange budgets."""
+    budgets = {
+        # scan-local ES keys; global top-200 is TakeOrderedAndProject
+        "sample_ppswor": 0,
+        # median agg + broadcast + z agg + 1-row total
+        "stats_levene_test": 4,
+        # exact_ntile two-phase rank + bounded 10-row gains windows
+        "ml_eval_lift": 5,
+        # daily rollup + moment agg + broadcast + per-type windows + order
+        "ts_cusum_anomaly": 6,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_ppswor_is_take_ordered_and_project(spark, sf_dir):
+    """The weighted top-200 must run as TakeOrderedAndProject (map-side
+    partial top-k) — a global Sort would materialize the whole table."""
+    plan = get_plan(SPECS["sample_ppswor"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_lift_has_no_unpartitioned_datasized_window(spark, sf_dir):
+    """Decile assignment must use the two-phase exact_ntile rank, not a
+    single-task ntile() OVER (ORDER BY) on the full table: every Window
+    in the plan is either range-pid-partitioned or over the bounded
+    10-row gains table."""
+    plan = get_plan(SPECS["ml_eval_lift"].fn(spark, sf_dir), "simple")
+    assert "ntile" not in plan.lower(), plan

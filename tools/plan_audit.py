@@ -137,6 +137,12 @@ AUDITED: dict[str, str] = {
     "features_scaling": "fit/transform split: exact-percentile moments agg (k rows) broadcast back for the scaled means",
     "agg_circular_stats": "one combinable (avg sin, avg cos) aggregate; trig is JVM codegen intrinsics",
     "text_zipf_slope": "(lang,word) combinable agg; top-100 prunes via WindowGroupLimit; regr_slope over <=100*L rows",
+    # wave-31 (round 5)
+    "sample_ppswor": "scan-local ES keys; weighted top-200 is TakeOrderedAndProject with ZERO exchanges",
+    "stats_levene_test": "exact-median agg broadcast back; W from combinable (n,Σz,Σz²) partials + one 1-row total",
+    "ml_eval_lift": "exact_ntile two-phase rank (no single-task ntile sort); 10-row gains table windows are bounded",
+    "ts_cusum_anomaly": "CUSUM recursion as closed-form cumsum-minus-running-min: two stacked per-type windows, no UDF",
+    "tokenizer_wordpiece_apply": "vocab broadcast into one Arrow-batched UDF with per-batch word memo; zero pre-agg shuffles",
 }
 
 
