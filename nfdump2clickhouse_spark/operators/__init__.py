@@ -70,6 +70,8 @@ from . import wave30  # noqa: F401  (r5: Spearman rho, regression eval,
 #   feature scaling, circular time-of-day stats, Zipf slope)
 from . import wave31  # noqa: F401  (r5: PPS-WOR sampling, Levene test,
 #   lift/gains table, CUSUM drift, WordPiece encode)
+from . import wave32  # noqa: F401  (r5: Theil decomposition, interarrival
+#   profile, multi-class confusion, t-closeness, whole-file text scan)
 from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos
 #   incl. the stream_state_reader full-lifecycle demo — rides the same
 #   expensive tail as wave15/scans)

@@ -4230,3 +4230,178 @@ def test_wordpiece_canonical_examples_and_spark_economics(spark, sf_dir):
         assert row.tokens_per_word == round(nt / nw, 4)
     # the shrunk vocab must actually exercise splitting
     assert (got.n_tokens > got.n_words).all()
+
+
+# --- wave-32 (round 5) -------------------------------------------------------
+
+_WAVE32 = [
+    "agg_theil_index",
+    "events_interarrival_stats",
+    "ml_eval_confusion_multi",
+    "privacy_t_closeness",
+    "scan_text_wholefile",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE32)
+def test_wave32_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-32 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_theil_decomposition_numpy(spark, sf_dir):
+    """Numpy Theil replication + the additive decomposition law
+    total == between + within (within rounding)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["agg_theil_index"].fn(spark, sf_dir).toPandas().iloc[0]
+    o = _table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").toPandas()
+    c = _table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").toPandas()
+    n = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    x = j.o_totalprice.to_numpy()
+    mu = x.mean()
+    t_total = np.mean(x / mu * np.log(x / mu))
+    t_between = 0.0
+    for _, g in j.groupby("n_name"):
+        xg = g.o_totalprice.to_numpy()
+        t_between += len(xg) / len(x) * (xg.mean() / mu) * np.log(xg.mean() / mu)
+    assert row.n == len(x)
+    assert abs(row.theil_total - round(t_total, 4)) <= 2e-4
+    assert abs(row.theil_between - round(t_between, 4)) <= 2e-4
+    assert abs(row.theil_total - (row.theil_between + row.theil_within)) <= 3e-4
+    assert row.theil_total >= 0 and row.theil_between >= 0
+
+
+def test_interarrival_matches_pandas(spark, sf_dir):
+    """Pandas replication of per-(type,user) µs gaps and their stats."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_interarrival_stats"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts"
+    ).toPandas()
+    ev["t_us"] = ev.ts.astype("int64") // 1000  # ns -> µs
+    ev = ev.sort_values(["event_type", "user_id", "ts", "event_id"])
+    ev["gap"] = ev.groupby(["event_type", "user_id"]).t_us.diff()
+    gaps = ev.dropna(subset=["gap"])
+    for et, g in gaps.groupby("event_type"):
+        v = g.gap.to_numpy()
+        row = got.loc[et]
+        assert row.n_gaps == len(v)
+        assert abs(row.mean_gap_s - round(v.mean() / 1e6, 4)) <= 1e-4
+        assert abs(row.p50_gap_s - round(np.percentile(v, 50) / 1e6, 4)) <= 1e-4
+        assert abs(row.p90_gap_s - round(np.percentile(v, 90) / 1e6, 4)) <= 1e-4
+        assert row.min_gap_s == round(v.min() / 1e6, 4)
+        assert row.max_gap_s == round(v.max() / 1e6, 4)
+        assert row.min_gap_s >= 0  # ordering sanity
+
+
+def test_confusion_matches_pandas_and_micro_accuracy(spark, sf_dir):
+    """Pandas replication of the bucket-majority baseline confusion
+    metrics; Σtp == correct predictions == Σ n_actual·recall."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ml_eval_confusion_multi"].fn(spark, sf_dir)
+        .toPandas().set_index("cls").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    ev["vb"] = (ev.value // 100).astype(int)
+    train = ev[ev.event_id % 2 == 0]
+    model = {}
+    for vb, g in train.groupby("vb"):
+        cnt = g.event_type.value_counts()
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        model[vb] = best
+    gcnt = train.event_type.value_counts()
+    fallback = sorted(gcnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    test = ev[ev.event_id % 2 == 1].copy()
+    test["pred"] = test.vb.map(model).fillna(fallback)
+    for cls in test.event_type.unique():
+        na = (test.event_type == cls).sum()
+        np_ = (test.pred == cls).sum()
+        tp = ((test.event_type == cls) & (test.pred == cls)).sum()
+        row = got.loc[cls]
+        assert (row.n_actual, row.n_pred, row.tp) == (na, np_, tp), cls
+        assert row.recall == round(tp / na, 4)
+        prec = 0.0 if np_ == 0 else tp / np_
+        assert row.precision == round(prec, 4)
+        f1 = 0.0 if tp == 0 else 2.0 * tp / (np_ + na)
+        assert row.f1 == round(f1, 4)
+    assert got.tp.sum() == (test.event_type == test.pred).sum()
+    assert got.n_actual.sum() == len(test)
+    assert got.n_pred.sum() <= len(test)  # preds to non-actual classes excluded
+
+
+def test_t_closeness_matches_float_tvd_and_ladder(spark, sf_dir):
+    """Float TVD replication of the integer-exact audit, plus ladder
+    laws: group count is threshold-independent and violations are
+    monotone non-increasing in t."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["privacy_t_closeness"].fn(spark, sf_dir)
+        .toPandas().set_index("t_bp").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("ts", "value", "event_type").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    ev["vb"] = (ev.value.fillna(-100) // 100).astype(int)
+    glob = ev.event_type.value_counts(normalize=True)
+    rows = []
+    for (_, _), g in ev.groupby(["day", "vb"]):
+        p = g.event_type.value_counts(normalize=True)
+        tvd = 0.5 * sum(
+            abs(p.get(s, 0.0) - glob[s]) for s in glob.index
+        )
+        rows.append((len(g), tvd))
+    assert (got.n_groups == len(rows)).all()
+    for t_bp in (2000, 3500, 5000):
+        t = t_bp / 10000.0
+        above = [(n, tvd) for n, tvd in rows if tvd > t + 1e-12]
+        row = got.loc[t_bp]
+        assert row.n_groups_above == len(above), t_bp
+        assert row.n_rows_above == sum(n for n, _ in above)
+        assert row.rows_bp == 10000 * sum(n for n, _ in above) // sum(
+            n for n, _ in rows
+        )
+    assert got.n_groups_above.is_monotonic_decreasing
+    assert got.n_rows_above.is_monotonic_decreasing
+
+
+def test_wholefile_roundtrip_hashlib(spark, sf_dir):
+    """The whole-file read-back checksums must equal hashlib.md5 of the
+    independently reconstructed per-source content; one file per
+    source; n_chars reconciles with the doc lengths + separators."""
+    import hashlib
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["scan_text_wholefile"].fn(spark, sf_dir)
+        .toPandas().set_index("file_name").sort_index()
+    )
+    docs = _table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    ).toPandas()
+    assert len(got) == docs.source.nunique()
+    for src, g in docs.groupby("source"):
+        content = "\n".join(g.sort_values("doc_id").text)
+        row = got.loc[f"{src}.txt"]
+        assert row.n_chars == len(content)
+        assert row.content_md5 == hashlib.md5(content.encode()).hexdigest()

@@ -992,3 +992,39 @@ def test_lift_has_no_unpartitioned_datasized_window(spark, sf_dir):
     10-row gains table."""
     plan = get_plan(SPECS["ml_eval_lift"].fn(spark, sf_dir), "simple")
     assert "ntile" not in plan.lower(), plan
+
+
+def test_wave32_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-32 keys: audited Exchange budgets."""
+    budgets = {
+        # customer + nation broadcast; 25-row group agg + 1-row total
+        "agg_theil_index": 4,
+        # lag window + rollup share hash(event_type); output ordering
+        "events_interarrival_stats": 3,
+        # train agg + model window + fallback TOAP + union agg + order
+        "ml_eval_confusion_multi": 8,
+        # (QI,s) rollup (checkpointed) + sibling aggs + threshold grid
+        "privacy_t_closeness": 8,
+        # whole-file scan + 20-row ordering
+        "scan_text_wholefile": 1,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_confusion_broadcasts_model_no_smj(spark, sf_dir):
+    """The k-row bucket model must broadcast; the per-class merge is a
+    union + single hash aggregate, never a k-row full-outer
+    SortMergeJoin."""
+    plan = get_plan(SPECS["ml_eval_confusion_multi"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_theil_joins_broadcast(spark, sf_dir):
+    """Customer and nation dimensions broadcast onto orders."""
+    plan = get_plan(SPECS["agg_theil_index"].fn(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan

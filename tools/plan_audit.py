@@ -143,6 +143,12 @@ AUDITED: dict[str, str] = {
     "ml_eval_lift": "exact_ntile two-phase rank (no single-task ntile sort); 10-row gains table windows are bounded",
     "ts_cusum_anomaly": "CUSUM recursion as closed-form cumsum-minus-running-min: two stacked per-type windows, no UDF",
     "tokenizer_wordpiece_apply": "vocab broadcast into one Arrow-batched UDF with per-batch word memo; zero pre-agg shuffles",
+    # wave-32 (round 5)
+    "agg_theil_index": "one pass of combinable (n,Σx,Σx·lnx) partials; customer+nation broadcast; 25-row rollup",
+    "events_interarrival_stats": "lag window and rollup share one hash(event_type) exchange; µs-integer gaps",
+    "ml_eval_confusion_multi": "k-row bucket model broadcast LEFT; per-class counts from one tagged-union hash agg (no full-outer SMJ)",
+    "privacy_t_closeness": "integer-exact TVD; (QI,s) rollup checkpointed for three sibling aggs; 3-row threshold grid broadcast",
+    "scan_text_wholefile": "distributed whole-file scan; checksums scan-local; one 20-row ordering exchange",
 }
 
 
