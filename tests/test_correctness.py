@@ -4405,3 +4405,178 @@ def test_wholefile_roundtrip_hashlib(spark, sf_dir):
         row = got.loc[f"{src}.txt"]
         assert row.n_chars == len(content)
         assert row.content_md5 == hashlib.md5(content.encode()).hexdigest()
+
+
+# --- wave-33 (round 5) -------------------------------------------------------
+
+_WAVE33_HASH = [
+    "stats_wilcoxon_signed_rank",
+    "graph_adamic_adar",
+    "ts_rolling_corr",
+    "flows_exporter_dedup",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE33_HASH)
+def test_wave33_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-33 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_wilcoxon_matches_numpy(spark, sf_dir):
+    """Numpy replication: paired per-user means, 1e-6-rounded diffs,
+    average ranks of |d|, W+/W-/z. Also W+ + W- == n(n+1)/2."""
+    import numpy as np
+    import pandas as pd
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_wilcoxon_signed_rank"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    ).toPandas().dropna(subset=["value"])
+    x = ev[ev.event_id % 2 == 0].groupby("user_id").value.mean()
+    y = ev[ev.event_id % 2 == 1].groupby("user_id").value.mean()
+    d = (y - x).dropna().round(6)
+    d = d[d != 0]
+    ranks = pd.Series(np.abs(d.to_numpy())).rank(method="average").to_numpy()
+    w_plus = ranks[d.to_numpy() > 0].sum()
+    w_minus = ranks[d.to_numpy() < 0].sum()
+    n = len(d)
+    z = (w_plus - n * (n + 1) / 4.0) / np.sqrt(n * (n + 1) * (2 * n + 1) / 24.0)
+    assert row.n_pairs == n
+    assert abs(row.w_plus - round(w_plus, 4)) <= 1e-3
+    assert abs(row.w_minus - round(w_minus, 4)) <= 1e-3
+    assert abs(row.z - round(z, 4)) <= 2e-4
+    assert abs((row.w_plus + row.w_minus) - n * (n + 1) / 2.0) <= 1e-6
+
+
+def test_adamic_adar_matches_pure_python(spark, sf_dir):
+    """Pure-python link-prediction replication (dict adjacency): the
+    top-20 non-edges by (rounded score, u, v) must agree exactly."""
+    import math
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["graph_adamic_adar"].fn(spark, sf_dir)
+        .toPandas().reset_index(drop=True)
+    )
+    ev = _table(spark, sf_dir, "events").select("user_id", "event_id").toPandas()
+    edges = set()
+    for u, e in zip(ev.user_id, ev.event_id):
+        a, b = f"h{u % 1000}", f"h{(u + e) % 1000}"
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for z, nbrs in adj.items():
+        dg = len(nbrs)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for jj in range(i + 1, len(ns)):
+                p = (ns[i], ns[jj])
+                s, c = scores.get(p, (0.0, 0))
+                scores[p] = (s + 1.0 / math.log(dg), c + 1)
+    nonedges = [
+        (u, v, round(s, 6), c)
+        for (u, v), (s, c) in scores.items()
+        if (u, v) not in edges
+    ]
+    nonedges.sort(key=lambda t: (-t[2], t[0], t[1]))
+    want = nonedges[:20]
+    assert len(got) == len(want)
+    for i, (u, v, s, c) in enumerate(want):
+        assert (got.u[i], got.v[i]) == (u, v), i
+        assert got.aa_score[i] == round(s, 4)
+        assert got.common_nbrs[i] == c
+
+
+def test_rolling_corr_matches_pandas(spark, sf_dir):
+    """pandas .rolling(7).corr replication; values in [-1, 1]."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ts_rolling_corr"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("ts", "event_type").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .pivot_table(index="day", columns="event_type", aggfunc="size", fill_value=0)
+        .sort_index()
+    )
+    want = daily["click"].rolling(7).corr(daily["purchase"]).dropna()
+    assert list(got.index) == list(want.index)
+    for day in want.index:
+        assert abs(got.loc[day, "rolling_corr"] - round(want[day], 4)) <= 2e-4
+        assert -1 <= got.loc[day, "rolling_corr"] <= 1
+        assert got.loc[day, "n_days"] == 7
+
+
+def test_exporter_dedup_conservation(spark, sf_dir):
+    """Pandas replication + conservation laws: duplicate records =
+    r2's overlap size; inflation = bytes of the duplicated copies."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["flows_exporter_dedup"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).toPandas().dropna(subset=["value"])
+    ev["sa"] = "10.0." + (ev.user_id % 50).astype(str)
+    ev["da"] = "10.0." + ((ev.user_id + ev.event_id) % 50).astype(str)
+    ev["minute_b"] = ev.ts.astype("int64") // 1000 // 60000000
+    ev["ibyt"] = (ev.value * 1000).apply(int)  # floor of positive values
+    import pandas as pd
+
+    r1 = ev[["sa", "da", "minute_b", "ibyt"]]
+    r2 = ev[ev.user_id % 3 == 0][["sa", "da", "minute_b", "ibyt"]]
+    seen = pd.concat([r1, r2])
+    uniq = seen.drop_duplicates()
+    assert row.n_records == len(seen)
+    assert row.n_unique_flows == len(uniq)
+    assert row.n_dup_records == len(seen) - len(uniq)
+    assert row.bytes_reported == seen.ibyt.sum()
+    assert row.bytes_actual == uniq.ibyt.sum()
+    assert row.bytes_reported >= row.bytes_actual
+    copies = seen.groupby(["sa", "da", "minute_b", "ibyt"]).size()
+    assert row.n_multi_exporter == (copies > 1).sum()
+
+
+def test_compression_ratio_zlib_replication(spark, sf_dir):
+    """zlib replication of the per-source economics + the signal's
+    micro-behavior: pathological repetition compresses past the 4.0
+    threshold, the fixture prose does not."""
+    import zlib
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    def ratio(t: str) -> float:
+        raw = t.encode()
+        return len(raw) / max(len(zlib.compress(raw, 6)), 1)
+
+    assert ratio("spam ham " * 400) > 4.0
+    assert ratio("the quick brown fox jumps over the lazy dog") < 2.0
+
+    got = (
+        SPECS["text_compression_ratio"].fn(spark, sf_dir)
+        .toPandas().set_index("source").sort_index()
+    )
+    docs = _table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    for src, g in docs.groupby("source"):
+        rs = g.text.map(ratio)
+        row = got.loc[src]
+        assert row.n_docs == len(g)
+        assert row.mean_ratio == round(rs.mean(), 4)
+        assert row.min_ratio == round(rs.min(), 4)
+        assert row.max_ratio == round(rs.max(), 4)
+        assert row.share_repetitive == round((rs > 4.0).mean(), 4)

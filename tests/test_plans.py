@@ -1028,3 +1028,38 @@ def test_theil_joins_broadcast(spark, sf_dir):
     plan = get_plan(SPECS["agg_theil_index"].fn(spark, sf_dir), "simple")
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_wave33_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-33 keys: audited Exchange budgets."""
+    budgets = {
+        # user agg + user-level rank window + 1-row moments
+        "stats_wilcoxon_signed_rank": 4,
+        # distinct edges (checkpointed) + z-keyed self-join + pair agg
+        # + degree broadcast + anti-join broadcast + top-20
+        "graph_adamic_adar": 6,
+        # daily conditional-count agg + bounded days window + order
+        "ts_rolling_corr": 4,
+        # flow-key dedup agg + two 1-row totals
+        "flows_exporter_dedup": 5,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_adamic_adar_topk_and_broadcasts(spark, sf_dir):
+    """Top-20 must be TakeOrderedAndProject; degree lookup and the
+    already-an-edge anti-join must broadcast (the candidate join on the
+    shared endpoint z is the only data-sized shuffle)."""
+    plan = get_plan(SPECS["graph_adamic_adar"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_compression_ratio_zero_preagg_shuffles(spark, sf_dir):
+    """The zlib UDF is scan-local: exactly one exchange (the per-source
+    rollup) plus the bounded output ordering."""
+    plan = get_plan(SPECS["text_compression_ratio"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= 2, plan

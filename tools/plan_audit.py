@@ -149,6 +149,12 @@ AUDITED: dict[str, str] = {
     "ml_eval_confusion_multi": "k-row bucket model broadcast LEFT; per-class counts from one tagged-union hash agg (no full-outer SMJ)",
     "privacy_t_closeness": "integer-exact TVD; (QI,s) rollup checkpointed for three sibling aggs; 3-row threshold grid broadcast",
     "scan_text_wholefile": "distributed whole-file scan; checksums scan-local; one 20-row ordering exchange",
+    # wave-33 (round 5)
+    "stats_wilcoxon_signed_rank": "user agg + user-level avg-rank window (RANGE peers) + 1-row moments; 1e-6 pre-round",
+    "graph_adamic_adar": "z-keyed neighbor self-join (triangle shape); degree + anti-join broadcast; TakeOrderedAndProject top-20",
+    "ts_rolling_corr": "one conditional-count daily agg; corr as window aggregate over the bounded days table",
+    "flows_exporter_dedup": "one flow-key hash agg dedups (copies meet in one reducer); 1-row sibling totals",
+    "text_compression_ratio": "scan-local Arrow zlib UDF; one per-source rollup exchange",
 }
 
 
