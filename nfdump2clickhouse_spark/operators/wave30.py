@@ -60,26 +60,27 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the two rank columns. Monotone-but-nonlinear relationships that
     Pearson understates show up here at full strength.
 
-    Both rank windows and the final aggregate partition by the same
-    group key, so the whole computation runs in ONE data-sized hash
-    exchange on `l_returnflag` (plan-pinned; the only other exchange is
-    the k-row output ordering): rank assignment is a within-partition
-    sort, tie counts come from a RANGE-CURRENT-ROW peer frame over the
-    SAME partition, and `corr` is Spark's built-in JVM-side aggregate.
-    At 100 TB the only shuffle moves (grp, qty, price) triples once."""
+    `l_returnflag` has THREE values, so a plain
+    `Window.partitionBy(grp)` rank funnels a third of the corpus
+    through one task each — the 8× scale probe measured that shape at
+    7.2 (near data-linear on fixed cores). Ranks therefore come from
+    `functions.distributed.grouped_rank` (literal-boundary range ids +
+    per-(pid, grp) window — the `agg_winsorized_mean` machinery), and
+    the average-rank tie correction falls out for free: the MEAN of
+    the tied rows' row-numbers IS the fractional rank whatever their
+    internal order, computed as one AVG window over (grp, value) —
+    a high-cardinality partition key that spreads across the cluster.
+    `corr` is the built-in JVM aggregate on the preserved grouping."""
+    from ..functions.distributed import grouped_rank
+
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"), "l_quantity", "l_extendedprice"
     )
-    # Tie counts come from a RANGE CURRENT ROW frame (peers of the
-    # current order-by value) over the SAME (grp) partition as the rank
-    # window — a (grp, value) partition would force a second exchange.
-    wq = Window.partitionBy("grp").orderBy("l_quantity")
-    wp = Window.partitionBy("grp").orderBy("l_extendedprice")
-    peers_q = F.count(F.lit(1)).over(wq.rangeBetween(Window.currentRow, Window.currentRow))
-    peers_p = F.count(F.lit(1)).over(wp.rangeBetween(Window.currentRow, Window.currentRow))
-    rq = F.rank().over(wq) + (peers_q - F.lit(1)) / F.lit(2.0)
-    rp = F.rank().over(wp) + (peers_p - F.lit(1)) / F.lit(2.0)
-    ranked = li.select("grp", rq.alias("rq"), rp.alias("rp"))
+    r1 = grouped_rank(li, ["grp"], ["l_quantity"], "rn_q")
+    r2 = grouped_rank(r1, ["grp"], ["l_extendedprice"], "rn_p")
+    rq = F.avg("rn_q").over(Window.partitionBy("grp", "l_quantity"))
+    rp = F.avg("rn_p").over(Window.partitionBy("grp", "l_extendedprice"))
+    ranked = r2.select("grp", rq.alias("rq"), rp.alias("rp"))
     return (
         ranked.groupBy("grp")
         .agg(

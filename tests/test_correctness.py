@@ -4580,3 +4580,159 @@ def test_compression_ratio_zlib_replication(spark, sf_dir):
         assert row.min_ratio == round(rs.min(), 4)
         assert row.max_ratio == round(rs.max(), 4)
         assert row.share_repetitive == round((rs > 4.0).mean(), 4)
+
+
+# --- wave-34 (round 5) -------------------------------------------------------
+
+_WAVE34 = [
+    "stats_binomial_ci_wilson",
+    "events_frequency_capping",
+    "ml_ranking_mrr",
+    "stats_benford_test",
+    "dedup_threshold_curve",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE34)
+def test_wave34_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-34 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_wilson_interval_laws_and_numpy(spark, sf_dir):
+    """Wilson CI laws: lo <= p_hat <= hi, interval inside [0,1],
+    narrower at larger n (checked via the closed form); numpy
+    replication of every row."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["stats_binomial_ci_wilson"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select("ts", "event_type").toPandas()
+    daily = ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d")).groupby("day").agg(
+        n=("event_type", "size"),
+        k=("event_type", lambda s: (s == "purchase").sum()),
+    )
+    z = 1.96
+    for _, r in got.iterrows():
+        n, k = daily.loc[r.day, "n"], daily.loc[r.day, "k"]
+        assert (r.n, r.conversions) == (n, k)
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        assert r.ci_lo == round((center - half) / denom, 4)
+        assert r.ci_hi == round((center + half) / denom, 4)
+        assert 0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1
+
+
+def test_frequency_capping_pandas(spark, sf_dir):
+    """Pandas replication of the capping arithmetic; waste_bp consistent
+    with its integer definition."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_frequency_capping"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    ).toPandas()
+    views = ev[ev.event_type == "view"].assign(
+        day=lambda d: d.ts.dt.strftime("%Y-%m-%d")
+    )
+    exp = views.groupby(["day", "user_id"]).size().rename("c").reset_index()
+    for day, g in exp.groupby("day"):
+        row = got.loc[day]
+        capped = (g.c - 5).clip(lower=0).sum()
+        assert row.n_users == len(g)
+        assert row.n_exposures == g.c.sum()
+        assert row.n_users_over_cap == (g.c > 5).sum()
+        assert row.n_capped_exposures == capped
+        assert row.waste_bp == 10000 * capped // g.c.sum()
+
+
+def test_mrr_matches_numpy(spark, sf_dir):
+    """Numpy GEMM replication of the label-match retrieval metrics."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["ml_ranking_mrr"].fn(spark, sf_dir).toPandas().iloc[0]
+    emb = (
+        _table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    rrs, h1, h5 = [], 0, 0
+    qidx = np.where(ids < 20)[0]
+    for qi in qidx:
+        cos = np.round(Xn @ Xn[qi], 4)
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -cos[mask]))
+        rel = labels[mask][order] == labels[qi]
+        pos = np.where(rel)[0]
+        if len(pos) == 0:
+            rrs.append(0.0)
+            continue
+        first = pos[0] + 1
+        rrs.append(1.0 / first)
+        h1 += int(first == 1)
+        h5 += int(first <= 5)
+    assert row.n_queries == len(qidx)
+    assert abs(row.mrr - round(float(np.mean(rrs)), 4)) <= 2e-4
+    assert row.hit_at_1 == round(h1 / len(qidx), 4)
+    assert row.hit_at_5 == round(h5 / len(qidx), 4)
+    assert 0 <= row.mrr <= 1 and row.hit_at_1 <= row.hit_at_5
+
+
+def test_benford_shares_and_chi2(spark, sf_dir):
+    """Benford laws: shares sum to 1 on both sides; expected shares are
+    the log10(1+1/d) table; χ² terms replicate in numpy."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["stats_benford_test"].fn(spark, sf_dir)
+        .toPandas().set_index("digit").sort_index()
+    )
+    assert list(got.index) == list(range(1, 10))
+    assert abs(got.observed_share.sum() - 1.0) <= 1e-3
+    for d in range(1, 10):
+        assert got.loc[d, "benford_share"] == round(np.log10(1 + 1 / d), 4)
+    o = _table(spark, sf_dir, "orders").select("o_totalprice").toPandas()
+    x = o.o_totalprice.to_numpy()
+    x = x[x > 0]
+    digits = (x / 10 ** np.floor(np.log10(x))).astype(int)
+    nn = len(digits)
+    for d in range(1, 10):
+        n_d = (digits == d).sum()
+        assert got.loc[d, "n"] == n_d
+        ben = np.log10(1 + 1 / d)
+        assert abs(
+            got.loc[d, "chi2_term"] - round((n_d / nn - ben) ** 2 / ben * nn, 4)
+        ) <= 2e-4
+
+
+def test_threshold_curve_monotone_and_reconciles(spark, sf_dir):
+    """Curve laws: pair and droppable-doc counts are non-increasing in
+    the threshold, and the 0.3 row equals the dedup_ngram_jaccard pair
+    count (same core, same prune)."""
+    got = (
+        SPECS["dedup_threshold_curve"].fn(spark, sf_dir)
+        .toPandas().set_index("t_bp").sort_index()
+    )
+    assert list(got.index) == [3000, 5000, 7000, 9000]
+    assert got.n_pairs.is_monotonic_decreasing
+    assert got.n_docs_droppable.is_monotonic_decreasing
+    assert (got.n_docs_droppable <= got.n_pairs).all()
+    base_pairs = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).count()
+    assert got.loc[3000, "n_pairs"] == base_pairs

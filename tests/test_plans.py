@@ -925,9 +925,12 @@ def test_wave29_exchange_budgets(spark, sf_dir):
 def test_wave30_exchange_budgets(spark, sf_dir):
     """Round-5 wave-30 keys: audited Exchange budgets."""
     budgets = {
-        # ONE data-sized hash exchange (both rank windows + tie peers +
-        # final agg share hash(grp)) + the k-row output ordering
-        "stats_spearman_corr": 2,
+        # grouped_rank x2 (literal-boundary pids, (pid,grp) windows)
+        # + (grp,value) avg-rank exchanges + corr agg + ordering — the
+        # 3-value group key makes a plain partitionBy(grp) window a
+        # one-task-per-group sort (8x probe measured 7.2; this shape
+        # probes 1.6)
+        "stats_spearman_corr": 7,
         # train agg + test agg + broadcast + k-row ordering
         "ml_eval_regression": 4,
         # moments agg + scaled-means agg + 2 broadcasts + k-row joins/order
@@ -1063,3 +1066,34 @@ def test_compression_ratio_zero_preagg_shuffles(spark, sf_dir):
     rollup) plus the bounded output ordering."""
     plan = get_plan(SPECS["text_compression_ratio"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_wave34_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-34 keys: audited Exchange budgets."""
+    budgets = {
+        # one daily conditional-count agg + ordering
+        "stats_binomial_ci_wilson": 3,
+        # (day,user) rollup + day rollup + ordering
+        "events_frequency_capping": 3,
+        # broadcast query batch + per-query window + 1-row metrics
+        "ml_ranking_mrr": 3,
+        # 9-group agg + 1-row total broadcast + ordering
+        "stats_benford_test": 3,
+        # shared shingle-pair core (2 bounded shuffles + parallelism
+        # gate); everything after the J>=0.3 filter — grid agg, the
+        # count-distinct 2-phase, ordering — shuffles only the
+        # qualifying-pair table
+        "dedup_threshold_curve": 7,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_mrr_broadcasts_query_batch(spark, sf_dir):
+    """The 20-query batch must broadcast onto the corpus scan — never a
+    corpus-sized SortMergeJoin."""
+    plan = get_plan(SPECS["ml_ranking_mrr"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -132,7 +132,7 @@ AUDITED: dict[str, str] = {
     "flows_port_services": "broadcast LEFT service map (misses keep flows as 'other'); 1-row byte total broadcast; bounded service rollup",
     "sample_neyman_allocation": "one strata moment agg; e6-integer weights; largest-remainder apportionment on a bounded window",
     # wave-30 (round 5)
-    "stats_spearman_corr": "rank + RANGE-CURRENT-ROW tie peers + corr all ride ONE hash(grp) exchange; only the k-row ordering shuffles again",
+    "stats_spearman_corr": "grouped_rank two-phase per column (3-value group key would one-task a plain window); avg-over-(grp,value) IS the tie correction",
     "ml_eval_regression": "k-row train means broadcast onto the test split; four metrics from one pass of combinable sums",
     "features_scaling": "fit/transform split: exact-percentile moments agg (k rows) broadcast back for the scaled means",
     "agg_circular_stats": "one combinable (avg sin, avg cos) aggregate; trig is JVM codegen intrinsics",
@@ -155,6 +155,12 @@ AUDITED: dict[str, str] = {
     "ts_rolling_corr": "one conditional-count daily agg; corr as window aggregate over the bounded days table",
     "flows_exporter_dedup": "one flow-key hash agg dedups (copies meet in one reducer); 1-row sibling totals",
     "text_compression_ratio": "scan-local Arrow zlib UDF; one per-source rollup exchange",
+    # wave-34 (round 5)
+    "stats_binomial_ci_wilson": "one conditional-count daily agg; Wilson interval closed-form scan-local on integer (k,n)",
+    "events_frequency_capping": "(day,user) rollup then day rollup; all-integer incl. bp waste division",
+    "ml_ranking_mrr": "20-query broadcast onto one corpus pass; per-query MIN extracts first relevant rank",
+    "stats_benford_test": "scan-local digit codegen; one 9-group agg; total from a 9-row window (no input re-scan)",
+    "dedup_threshold_curve": "shared shingle-pair core; 4-row threshold grid over ONE pair pass; integer cross-multiplied cuts",
 }
 
 

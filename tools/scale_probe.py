@@ -56,6 +56,15 @@ PROBED = [
     "flows_traffic_matrix",   # double broadcast LPM enrichment
     "dedup_minhash_incremental",  # cross-split band probe, 8x dup mass
     "maint_skew_report",      # one key-frequency agg + bounded arithmetic
+    # round 5, waves 30-33
+    "stats_spearman_corr",    # one hash(grp) exchange: ranks + tie peers + corr
+    "text_zipf_slope",        # WindowGroupLimit top-100 per lang
+    "sample_ppswor",          # zero-exchange TakeOrderedAndProject top-200
+    "ml_eval_lift",           # exact_ntile two-phase decile rank
+    "privacy_t_closeness",    # integer TVD; (QI,s) rollup + siblings
+    "events_interarrival_stats",  # lag window + rollup on one exchange
+    "graph_adamic_adar",      # z-keyed neighbor self-join (triangle shape)
+    "flows_exporter_dedup",   # one flow-key dedup agg under 2x copies
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
