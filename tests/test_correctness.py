@@ -4736,3 +4736,145 @@ def test_threshold_curve_monotone_and_reconciles(spark, sf_dir):
     assert (got.n_docs_droppable <= got.n_pairs).all()
     base_pairs = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).count()
     assert got.loc[3000, "n_pairs"] == base_pairs
+
+
+# --- wave-35 (round 5) -------------------------------------------------------
+
+_WAVE35 = [
+    "ts_bollinger_bands",
+    "doc_sentence_stats",
+    "emb_dimension_variance",
+    "events_time_to_convert",
+    "scan_csv_gzip",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE35)
+def test_wave35_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-35 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_bollinger_matches_pandas_and_band_laws(spark, sf_dir):
+    """pandas rolling replication; band laws: lo <= ma7 <= hi, at most
+    one breakout side true, and a breakout is outside its band."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ts_bollinger_bands"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    daily = (
+        ev[ev.event_type == "purchase"]
+        .assign(
+            day=lambda d: d.ts.dt.strftime("%Y-%m-%d"),
+            cents=lambda d: (d.value * 100).apply(int),
+        )
+        .groupby("day").cents.sum().sort_index()
+    )
+    mu = daily.rolling(7).mean()
+    sg = daily.rolling(7).std(ddof=1)
+    for day in got.index:
+        row = got.loc[day]
+        assert row.ma7 == round(mu[day] / 100, 4)
+        assert row.band_hi == round((mu[day] + 2 * sg[day]) / 100, 4)
+        assert row.band_lo == round((mu[day] - 2 * sg[day]) / 100, 4)
+        assert row.band_lo <= row.ma7 <= row.band_hi
+        assert not (row.breakout_hi and row.breakout_lo)
+        assert row.breakout_hi == (daily[day] > mu[day] + 2 * sg[day])
+
+
+def test_sentence_stats_python_replication(spark, sf_dir):
+    """re.split replication of the [.!?]+ segmentation per language."""
+    import re
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["doc_sentence_stats"].fn(spark, sf_dir)
+        .toPandas().set_index("lang").sort_index()
+    )
+    docs = _table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    for lang, g in docs.groupby("lang"):
+        ns = sum(
+            len([s for s in re.split(r"[.!?]+", t) if s.strip()]) for t in g.text
+        )
+        nw = sum(len([w for w in t.split(" ") if w]) for t in g.text)
+        row = got.loc[lang]
+        assert row.n_docs == len(g)
+        assert row.n_sentences == ns
+        assert row.sent_per_doc == round(ns / len(g), 4)
+        assert row.words_per_sent == round(nw / ns, 4)
+
+
+def test_dimension_variance_numpy_and_shares(spark, sf_dir):
+    """Numpy replication per dimension; variance shares sum to 10000 bp
+    (within rounding) and every variance is positive (no dead dims in
+    the synthetic space — itself a fixture property worth pinning)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["emb_dimension_variance"].fn(spark, sf_dir)
+        .toPandas().set_index("dim").sort_index()
+    )
+    emb = _table(spark, sf_dir, "embeddings").select("embedding").toPandas()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    assert list(got.index) == list(range(X.shape[1]))
+    var = X.var(axis=0, ddof=1)
+    for d in got.index:
+        assert abs(got.loc[d, "mean_v"] - round(X[:, d].mean(), 4)) <= 1e-4
+        assert abs(got.loc[d, "var_v"] - round(var[d], 6)) <= 2e-6
+        assert got.loc[d, "var_v"] > 0
+    assert abs(got.var_share_bp.sum() - 10000) <= 1.0
+
+
+def test_time_to_convert_matches_pandas(spark, sf_dir):
+    """Pandas replication of first-view→first-purchase latency."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["events_time_to_convert"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    ev["t"] = ev.ts.astype("int64") // 1000
+    fv = ev[ev.event_type == "view"].groupby("user_id").t.min()
+    fb = ev[ev.event_type == "purchase"].groupby("user_id").t.min()
+    j = fv.to_frame("v").join(fb.to_frame("b"), how="inner")
+    j = j[j.b >= j.v]
+    hours = (j.b - j.v) / 3600e6
+    assert row.n_converted == len(j)
+    assert abs(row.mean_h - round(hours.mean(), 4)) <= 1e-4
+    assert abs(row.p50_h - round(np.percentile(hours, 50), 4)) <= 1e-4
+    assert abs(row.p90_h - round(np.percentile(hours, 90), 4)) <= 1e-4
+    assert row.min_h >= 0
+
+
+def test_csv_gzip_roundtrip_files_are_gz(spark, sf_dir):
+    """The written shards must actually be .csv.gz files (codec applied),
+    and the read-back rollup must reconcile with the parquet source."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["scan_csv_gzip"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    files = [
+        f for f in SPECS["scan_csv_gzip"].fn(spark, sf_dir).inputFiles()
+    ]
+    assert files and all(f.endswith(".csv.gz") for f in files), files
+    ev = _table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    ev["cents"] = (ev.value.fillna(0) * 100).apply(int)
+    for et, g in ev.groupby("event_type"):
+        assert got.loc[et, "n"] == len(g)
+        assert got.loc[et, "value_c"] == g.cents.sum()

@@ -1097,3 +1097,30 @@ def test_mrr_broadcasts_query_batch(spark, sf_dir):
     plan = get_plan(SPECS["ml_ranking_mrr"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_wave35_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-35 keys: audited Exchange budgets."""
+    budgets = {
+        # daily integer-cents agg + bounded days window + order
+        "ts_bollinger_bands": 4,
+        # scan-local regexp splits + one lang rollup + order
+        "doc_sentence_stats": 3,
+        # posexplode + dim agg + 64-row total window + order
+        "emb_dimension_variance": 4,
+        # one user-keyed conditional-MIN agg + 1-row summary
+        "events_time_to_convert": 3,
+        # repartition(4) write + read-back rollup + order
+        "scan_csv_gzip": 4,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_time_to_convert_single_user_agg(spark, sf_dir):
+    """Both touchpoints must come from ONE user-keyed aggregate — a
+    per-type self-join would shuffle the events table twice."""
+    plan = get_plan(SPECS["events_time_to_convert"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan

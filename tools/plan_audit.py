@@ -161,6 +161,12 @@ AUDITED: dict[str, str] = {
     "ml_ranking_mrr": "20-query broadcast onto one corpus pass; per-query MIN extracts first relevant rank",
     "stats_benford_test": "scan-local digit codegen; one 9-group agg; total from a 9-row window (no input re-scan)",
     "dedup_threshold_curve": "shared shingle-pair core; 4-row threshold grid over ONE pair pass; integer cross-multiplied cuts",
+    # wave-35 (round 5)
+    "ts_bollinger_bands": "integer-cents daily agg; rolling moments over the bounded days table",
+    "doc_sentence_stats": "scan-local regexp segmentation; one lang rollup",
+    "emb_dimension_variance": "posexplode + dim agg; 64-row total window, no second scan",
+    "events_time_to_convert": "ONE user-keyed conditional-MIN agg for both touchpoints; no self-join (plan-pinned)",
+    "scan_csv_gzip": "sharded .csv.gz round-trip; gz-not-splittable caveat documented; integer cents through the text",
 }
 
 
