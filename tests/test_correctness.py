@@ -4878,3 +4878,143 @@ def test_csv_gzip_roundtrip_files_are_gz(spark, sf_dir):
     for et, g in ev.groupby("event_type"):
         assert got.loc[et, "n"] == len(g)
         assert got.loc[et, "value_c"] == g.cents.sum()
+
+
+# --- wave-36 (round 5) -------------------------------------------------------
+
+_WAVE36_HASH = [
+    "emb_random_projection",
+    "events_heatmap_hour_dow",
+    "stats_runs_test",
+    "events_cart_abandonment",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE36_HASH)
+def test_wave36_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-36 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """Numpy replication with the SAME deterministic ±1 matrix; JL
+    sanity: mean ratio within (0.5, 1.5) and distortions nonneg."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave36 import _JL_K, _JL_MULT
+
+    row = SPECS["emb_random_projection"].fn(spark, sf_dir).toPandas().iloc[0]
+    emb = (
+        _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        .filter("vec_id < 30").toPandas().sort_values("vec_id")
+    )
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    R = np.zeros((dim, _JL_K))
+    for i in range(1, dim + 1):
+        for j in range(1, _JL_K + 1):
+            h1 = (i * 73856093 + j * 19349663) % 2147483648
+            R[i - 1, j - 1] = 1.0 if (h1 * _JL_MULT) % 4294967296 < 2147483648 else -1.0
+    ratios = []
+    n = len(X)
+    for a in range(n):
+        for b in range(a + 1, n):
+            d = X[a] - X[b]
+            d_orig = np.sqrt((d * d).sum())
+            if d_orig == 0:
+                continue
+            p = d @ R
+            d_proj = np.sqrt((p * p).sum()) / np.sqrt(_JL_K)
+            ratios.append(d_proj / d_orig)
+    ratios = np.array(ratios)
+    assert row.n_pairs == len(ratios)
+    assert abs(row.mean_distortion - round(np.abs(ratios - 1).mean(), 4)) <= 2e-4
+    assert abs(row.max_distortion - round(np.abs(ratios - 1).max(), 4)) <= 2e-4
+    assert abs(row.mean_ratio - round(ratios.mean(), 4)) <= 2e-4
+    assert 0.5 < row.mean_ratio < 1.5
+    assert 0 <= row.mean_distortion <= row.max_distortion
+
+
+def test_heatmap_covers_cells_and_shares(spark, sf_dir):
+    """Cell count <= 168, counts sum to the table size, shares consistent
+    with the integer-bp definition."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["events_heatmap_hour_dow"].fn(spark, sf_dir).toPandas()
+    total = _table(spark, sf_dir, "events").count()
+    assert len(got) <= 168
+    assert got.n.sum() == total
+    assert got.dow.between(1, 7).all() and got.hour.between(0, 23).all()
+    for _, r in got.iterrows():
+        assert r.share_bp == 10000 * r.n // total
+
+
+def test_runs_test_matches_python_replay(spark, sf_dir):
+    """Python replay of the run counting on integer-cents daily revenue;
+    identity n = n_up + n_down; runs within [1, n]."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_runs_test"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index()
+    )
+    diffs = daily.diff().dropna()
+    signs = [d > 0 for d in diffs if d != 0]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n, nu = len(signs), sum(signs)
+    nd = n - nu
+    mu = 1 + 2 * nu * nd / n
+    sd = (2 * nu * nd * (2 * nu * nd - n) / (n * n * (n - 1))) ** 0.5
+    assert (row.n, row.n_up, row.n_down, row.runs) == (n, nu, nd, runs)
+    assert row.expected_runs == round(mu, 4)
+    assert row.z == round((runs - mu) / sd, 4)
+    assert 1 <= row.runs <= row.n
+
+
+def test_distribute_sort_by_contract(spark, sf_dir):
+    """The layout contract itself: zero within-partition sort
+    violations, every row accounted for, and each event_type living in
+    exactly ONE partition (sum of per-partition type counts == global
+    distinct count)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["sql_distribute_cluster_by"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events")
+    assert row.sort_violations == 0
+    assert row.n_rows == ev.count()
+    assert row.sum_types_over_parts == ev.select("event_type").distinct().count()
+    assert row.n_partitions == row.n_distinct_pids
+
+
+def test_cart_abandonment_pandas(spark, sf_dir):
+    """Pandas replication; converted + abandoned == viewing sessions."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_cart_abandonment"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    ).toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    sess = ev.groupby(["day", "user_id"]).event_type.agg(
+        viewed=lambda s: (s == "view").any(),
+        bought=lambda s: (s == "purchase").any(),
+    )
+    for day, g in sess.groupby(level="day"):
+        row = got.loc[day]
+        nv = g.viewed.sum()
+        na = (g.viewed & ~g.bought).sum()
+        assert row.n_viewing_sessions == nv
+        assert row.n_abandoned == na
+        assert row.n_converted == (g.viewed & g.bought).sum()
+        assert row.n_abandoned + row.n_converted == row.n_viewing_sessions
+        assert row.abandonment_bp == 10000 * na // max(nv, 1)

@@ -1124,3 +1124,23 @@ def test_time_to_convert_single_user_agg(spark, sf_dir):
     per-type self-join would shuffle the events table twice."""
     plan = get_plan(SPECS["events_time_to_convert"].fn(spark, sf_dir), "simple")
     assert "Join" not in plan, plan
+
+
+def test_wave36_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-36 keys: audited Exchange budgets."""
+    budgets = {
+        # 30-row pair sample broadcast; projection is row-local HOFs
+        "emb_random_projection": 2,
+        # one <=168-group agg + 1-row total broadcast + order
+        "events_heatmap_hour_dow": 3,
+        # daily integer agg + bounded day windows + 1-row stat
+        "stats_runs_test": 4,
+        # DISTRIBUTE BY exchange + 1-row summary
+        "sql_distribute_cluster_by": 3,
+        # (day,user) rollup + day rollup + order
+        "events_cart_abandonment": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

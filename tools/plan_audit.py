@@ -167,6 +167,12 @@ AUDITED: dict[str, str] = {
     "emb_dimension_variance": "posexplode + dim agg; 64-row total window, no second scan",
     "events_time_to_convert": "ONE user-keyed conditional-MIN agg for both touchpoints; no self-join (plan-pinned)",
     "scan_csv_gzip": "sharded .csv.gz round-trip; gz-not-splittable caveat documented; integer cents through the text",
+    # wave-36 (round 5)
+    "emb_random_projection": "integer-hash ±1 matrix in row-local HOFs; pair sample broadcast; nothing random at execution",
+    "events_heatmap_hour_dow": "one <=168-group agg; total from a window over the result, no second scan",
+    "stats_runs_test": "integer-cents daily agg; one lag window on the bounded days table; 1-row statistic",
+    "sql_distribute_cluster_by": "DISTRIBUTE BY exchange + per-partition contract check in one mapInPandas",
+    "events_cart_abandonment": "(day,user) conditional-count rollup then day rollup; all-integer",
 }
 
 
