@@ -80,6 +80,8 @@ from . import wave35  # noqa: F401  (r5: Bollinger bands, sentence stats,
 #   embedding-dimension screen, conversion latency, gzip CSV scan)
 from . import wave36  # noqa: F401  (r5: JL projection, hour-dow heatmap,
 #   runs test, DISTRIBUTE/SORT BY layout, cart abandonment)
+from . import wave37  # noqa: F401  (r5: audience overlap, G-test, PACF,
+#   pseudonymization, effect sizes)
 from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos
 #   incl. the stream_state_reader full-lifecycle demo — rides the same
 #   expensive tail as wave15/scans)

@@ -5018,3 +5018,168 @@ def test_cart_abandonment_pandas(spark, sf_dir):
         assert row.n_converted == (g.viewed & g.bought).sum()
         assert row.n_abandoned + row.n_converted == row.n_viewing_sessions
         assert row.abandonment_bp == 10000 * na // max(nv, 1)
+
+
+# --- wave-37 (round 5) -------------------------------------------------------
+
+_WAVE37_HASH = [
+    "events_audience_overlap",
+    "stats_g_test",
+    "privacy_pseudonymize",
+    "stats_cohens_d",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE37_HASH)
+def test_wave37_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-37 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_audience_overlap_set_replication(spark, sf_dir):
+    """Python set replication of consecutive-day Jaccard/retention;
+    jaccard <= retention <= 1."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_audience_overlap"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("ts", "user_id").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    by_day = {d: set(g.user_id) for d, g in ev.groupby("day")}
+    days = sorted(by_day)
+    for prev, cur in zip(days, days[1:]):
+        import datetime as _dt
+
+        if (
+            _dt.date.fromisoformat(cur) - _dt.date.fromisoformat(prev)
+        ).days != 1:
+            continue
+        inter = len(by_day[cur] & by_day[prev])
+        if inter == 0:
+            assert cur not in got.index
+            continue
+        row = got.loc[cur]
+        assert row.both_active == inter
+        assert row.n_today == len(by_day[cur])
+        assert row.n_yesterday == len(by_day[prev])
+        union = len(by_day[cur] | by_day[prev])
+        assert row.jaccard == round(inter / union, 4)
+        assert row.retention == round(inter / len(by_day[prev]), 4)
+        assert row.jaccard <= row.retention <= 1
+
+
+def test_g_test_matches_numpy_and_chi2_proximity(spark, sf_dir):
+    """Numpy replication of G; at these counts G must land within a few
+    percent of Pearson's χ² on the same table (asymptotic equivalence —
+    a cheap cross-check of both implementations)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_g_test"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("event_type", "user_id").toPandas()
+    ev["grp"] = np.where(ev.user_id % 2 == 0, "A", "B")
+    ct = ev.groupby(["event_type", "grp"]).size().unstack(fill_value=0)
+    obs = ct.to_numpy(dtype=float)
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / obs.sum()
+    g = 2 * (obs * np.log(obs / exp)).sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert row.n_cells == obs.size
+    assert row.n == int(obs.sum())
+    assert row.df == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    assert abs(row.g_stat - round(g, 4)) <= 2e-4
+    assert abs(row.g_stat - chi2) <= 0.05 * max(chi2, 1.0)
+
+
+def test_pacf_matches_independent_levinson(spark, sf_dir):
+    """Independent numpy ACF + pure-python Durbin-Levinson replication;
+    lag-1 PACF == lag-1 ACF identity."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ts_pacf"].fn(spark, sf_dir)
+        .toPandas().set_index("lag").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    n = len(daily)
+    mu = daily.mean()
+    var = ((daily - mu) ** 2).sum() / n
+    acf = [1.0] + [
+        (((daily[k:] - mu) * (daily[:-k] - mu)).sum() / n) / var
+        for k in range(1, 8)
+    ]
+    # Durbin-Levinson (independent implementation: full phi matrix)
+    phi = np.zeros((8, 8))
+    phi[1, 1] = acf[1]
+    for k in range(2, 8):
+        num = acf[k] - sum(phi[k - 1, j] * acf[k - j] for j in range(1, k))
+        den = 1 - sum(phi[k - 1, j] * acf[j] for j in range(1, k))
+        phi[k, k] = num / den
+        for j in range(1, k):
+            phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
+    for k in range(1, 8):
+        assert got.loc[k, "n_days"] == n
+        assert abs(got.loc[k, "acf"] - round(acf[k], 4)) <= 2e-4
+        assert abs(got.loc[k, "pacf"] - round(phi[k, k], 4)) <= 2e-4
+    assert got.loc[1, "acf"] == got.loc[1, "pacf"]
+
+
+def test_pseudonymize_consistency_and_hashlib(spark, sf_dir):
+    """Collision-freeness + joinability: the mapping equals hashlib
+    sha256 of the salted id, so two independently pseudonymized tables
+    join on the pseudonym exactly as they did on the raw id."""
+    import hashlib
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["privacy_pseudonymize"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("user_id").toPandas()
+    users = sorted(ev.user_id.unique())
+    pseudos = {
+        hashlib.sha256(f"corpus-salt-v1|{u}".encode()).hexdigest() for u in users
+    }
+    assert row.n_users == len(users)
+    assert row.n_pseudonyms == len(pseudos) == len(users)  # no collisions
+    assert row.n_events == len(ev)
+    assert row.min_pseudo == min(pseudos)
+    assert row.max_pseudo == max(pseudos)
+
+
+def test_cohens_d_numpy_and_g_less_than_d(spark, sf_dir):
+    """Numpy replication; |Hedges g| <= |Cohen d| (the correction only
+    shrinks), symmetric pair count k(k-1)/2."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["stats_cohens_d"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    groups = {t: g.value.to_numpy() for t, g in ev.groupby("event_type")}
+    k = len(groups)
+    assert len(got) == k * (k - 1) // 2
+    for _, r in got.iterrows():
+        xa, xb = groups[r.type_a], groups[r.type_b]
+        na, nb = len(xa), len(xb)
+        pooled = np.sqrt(
+            ((na - 1) * xa.var(ddof=1) + (nb - 1) * xb.var(ddof=1)) / (na + nb - 2)
+        )
+        d = (xa.mean() - xb.mean()) / pooled
+        gg = d * (1 - 3 / (4 * (na + nb) - 9))
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert abs(r.cohens_d - round(d, 4)) <= 2e-4
+        assert abs(r.hedges_g - round(gg, 4)) <= 2e-4
+        assert abs(r.hedges_g) <= abs(r.cohens_d) + 1e-9

@@ -1144,3 +1144,28 @@ def test_wave36_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave37_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-37 keys: audited Exchange budgets."""
+    budgets = {
+        # checkpointed (day,user) distinct + user lag window + pair agg
+        # + bounded size rollup/broadcasts + order (NO self-join)
+        "events_audience_overlap": 7,
+        # one contingency agg + bounded cell windows + 1-row stat
+        "stats_g_test": 5,
+        # one user rollup + 1-row summary (2-phase distinct)
+        "privacy_pseudonymize": 3,
+        # one group agg + broadcast self-join + order
+        "stats_cohens_d": 4,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_cohens_d_broadcast_pair_join(spark, sf_dir):
+    """The k-row group table self-joins via broadcast, never SMJ."""
+    plan = get_plan(SPECS["stats_cohens_d"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan, plan

@@ -173,6 +173,12 @@ AUDITED: dict[str, str] = {
     "stats_runs_test": "integer-cents daily agg; one lag window on the bounded days table; 1-row statistic",
     "sql_distribute_cluster_by": "DISTRIBUTE BY exchange + per-partition contract check in one mapInPandas",
     "events_cart_abandonment": "(day,user) conditional-count rollup then day rollup; all-integer",
+    # wave-37 (round 5)
+    "events_audience_overlap": "checkpointed distinct + user lag window (no self-join); bounded size broadcasts",
+    "stats_g_test": "one contingency agg; margins from bounded cell windows; single ln()",
+    "ts_pacf": "one day-grain agg; ACF from window moments; k<=7 Levinson recursion driver-side",
+    "privacy_pseudonymize": "scan-local sha2; one user rollup + 1-row audit",
+    "stats_cohens_d": "combinable (n,Σx,Σx²) partials; broadcast k-row pair self-join",
 }
 
 
