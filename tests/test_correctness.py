@@ -5183,3 +5183,149 @@ def test_cohens_d_numpy_and_g_less_than_d(spark, sf_dir):
         assert abs(r.cohens_d - round(d, 4)) <= 2e-4
         assert abs(r.hedges_g - round(gg, 4)) <= 2e-4
         assert abs(r.hedges_g) <= abs(r.cohens_d) + 1e-9
+
+
+# --- wave-38 (round 5) -------------------------------------------------------
+
+_WAVE38_HASH = [
+    "stats_ols_two_vars",
+    "events_cohort_retention_matrix",
+    "sample_balanced_downsample",
+    "agg_price_elasticity",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE38_HASH)
+def test_wave38_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-38 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_ols_two_vars_matches_numpy_lstsq(spark, sf_dir):
+    """numpy.linalg.lstsq replication of the closed-form betas and R²."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_ols_two_vars"].fn(spark, sf_dir).toPandas().iloc[0]
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    X = np.column_stack(
+        [np.ones(len(li)), li.l_quantity.to_numpy(), li.l_discount.to_numpy()]
+    )
+    y = li.l_extendedprice.to_numpy()
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    yhat = X @ beta
+    r2 = 1 - ((y - yhat) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert row.n == len(li)
+    assert abs(row.beta0 - round(beta[0], 4)) <= 1e-2  # intercept scale ~1e4
+    assert abs(row.beta_qty - round(beta[1], 4)) <= 1e-3
+    assert abs(row.beta_discount - round(beta[2], 4)) <= 1e-1
+    assert abs(row.r2 - round(r2, 4)) <= 2e-4
+    assert 0 <= row.r2 <= 1
+
+
+def test_retention_matrix_laws(spark, sf_dir):
+    """Triangle laws: offset-0 retention is 10000 bp; retained never
+    exceeds cohort size; pandas set replication of every cell."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["events_cohort_retention_matrix"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    ev["wk"] = ev.ts.dt.to_period("W-SUN").dt.start_time  # Monday-start weeks
+    ud = ev[["user_id", "wk"]].drop_duplicates()
+    first = ud.groupby("user_id").wk.min().rename("cohort")
+    j = ud.join(first, on="user_id")
+    j["off"] = ((j.wk - j.cohort).dt.days // 7).astype(int)
+    cells = j.groupby([j.cohort.dt.strftime("%Y-%m-%d"), "off"]).size()
+    assert len(got) == len(cells)
+    for _, r in got.iterrows():
+        want = cells[(r.cohort_week, r.week_offset)]
+        assert r.active_users == want, (r.cohort_week, r.week_offset)
+        assert r.active_users <= r.cohort_size
+        assert r.retention_bp == 10000 * r.active_users // r.cohort_size
+        if r.week_offset == 0:
+            assert r.retention_bp == 10000
+
+
+def test_balanced_downsample_exact_membership(spark, sf_dir):
+    """Python replication of the hash-priority top-500 per class: the
+    id checksum pins exact membership, and kept counts are
+    min(500, class size)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave38 import _BAL_MULT
+
+    got = (
+        SPECS["sample_balanced_downsample"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("event_type", "event_id").toPandas()
+    for et, g in ev.groupby("event_type"):
+        ids = sorted(
+            g.event_id, key=lambda i: ((int(i) * _BAL_MULT) % 4294967296, i)
+        )[:500]
+        row = got.loc[et]
+        assert row.n_kept == min(500, len(g))
+        assert row.id_checksum == sum(ids)
+
+
+def test_soundex_spark_matches_python_reference(spark, sf_dir):
+    """Spark F.soundex vs the pure-python reference on the full part
+    vocabulary, plus the canonical textbook examples; then the block
+    report's pair-budget arithmetic."""
+    import pyspark.sql.functions as SF
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave38 import soundex_py
+
+    for w, code in [
+        ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+        ("Tymczak", "T522"), ("Pfister", "P236"), ("Honeyman", "H555"),
+    ]:
+        assert soundex_py(w) == code, w
+    tok = (
+        _table(spark, sf_dir, "part")
+        .select(SF.explode(SF.split("p_name", " ")).alias("w"))
+        .filter(SF.col("w") != "").distinct()
+        .select("w", SF.soundex("w").alias("sx"))
+        .toPandas()
+    )
+    for w, sx in zip(tok.w, tok.sx):
+        assert soundex_py(w) == sx, w
+    row = SPECS["dedup_phonetic_blocking"].fn(spark, sf_dir).toPandas().iloc[0]
+    blocks = tok.groupby("sx").size()
+    assert row.n_blocks == len(blocks)
+    assert row.n_words == len(tok)
+    assert row.max_block == blocks.max()
+    assert row.candidate_pairs == (blocks * (blocks - 1) // 2).sum()
+
+
+def test_price_elasticity_matches_numpy(spark, sf_dir):
+    """numpy polyfit replication of the per-brand log-log slope."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_price_elasticity"].fn(spark, sf_dir)
+        .toPandas().set_index("brand").sort_index()
+    )
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    p = _table(spark, sf_dir, "part").select("p_partkey", "p_brand").toPandas()
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    j = j[(j.l_quantity > 0) & (j.l_extendedprice > 0)]
+    j["lp"] = np.log(j.l_extendedprice / j.l_quantity)
+    j["lq"] = np.log(j.l_quantity)
+    for brand, g in j.groupby("p_brand"):
+        slope = np.polyfit(g.lp, g.lq, 1)[0]
+        row = got.loc[brand]
+        assert row.n == len(g)
+        assert abs(row.elasticity - round(slope, 4)) <= 2e-4
+        assert 0 <= row.fit_r2 <= 1

@@ -1169,3 +1169,31 @@ def test_cohens_d_broadcast_pair_join(spark, sf_dir):
     """The k-row group table self-joins via broadcast, never SMJ."""
     plan = get_plan(SPECS["stats_cohens_d"].fn(spark, sf_dir), "simple")
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_wave38_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-38 keys: audited Exchange budgets."""
+    budgets = {
+        # ONE 1-row moment aggregate
+        "stats_ols_two_vars": 1,
+        # checkpointed (user,week) distinct + first-week agg + cell agg
+        # + diagonal window over the cell table + order (a filtered
+        # self-join re-derived the whole cell pipeline twice)
+        "events_cohort_retention_matrix": 5,
+        # per-class WindowGroupLimit window + class rollup + order
+        "sample_balanced_downsample": 3,
+        # token distinct + block rollup + 1-row report
+        "dedup_phonetic_blocking": 3,
+        # part broadcast + brand agg + order
+        "agg_price_elasticity": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_balanced_downsample_window_group_limit(spark, sf_dir):
+    """The literal top-500 rank bound must prune via WindowGroupLimit."""
+    plan = get_plan(SPECS["sample_balanced_downsample"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan

@@ -179,6 +179,12 @@ AUDITED: dict[str, str] = {
     "ts_pacf": "one day-grain agg; ACF from window moments; k<=7 Levinson recursion driver-side",
     "privacy_pseudonymize": "scan-local sha2; one user rollup + 1-row audit",
     "stats_cohens_d": "combinable (n,Σx,Σx²) partials; broadcast k-row pair self-join",
+    # wave-38 (round 5)
+    "stats_ols_two_vars": "ONE 1-row moment aggregate; Cramer betas + R² from centered moments",
+    "events_cohort_retention_matrix": "checkpointed (user,week) distinct; diagonal via window over the cell table (no re-derived self-join)",
+    "sample_balanced_downsample": "literal top-500 bound -> WindowGroupLimit; scan-local integer priority",
+    "dedup_phonetic_blocking": "soundex codegen over the token distinct; one block rollup + 1-row report",
+    "agg_price_elasticity": "part broadcast; regr_slope/regr_r2 combinable aggregates on one brand exchange",
 }
 
 
