@@ -5329,3 +5329,155 @@ def test_price_elasticity_matches_numpy(spark, sf_dir):
         assert row.n == len(g)
         assert abs(row.elasticity - round(slope, 4)) <= 2e-4
         assert 0 <= row.fit_r2 <= 1
+
+
+# --- wave-39 (round 5) -------------------------------------------------------
+
+_WAVE39_HASH = [
+    "cast_decimal_money",
+    "flows_prefix_rollup",
+    "events_ab_contamination",
+    "ts_hampel_outliers",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE39_HASH)
+def test_wave39_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-39 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_decimal_money_is_exact_integer_cents(spark, sf_dir):
+    """The decimal totals must EQUAL the exact integer-hundredths
+    arithmetic done in Python (price and discount are exact 2dp
+    decimals in the fixture) — the no-float-drift guarantee itself."""
+    from decimal import Decimal
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["cast_decimal_money"].fn(spark, sf_dir)
+        .toPandas().set_index("flag").sort_index()
+    )
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    ).toPandas()
+    for flag, g in li.groupby("l_returnflag"):
+        nets = [
+            (Decimal(f"{p:.2f}") * (1 - Decimal(f"{d:.2f}"))).quantize(
+                Decimal("0.0001")
+            )
+            for p, d in zip(g.l_extendedprice, g.l_discount)
+        ]
+        row = got.loc[flag]
+        assert row.n == len(g)
+        assert Decimal(row.net_total) == sum(nets)
+        assert Decimal(row.net_min) == min(nets)
+        assert Decimal(row.net_max) == max(nets)
+
+
+def test_prefix_rollup_nesting_law(spark, sf_dir):
+    """Prefix-containment law: every /24 top prefix's bytes are <= the
+    bytes of its covering /16 (computed exactly in pandas), and the
+    /8 level's total across ALL prefixes equals the corpus bytes."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["flows_prefix_rollup"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    ).toPandas()
+    sa = (ev.user_id % 50) * 65536 + (ev.event_id % 256) * 256 + (ev.user_id % 7)
+    ibyt = (ev.value.fillna(0) * 1000).apply(int)
+    import pandas as pd
+
+    f = pd.DataFrame({"sa": sa, "ibyt": ibyt})
+    by16 = f.groupby(f.sa // 65536 * 65536).ibyt.sum()
+    for _, r in got[got.masklen == 24].iterrows():
+        covering = r.prefix // 65536 * 65536
+        assert r.bytes <= by16[covering]
+    # full /8 aggregation reconciles with the corpus total
+    by8 = f.groupby(f.sa // 16777216 * 16777216).ibyt.sum()
+    got8 = got[got.masklen == 8]
+    for _, r in got8.iterrows():
+        assert r.bytes == by8[r.prefix]
+    assert len(got8) == min(5, len(by8))
+
+
+def test_ab_contamination_parity_is_total(spark, sf_dir):
+    """Event-parity assignment contaminates almost every active user —
+    the demo's point; accounting identity pure_a+pure_b+contaminated ==
+    n_users (every user has >=1 event by construction)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["events_ab_contamination"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("user_id", "event_id").toPandas()
+    both = ev.groupby("user_id").event_id.agg(
+        a=lambda s: (s % 2 == 0).any(), b=lambda s: (s % 2 == 1).any()
+    )
+    assert row.n_users == len(both)
+    assert row.contaminated == (both.a & both.b).sum()
+    assert row.pure_a + row.pure_b + row.contaminated == row.n_users
+    assert row.contamination_bp == 10000 * row.contaminated // row.n_users
+
+
+def test_hampel_matches_pandas_and_robustness(spark, sf_dir):
+    """pandas rolling-median/MAD replication; robust_sigma >= 0; an
+    outlier is strictly outside its band."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ts_hampel_outliers"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"),
+                  c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index()
+    )
+    vals = daily.to_numpy(dtype=float)
+    days = list(daily.index)
+    # pre-centered form: each member's deviation uses its OWN rolling
+    # median (the two-stacked-windows semantics the key implements)
+    rmeds = [
+        np.percentile(vals[max(0, i - 6) : i + 1], 50) for i in range(len(vals))
+    ]
+    devs = [abs(vals[i] - rmeds[i]) for i in range(len(vals))]
+    for i in range(6, len(vals)):
+        rmed = rmeds[i]
+        rmad = np.percentile(devs[i - 6 : i + 1], 50)
+        row = got.loc[days[i]]
+        assert row.rolling_median == round(rmed / 100, 4)
+        assert row.robust_sigma == round(1.4826 * rmad / 100, 4)
+        assert row.robust_sigma >= 0
+        assert row.is_outlier == (abs(vals[i] - rmed) > 3 * 1.4826 * rmad)
+
+
+def test_sketch_error_within_advertised_bounds(spark, sf_dir):
+    """The measured HLL errors must respect each sketch's advertised
+    rsd at 3 sigma, the tight sketch must not be WORSE than 3x the
+    loose one's bound, and the exact column must equal DuckDB's exact
+    distinct count."""
+    import duckdb as _duckdb
+
+    got = (
+        SPECS["agg_sketch_error_report"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exact = con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) n FROM events GROUP BY 1"
+    ).df().set_index("event_type").n
+    for et in got.index:
+        assert got.loc[et, "exact"] == exact[et]
+        assert got.loc[et, "err_rsd05_bp"] <= 3 * 0.05 * 10000
+        assert got.loc[et, "err_rsd01_bp"] <= 3 * 0.01 * 10000

@@ -1197,3 +1197,36 @@ def test_balanced_downsample_window_group_limit(spark, sf_dir):
     """The literal top-500 rank bound must prune via WindowGroupLimit."""
     plan = get_plan(SPECS["sample_balanced_downsample"].fn(spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_wave39_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-39 keys: audited Exchange budgets."""
+    budgets = {
+        # one flag rollup of exact decimal partials + order
+        "cast_decimal_money": 2,
+        # 3-level masked union in one scan + rollup + WGL top-5 + order
+        "flows_prefix_rollup": 4,
+        # one user rollup + 1-row audit
+        "events_ab_contamination": 2,
+        # daily agg + two stacked bounded windows + order
+        "ts_hampel_outliers": 4,
+        # ONE scan: exact distinct (2-phase) + both sketches + order
+        "agg_sketch_error_report": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_prefix_rollup_window_group_limit(spark, sf_dir):
+    """Per-level top-5 must prune via WindowGroupLimit."""
+    plan = get_plan(SPECS["flows_prefix_rollup"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_sketch_report_single_pass(spark, sf_dir):
+    """Exact + both sketches must ride ONE aggregate (three buffers,
+    one exchange pair) — not three scans."""
+    plan = get_plan(SPECS["agg_sketch_error_report"].fn(spark, sf_dir), "simple")
+    assert plan.count("FileScan") == 1, plan

@@ -185,6 +185,12 @@ AUDITED: dict[str, str] = {
     "sample_balanced_downsample": "literal top-500 bound -> WindowGroupLimit; scan-local integer priority",
     "dedup_phonetic_blocking": "soundex codegen over the token distinct; one block rollup + 1-row report",
     "agg_price_elasticity": "part broadcast; regr_slope/regr_r2 combinable aggregates on one brand exchange",
+    # wave-39 (round 5)
+    "cast_decimal_money": "exact decimal partials through one flag rollup; canonical-string totals",
+    "flows_prefix_rollup": "3 masked copies in one scan; WindowGroupLimit top-5 per level; integer masking",
+    "events_ab_contamination": "one user conditional-count rollup + 1-row audit",
+    "ts_hampel_outliers": "two stacked exact-percentile windows on the bounded days table",
+    "agg_sketch_error_report": "exact + both sketches in ONE FileScan (plan-pinned)",
 }
 
 
