@@ -5481,3 +5481,163 @@ def test_sketch_error_within_advertised_bounds(spark, sf_dir):
         assert got.loc[et, "exact"] == exact[et]
         assert got.loc[et, "err_rsd05_bp"] <= 3 * 0.05 * 10000
         assert got.loc[et, "err_rsd01_bp"] <= 3 * 0.01 * 10000
+
+
+# --- wave-40 (round 5) -------------------------------------------------------
+
+_WAVE40 = [
+    "events_recency_weighted_score",
+    "privacy_generalization_ladder",
+    "agg_pareto_8020",
+    "agg_median_of_means",
+    "stats_jarque_bera",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE40)
+def test_wave40_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-40 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_recency_score_matches_numpy(spark, sf_dir):
+    """Numpy replication of the decay scoring and the exact top-100."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["events_recency_weighted_score"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts"
+    ).toPandas()
+    t = ev.ts.astype("int64") // 1000
+    age_days = (t.max() - t) / 86400e6
+    ev["contrib"] = ev.value.fillna(0) * np.exp(-0.1 * age_days)
+    s = ev.groupby("user_id").agg(score=("contrib", "sum"), n=("contrib", "size"))
+    s["score"] = s.score.round(4)
+    want = s.sort_values(["score", "user_id"], ascending=[False, True]).head(100)
+    assert len(got) == min(100, len(s))
+    assert list(got.user_id) == list(want.index)
+    assert np.allclose(got.score, want.score, atol=1e-4)
+    assert (got.n_events.to_numpy() == want.n.to_numpy()).all()
+
+
+def test_generalization_ladder_minimality(spark, sf_dir):
+    """Minimality law: the chosen level satisfies k >= 10 and (when
+    level > 0) the next-finer level does NOT; days unresolvable even at
+    the coarsest level are absent from the output — pinned from a
+    pandas ladder replay."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["privacy_generalization_ladder"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ev["v"] = ev.value.fillna(-1000)
+    widths = {0: 50, 1: 100, 2: 200, 3: 400}
+    for day, g in ev.groupby("day"):
+        min_k = {
+            lvl: g.groupby((g.v // w).astype(int)).size().min()
+            for lvl, w in widths.items()
+        }
+        ok = [lvl for lvl in widths if min_k[lvl] >= 10]
+        if not ok:
+            assert day not in got.index, day
+            continue
+        lvl = min(ok)
+        row = got.loc[day]
+        assert row.chosen_level == lvl
+        assert row.min_group_size == min_k[lvl] >= 10
+        if lvl > 0:
+            assert min_k[lvl - 1] < 10  # minimality: finer level fails
+
+
+def test_pareto_8020_matches_pandas(spark, sf_dir):
+    """Pandas replication of the 80% crossing; the chosen user count is
+    the MINIMAL one (one user fewer covers < 80%)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["agg_pareto_8020"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["c"] = (p.value.fillna(0) * 100).apply(int)
+    u = p.groupby("user_id").c.sum().sort_values(ascending=False)
+    total = u.sum()
+    cum = u.cumsum()
+    k = int((cum * 10 >= total * 8).to_numpy().argmax()) + 1
+    assert row.n_users == len(u)
+    assert row.total_rev_c == total
+    assert row.users_for_80pct == k
+    assert cum.iloc[k - 1] * 10 >= total * 8
+    if k > 1:
+        assert cum.iloc[k - 2] * 10 < total * 8  # minimality
+    assert row.user_share_bp == 10000 * k // len(u)
+
+
+def test_median_of_means_robustness_property(spark, sf_dir):
+    """Numpy replication + THE property: poisoning one bucket's worth
+    of data moves MoM far less than the plain mean."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave40 import _MOM_MULT
+
+    row = SPECS["agg_median_of_means"].fn(spark, sf_dir).toPandas().iloc[0]
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    b = (o.o_orderkey.astype(object) * _MOM_MULT) % 4294967296 % 16
+    means = o.groupby(b.astype(int)).o_totalprice.mean()
+    assert row.n_buckets == len(means)
+    assert row.n_rows == len(o)
+    assert row.median_of_means == round(np.percentile(means, 50), 4)
+    assert abs(row.plain_mean - round(o.o_totalprice.mean(), 4)) <= 1e-3
+    # robustness: corrupt every row of ONE bucket with a huge outlier
+    x = o.o_totalprice.to_numpy().copy()
+    x[(b == 0).to_numpy()] = 1e9
+    mean_shift = abs(x.mean() - o.o_totalprice.mean())
+    mom_shift = abs(
+        np.percentile(
+            [x[(b == i).to_numpy()].mean() for i in range(16)], 50
+        )
+        - row.median_of_means
+    )
+    assert mom_shift < mean_shift / 100
+
+
+def test_jarque_bera_matches_numpy(spark, sf_dir):
+    """Numpy replication of population skew/kurtosis and JB; JB >= 0."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["stats_jarque_bera"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    for et, g in ev.groupby("event_type"):
+        x = g.value.to_numpy()
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        s = m3 / m2 ** 1.5
+        k = m4 / m2 ** 2 - 3
+        jb = len(x) / 6 * (s ** 2 + k ** 2 / 4)
+        row = got.loc[et]
+        assert row.n == len(x)
+        assert abs(row.skewness - round(s, 4)) <= 2e-4
+        assert abs(row.excess_kurtosis - round(k, 4)) <= 2e-4
+        assert abs(row.jb_stat - round(jb, 4)) <= 0.02
+        assert row.jb_stat >= 0

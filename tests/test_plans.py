@@ -1230,3 +1230,31 @@ def test_sketch_report_single_pass(spark, sf_dir):
     one exchange pair) — not three scans."""
     plan = get_plan(SPECS["agg_sketch_error_report"].fn(spark, sf_dir), "simple")
     assert plan.count("FileScan") == 1, plan
+
+
+def test_wave40_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-40 keys: audited Exchange budgets."""
+    budgets = {
+        # 1-row anchor broadcast + user agg + TakeOrderedAndProject
+        "events_recency_weighted_score": 3,
+        # 4-row level grid broadcast + (level,day,bucket) rollup +
+        # per-(level,day) minima + argmin window over the bounded mins
+        # table + order (a filter+join re-derived the pipeline)
+        "privacy_generalization_ladder": 5,
+        # user rollup + user-level rank/cumsum windows + 1-row report
+        "agg_pareto_8020": 4,
+        # one 16-group agg + 16-row arithmetic
+        "agg_median_of_means": 2,
+        # one power-sum agg + order
+        "stats_jarque_bera": 2,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_recency_score_take_ordered(spark, sf_dir):
+    """Top-100 must be TakeOrderedAndProject, not a global sort."""
+    plan = get_plan(SPECS["events_recency_weighted_score"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan

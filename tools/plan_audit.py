@@ -191,6 +191,12 @@ AUDITED: dict[str, str] = {
     "events_ab_contamination": "one user conditional-count rollup + 1-row audit",
     "ts_hampel_outliers": "two stacked exact-percentile windows on the bounded days table",
     "agg_sketch_error_report": "exact + both sketches in ONE FileScan (plan-pinned)",
+    # wave-40 (round 5)
+    "events_recency_weighted_score": "1-row data-MAX anchor broadcast; one user agg; TakeOrderedAndProject top-100",
+    "privacy_generalization_ladder": "4 ladder levels in one scan; argmin window over the bounded mins table",
+    "agg_pareto_8020": "user rollup first; integer cross-multiplied 80% crossing on user-level windows",
+    "agg_median_of_means": "deterministic hash buckets; one 16-group agg + 16-row arithmetic",
+    "stats_jarque_bera": "one pass of raw power sums; binomial central-moment expansion shared by both engines",
 }
 
 
