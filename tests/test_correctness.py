@@ -5641,3 +5641,147 @@ def test_jarque_bera_matches_numpy(spark, sf_dir):
         assert abs(row.excess_kurtosis - round(k, 4)) <= 2e-4
         assert abs(row.jb_stat - round(jb, 4)) <= 0.02
         assert row.jb_stat >= 0
+
+
+# --- wave-41 (round 5) -------------------------------------------------------
+
+_WAVE41 = [
+    "stats_bayes_shrunk_rates",
+    "stats_sprt_early_stop",
+    "text_burstiness_dispersion",
+    "ml_calibration_brier",
+    "agg_log_histogram",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE41)
+def test_wave41_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-41 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_bayes_shrinkage_pulls_toward_prior(spark, sf_dir):
+    """Shrinkage laws: every shrunk rate sits BETWEEN the raw rate and
+    the prior mean (within rounding), small-n users shrink more, and
+    the numpy method-of-moments replication agrees."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["stats_bayes_shrunk_rates"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select("user_id", "event_type").toPandas()
+    u = ev.groupby("user_id").event_type.agg(
+        n="size", k=lambda s: (s == "purchase").sum()
+    )
+    rates = u.k / u.n
+    mu, v = rates.mean(), rates.var(ddof=1)
+    alpha = mu * (mu * (1 - mu) / v - 1)
+    beta = (1 - mu) * (mu * (1 - mu) / v - 1)
+    shrunk = ((u.k + alpha) / (u.n + alpha + beta)).round(4)
+    raw = rates.round(4)
+    want = (
+        u.assign(s=shrunk, r=raw)
+        .sort_values(["s"], ascending=False, kind="stable")
+        .sort_values(["s"], ascending=False)
+    )
+    # exact top-50 with (shrunk desc, user_id) tiebreak
+    order = sorted(u.index, key=lambda uid: (-shrunk[uid], uid))[:50]
+    assert list(got.user_id) == order
+    for _, r in got.iterrows():
+        assert abs(r.shrunk_rate - shrunk[r.user_id]) <= 1e-4
+        lo, hi = sorted([raw[r.user_id], round(mu, 4)])
+        assert lo - 1e-4 <= r.shrunk_rate <= hi + 1e-4  # between raw and prior
+    assert np.isfinite(alpha) and alpha > 0 and beta > 0
+
+
+def test_sprt_matches_python_walk(spark, sf_dir):
+    """Python replay of the LLR walk: same stopping time, decision and
+    boundary value; the walk must NOT have exited earlier."""
+    import math
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_sprt_early_stop"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = (
+        _table(spark, sf_dir, "events").select("ts", "event_id", "event_type")
+        .toPandas().sort_values(["ts", "event_id"])
+    )
+    up, dn = math.log(0.25 / 0.20), math.log(0.75 / 0.80)
+    hi, lo = math.log(19.0), math.log(1 / 19.0)
+    llr, stop_t, stop_llr, decision = 0.0, None, None, None
+    for t, et in enumerate(ev.event_type, start=1):
+        llr += up if et == "purchase" else dn
+        if stop_t is None and (llr >= hi or llr <= lo):
+            stop_t, stop_llr = t, llr
+            decision = "accept_h1" if llr >= hi else "accept_h0"
+    assert row.n_total == len(ev)
+    assert row.stopped_at == stop_t
+    assert row.decision == decision
+    assert abs(row.llr_at_stop - round(stop_llr, 4)) <= 1e-4
+    assert row.stopped_at < row.n_total  # sequential saves samples here
+
+
+def test_burstiness_function_vs_topical(spark, sf_dir):
+    """Numpy replication incl. zero-count docs; dispersion >= 0; the
+    most corpus-even word has lower dispersion than the most-clumped
+    one among the top-30 (the signal exists)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["text_burstiness_dispersion"].fn(spark, sf_dir).toPandas()
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    n_docs = docs.doc_id.nunique()
+    for _, r in got.iterrows():
+        counts = docs.text.map(
+            lambda t: sum(1 for w in t.lower().split(" ") if w == r.word)
+        ).to_numpy(dtype=float)
+        assert counts.sum() == r.total
+        assert (counts > 0).sum() == r.docs_with
+        mean = counts.sum() / n_docs
+        var = ((counts ** 2).sum() - counts.sum() ** 2 / n_docs) / (n_docs - 1)
+        assert abs(r.dispersion - round(var / mean, 4)) <= 2e-4
+        assert r.dispersion >= 0
+    assert got.dispersion.min() < got.dispersion.max()
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Murphy identity: BS == REL - RES + UNC up to the within-bin
+    variance residual (continuous p inside bins); components sane."""
+    row = SPECS["ml_calibration_brier"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert 0 <= row.brier <= 1
+    assert row.reliability >= 0
+    assert row.resolution >= 0
+    assert 0 <= row.uncertainty <= 0.25
+    residual = row.brier - (row.reliability - row.resolution + row.uncertainty)
+    assert abs(residual) <= 0.02  # within-bin variance of p
+    assert row.resolution <= row.uncertainty + 1e-9  # RES <= UNC always
+
+
+def test_log_histogram_numpy_and_cumulative(spark, sf_dir):
+    """Numpy replication; shares sum to ~10000 bp; cum_bp ends at
+    10000 and is nondecreasing; bucket_lo = 10^decade."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_log_histogram"].fn(spark, sf_dir)
+        .toPandas().set_index("decade").sort_index()
+    )
+    o = _table(spark, sf_dir, "orders").select("o_totalprice").toPandas()
+    x = o.o_totalprice.to_numpy()
+    x = x[x > 0]
+    decades = np.floor(np.log10(x)).astype(int)
+    nn = len(decades)
+    for d in got.index:
+        n_d = (decades == d).sum()
+        assert got.loc[d, "n"] == n_d
+        assert got.loc[d, "bucket_lo"] == 10 ** d
+        assert got.loc[d, "share_bp"] == 10000 * n_d // nn
+    assert got.cum_bp.is_monotonic_increasing
+    assert got.cum_bp.iloc[-1] == 10000

@@ -1258,3 +1258,30 @@ def test_recency_score_take_ordered(spark, sf_dir):
     """Top-100 must be TakeOrderedAndProject, not a global sort."""
     plan = get_plan(SPECS["events_recency_weighted_score"].fn(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wave41_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-41 keys: audited Exchange budgets."""
+    budgets = {
+        # checkpointed user rollup + 1-row prior + TOAP top-50
+        "stats_bayes_shrunk_rates": 4,
+        # ordered LLR cumsum (sequential semantics) + 1-row stat
+        "stats_sprt_early_stop": 3,
+        # (word,doc) agg + 1-row n_docs + word moments + TOAP
+        "text_burstiness_dispersion": 5,
+        # checkpointed scored pass: 10-bin agg + bounded windows +
+        # 1-row brier sibling
+        "ml_calibration_brier": 5,
+        # <=20-group agg + bounded bucket windows + order
+        "agg_log_histogram": 4,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_shrunk_rates_take_ordered(spark, sf_dir):
+    """Top-50 must be TakeOrderedAndProject."""
+    plan = get_plan(SPECS["stats_bayes_shrunk_rates"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -197,6 +197,12 @@ AUDITED: dict[str, str] = {
     "agg_pareto_8020": "user rollup first; integer cross-multiplied 80% crossing on user-level windows",
     "agg_median_of_means": "deterministic hash buckets; one 16-group agg + 16-row arithmetic",
     "stats_jarque_bera": "one pass of raw power sums; binomial central-moment expansion shared by both engines",
+    # wave-41 (round 5)
+    "stats_bayes_shrunk_rates": "checkpointed user rollup + 1-row MoM prior broadcast; TOAP top-50",
+    "stats_sprt_early_stop": "one ordered LLR cumsum; min_by on first decided t extracts the boundary state",
+    "text_burstiness_dispersion": "(word,doc) agg; zero-docs via closed-form moments; TOAP top-30",
+    "ml_calibration_brier": "checkpointed scored pass; 10-bin decomposition + 1-row brier sibling",
+    "agg_log_histogram": "scan-local decade codegen; shares from windows over the bucket table",
 }
 
 
