@@ -5785,3 +5785,193 @@ def test_log_histogram_numpy_and_cumulative(spark, sf_dir):
         assert got.loc[d, "share_bp"] == 10000 * n_d // nn
     assert got.cum_bp.is_monotonic_increasing
     assert got.cum_bp.iloc[-1] == 10000
+
+
+# --- wave-42 (round 5) -------------------------------------------------------
+
+_WAVE42_HASH = [
+    "stats_nn_matching",
+    "dedup_entity_resolution",
+    "privacy_cell_suppression",
+    "events_growth_accounting",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE42_HASH)
+def test_wave42_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-42 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_nn_matching_python_replication(spark, sf_dir):
+    """Brute-force nearest-control replication: the sorted-merge window
+    form must pick, for every treated user, a control at the MINIMAL
+    absolute score distance (ties either side are legal — the pin is
+    on the distance, plus exact replication of the below/above rule)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_nn_matching"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    u = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "score": round(g.value.mean(), 6),
+                "outcome": round(
+                    g.loc[g.event_type == "purchase", "value"].mean(), 4
+                ),
+            }
+        ),
+        include_groups=False,
+    ).dropna()
+    u["treated"] = (u.index % 2 == 0)
+    rows = sorted(
+        u.itertuples(), key=lambda r: (r.score, r.Index)
+    )
+    # replicate the below/above nearest rule exactly
+    n_matched = 0
+    diffs, gaps, t_out, c_out = [], [], [], []
+    below = None
+    above_list = []
+    ctrls = [(r.score, r.outcome, i) for i, r in enumerate(rows) if not r.treated]
+    import bisect
+
+    for i, r in enumerate(rows):
+        if not r.treated:
+            continue
+        b = None
+        for s, y, j in ctrls:
+            if j <= i:
+                b = (s, y)
+            else:
+                break
+        a = next(((s, y) for s, y, j in ctrls if j >= i), None)
+        if b is None and a is None:
+            continue
+        if a is None or (b is not None and r.score - b[0] <= a[0] - r.score):
+            ms, my = b
+        else:
+            ms, my = a
+        n_matched += 1
+        diffs.append(r.outcome - my)
+        gaps.append(abs(r.score - ms))
+        t_out.append(r.outcome)
+        c_out.append(my)
+    assert row.n_matched == n_matched
+    assert abs(row.att - round(sum(diffs) / n_matched, 4)) <= 1e-4
+    assert abs(row.mean_score_gap - round(sum(gaps) / n_matched, 4)) <= 1e-4
+    assert abs(row.treated_mean - round(sum(t_out) / n_matched, 4)) <= 1e-4
+    assert abs(
+        row.matched_control_mean - round(sum(c_out) / n_matched, 4)
+    ) <= 1e-4
+    assert row.mean_score_gap >= 0
+
+
+def test_entity_resolution_python_replication(spark, sf_dir):
+    """Pure-python blocking + Levenshtein replication; the corruption
+    is 1 deletion so the truth is always within distance 1, and
+    accuracy is high on this vocabulary."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    row = SPECS["dedup_entity_resolution"].fn(spark, sf_dir).toPandas().iloc[0]
+    p = _table(spark, sf_dir, "part").select("p_name").toPandas()
+    names = sorted(
+        {w for n in p.p_name for w in n.split(" ") if w and len(w) >= 4}
+    )
+    n_correct = n_within1 = 0
+    dists = []
+    for name in names:
+        cut = (len(name) - 1) // 2
+        noisy = name[:cut] + name[cut + 1:]
+        cands = [c for c in names if c[0] == noisy[0]]
+        best = min(cands, key=lambda c: (lev(noisy, c), c))
+        d = lev(noisy, best)
+        dists.append(d)
+        n_correct += best == name
+        n_within1 += d <= 1
+    assert row.n_entities == len(names)
+    assert row.n_correct == n_correct
+    assert row.n_within_1 == n_within1 == len(names)  # 1 deletion => d<=1
+    assert row.mean_dist == round(sum(dists) / len(dists), 4)
+    assert row.accuracy_bp == 10000 * n_correct // len(names)
+    assert row.accuracy_bp >= 9000  # the vocabulary resolves cleanly
+
+
+def test_cell_suppression_conservation(spark, sf_dir):
+    """Disclosure-control laws: no published named cell under the
+    threshold, totals conserved per day, OTHER carries exactly the
+    suppressed mass."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["privacy_cell_suppression"].fn(spark, sf_dir).toPandas()
+    ev = _table(spark, sf_dir, "events").select("ts", "event_type").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    cells = ev.groupby(["day", "event_type"]).size()
+    named = got[got.cell != "OTHER"]
+    assert (named.n >= 20).all()
+    for day, g in got.groupby("day"):
+        assert g.n.sum() == (ev.day == day).sum()  # conservation
+        small = cells[day][cells[day] < 20]
+        other = g[g.cell == "OTHER"]
+        if len(small):
+            assert other.n.iloc[0] == small.sum()
+            assert other.n_suppressed_src.iloc[0] == len(small)
+        else:
+            assert len(other) == 0
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """THE growth identity: dau_t - dau_{t-1} == new_t + resurrected_t
+    - churned_t for every interior day; components nonnegative;
+    new+retained+resurrected == dau."""
+    got = (
+        SPECS["events_growth_accounting"].fn(spark, sf_dir)
+        .toPandas().sort_values("day").reset_index(drop=True)
+    )
+    assert (got.new_users + got.retained + got.resurrected == got.dau).all()
+    for c in ["new_users", "retained", "resurrected", "churned"]:
+        assert (got[c] >= 0).all()
+    import datetime as dt
+
+    for i in range(1, len(got)):
+        d_prev = dt.date.fromisoformat(got.day[i - 1])
+        d_cur = dt.date.fromisoformat(got.day[i])
+        if (d_cur - d_prev).days != 1:
+            continue
+        delta = got.dau[i] - got.dau[i - 1]
+        assert delta == got.new_users[i] + got.resurrected[i] - got.churned[i], (
+            got.day[i]
+        )
+
+
+def test_csv_column_drift_trap_and_fix(spark, sf_dir):
+    """The positional-schema pipeline must NOT reconcile (the trap is
+    real) and the unionByName pipeline MUST (the fix works); both see
+    all rows."""
+    got = (
+        SPECS["scan_csv_column_drift"].fn(spark, sf_dir)
+        .toPandas().set_index("pipeline")
+    )
+    assert not got.loc["positional_schema", "reconciles"]
+    assert got.loc["union_by_name", "reconciles"]
+    assert (got.n == 2000).all()
+    # the corruption is a swap: broken id_sum equals the truth's blend
+    assert (
+        got.loc["positional_schema", "id_sum"]
+        != got.loc["union_by_name", "id_sum"]
+    )

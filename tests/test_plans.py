@@ -1285,3 +1285,30 @@ def test_shrunk_rates_take_ordered(spark, sf_dir):
     """Top-50 must be TakeOrderedAndProject."""
     plan = get_plan(SPECS["stats_bayes_shrunk_rates"].fn(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wave42_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-42 keys: audited Exchange budgets."""
+    budgets = {
+        # user rollup + user-level sorted-merge windows + 1-row report
+        "stats_nn_matching": 4,
+        # checkpointed token distinct + blocked candidate join + argmin
+        # window + resolve join + 1-row report
+        "dedup_entity_resolution": 7,
+        # cell rollup + fold rollup + order
+        "privacy_cell_suppression": 3,
+        # checkpointed (user,day) distinct + ONE checkpointed window
+        # pass read by classification AND churn + day rollups + order
+        "events_growth_accounting": 6,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_nn_matching_no_pair_join(spark, sf_dir):
+    """1-D nearest neighbor must be the sorted-merge window form —
+    no treated x control join anywhere in the plan."""
+    plan = get_plan(SPECS["stats_nn_matching"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan

@@ -203,6 +203,12 @@ AUDITED: dict[str, str] = {
     "text_burstiness_dispersion": "(word,doc) agg; zero-docs via closed-form moments; TOAP top-30",
     "ml_calibration_brier": "checkpointed scored pass; 10-bin decomposition + 1-row brier sibling",
     "agg_log_histogram": "scan-local decade codegen; shares from windows over the bucket table",
+    # wave-42 (round 5)
+    "stats_nn_matching": "score-sorted merge windows (last-below/first-above IGNORE NULLS); no pair join",
+    "dedup_entity_resolution": "first-letter blocked candidate join; per-string argmin window; codegen levenshtein",
+    "privacy_cell_suppression": "cell rollup then fold rollup; all-integer conservation",
+    "events_growth_accounting": "ONE checkpointed window pass classifies all statuses incl. churn; no anti-join",
+    "scan_csv_column_drift": "per-batch header reads + unionByName (plan-level column alignment)",
 }
 
 
