@@ -5975,3 +5975,143 @@ def test_csv_column_drift_trap_and_fix(spark, sf_dir):
         got.loc["positional_schema", "id_sum"]
         != got.loc["union_by_name", "id_sum"]
     )
+
+
+# --- wave-43 (round 5) -------------------------------------------------------
+
+_WAVE43 = [
+    "text_pmi_collocations",
+    "flows_billing_95th",
+    "events_adoption_curve",
+    "ts_mann_kendall",
+    "dedup_provenance_split",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE43)
+def test_wave43_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-43 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_pmi_matches_python_and_sign(spark, sf_dir):
+    """Pure-python PMI replication from document sets; the top pair's
+    joint count exceeds the independence expectation (positive PMI)."""
+    import math
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["text_pmi_collocations"].fn(spark, sf_dir).toPandas()
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    sets = {r.doc_id: set(w for w in r.text.lower().split(" ") if w)
+            for r in docs.itertuples()}
+    n = len(sets)
+    from collections import Counter
+
+    wc = Counter(w for s in sets.values() for w in s)
+    pc = Counter()
+    for s in sets.values():
+        ws = sorted(s)
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                pc[(ws[i], ws[j])] += 1
+    for _, r in got.iterrows():
+        c12 = pc[(r.w1, r.w2)]
+        assert r.c12 == c12 >= 20
+        pmi = math.log(c12 * n / (wc[r.w1] * wc[r.w2]))
+        assert abs(r.pmi - round(pmi, 4)) <= 2e-4
+    # exact top-20 ordering
+    scored = sorted(
+        (
+            (round(math.log(c * n / (wc[a] * wc[b])), 4), a, b)
+            for (a, b), c in pc.items()
+            if c >= 20
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    assert [(a, b) for _, a, b in scored] == list(zip(got.w1, got.w2))
+
+
+def test_billing_95th_laws(spark, sf_dir):
+    """Billing laws: p95 <= peak; headroom = peak - p95 >= 0; numpy
+    percentile replication per customer."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["flows_billing_95th"].fn(spark, sf_dir)
+        .toPandas().set_index("customer").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    ).toPandas()
+    ev["customer"] = "10.0." + (ev.user_id % 10).astype(str)
+    ev["b10"] = ev.ts.astype("int64") // 1000 // 600000000
+    ev["bytes"] = (ev.value.fillna(0) * 1000).apply(int)
+    s = ev.groupby(["customer", "b10"]).bytes.sum()
+    for cust, g in s.groupby(level="customer"):
+        v = g.to_numpy()
+        row = got.loc[cust]
+        assert row.n_samples == len(v)
+        assert row.total_bytes == v.sum()
+        assert abs(row.p95_bytes - round(np.percentile(v, 95), 4)) <= 1e-4
+        assert row.peak_bytes == v.max()
+        assert row.p95_bytes <= row.peak_bytes
+        assert row.burst_headroom >= 0
+
+
+def test_adoption_curve_laws(spark, sf_dir):
+    """Adoption laws: cum is nondecreasing, final adoption_bp == 10000
+    per type, Σ new == final cum, and cum == running Σ new."""
+    got = (
+        SPECS["events_adoption_curve"].fn(spark, sf_dir)
+        .toPandas().sort_values(["event_type", "day"])
+    )
+    for et, g in got.groupby("event_type"):
+        assert g.cum_adopters.is_monotonic_increasing
+        assert g.adoption_bp.iloc[-1] == 10000
+        assert (g.new_adopters.cumsum() == g.cum_adopters).all()
+        assert g.new_adopters.sum() == g.cum_adopters.iloc[-1]
+
+
+def test_mann_kendall_matches_python_pairs(spark, sf_dir):
+    """Brute-force pair replication of S, the no-ties variance, z, and
+    Kendall tau; |tau| <= 1."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["ts_mann_kendall"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy()
+    )
+    n = len(daily)
+    s = sum(
+        (1 if daily[j] > daily[i] else -1 if daily[j] < daily[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    var_s = n * (n - 1) * (2 * n + 5) / 18
+    z = (s - 1) / var_s ** 0.5 if s > 0 else (s + 1) / var_s ** 0.5 if s < 0 else 0.0
+    assert row.n_days == n
+    assert row.s_stat == s
+    assert row.var_s == round(var_s, 4)
+    assert abs(row.z - round(z, 4)) <= 1e-4
+    assert row.kendall_tau == round(2 * s / (n * (n - 1)), 4)
+    assert abs(row.kendall_tau) <= 1
+
+
+def test_provenance_split_reconciles(spark, sf_dir):
+    """within + cross == total pairs; total equals the J>=0.3 pair
+    count from dedup_ngram_jaccard (same core, same threshold)."""
+    row = SPECS["dedup_provenance_split"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert row.within_source + row.cross_source == row.n_pairs
+    base = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).count()
+    assert row.n_pairs == base
+    if row.n_pairs:
+        assert row.within_bp == 10000 * row.within_source // row.n_pairs

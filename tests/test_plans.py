@@ -1312,3 +1312,34 @@ def test_nn_matching_no_pair_join(spark, sf_dir):
     no treated x control join anywhere in the plan."""
     plan = get_plan(SPECS["stats_nn_matching"].fn(spark, sf_dir), "simple")
     assert "Join" not in plan, plan
+
+
+def test_wave43_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-43 keys: audited Exchange budgets."""
+    budgets = {
+        # checkpointed (doc,word) distinct + checkpointed marginals +
+        # doc-keyed pair self-join + pair agg + count-distinct 2-phase
+        # + broadcasts + TOAP — every exchange reads bounded tables
+        "text_pmi_collocations": 7,
+        # (customer,bucket) rollup + customer percentile agg + order
+        "flows_billing_95th": 3,
+        # (type,user) firsts + (type,day) rollup + curve windows + order
+        "events_adoption_curve": 4,
+        # day-grain agg (checkpointed) + bounded pair join + 1-row stat
+        "ts_mann_kendall": 3,
+        # shared shingle-pair core (2 bounded shuffles + parallelism
+        # gate) + two source-dim broadcasts + 1-row report
+        "dedup_provenance_split": 6,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_pmi_marginals_broadcast(spark, sf_dir):
+    """Word marginals must broadcast onto the pair table — a shuffled
+    join there would move the pair table twice."""
+    plan = get_plan(SPECS["text_pmi_collocations"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

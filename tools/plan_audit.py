@@ -209,6 +209,12 @@ AUDITED: dict[str, str] = {
     "privacy_cell_suppression": "cell rollup then fold rollup; all-integer conservation",
     "events_growth_accounting": "ONE checkpointed window pass classifies all statuses incl. churn; no anti-join",
     "scan_csv_column_drift": "per-batch header reads + unionByName (plan-level column alignment)",
+    # wave-43 (round 5)
+    "text_pmi_collocations": "doc-keyed presence-pair self-join on the checkpointed distinct; marginals broadcast; TOAP",
+    "flows_billing_95th": "(customer,bucket) integer rollup; exact per-customer percentile; two exchanges",
+    "events_adoption_curve": "firsts agg -> bounded curve table; cumulative windows; totals from a window",
+    "ts_mann_kendall": "bounded daily self-join over a checkpointed day-grain agg; integer signs",
+    "dedup_provenance_split": "shared shingle-pair core; source dims broadcast onto qualifying pairs only",
 }
 
 
