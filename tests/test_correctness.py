@@ -6115,3 +6115,135 @@ def test_provenance_split_reconciles(spark, sf_dir):
     assert row.n_pairs == base
     if row.n_pairs:
         assert row.within_bp == 10000 * row.within_source // row.n_pairs
+
+
+# --- wave-44 (round 5) -------------------------------------------------------
+
+_WAVE44 = [
+    "scan_fixed_width",
+    "str_kv_parse",
+    "dedup_lsh_scurve",
+    "ts_index_rebase",
+    "flows_elephant_mice",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE44)
+def test_wave44_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-44 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_fixed_width_roundtrip_exact(spark, sf_dir):
+    """The fixed-width round-trip must conserve ids and cents exactly
+    against the parquet source."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["scan_fixed_width"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).toPandas()
+    ev = ev[ev.event_id < 5000]
+    ev["cents"] = (ev.value.fillna(0) * 100).apply(int)
+    for et, g in ev.groupby("event_type"):
+        row = got.loc[et]
+        assert row.n == len(g)
+        assert row.id_sum == g.event_id.sum()
+        assert row.cents_sum == g.cents.sum()
+
+
+def test_kv_parse_python_replication(spark, sf_dir):
+    """Python dict-parse replication of the logfmt round-trip."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["str_kv_parse"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    ).toPandas()
+    ev = ev[ev.event_id < 5000]
+    ev["cents"] = (ev.value.fillna(0) * 100).apply(int)
+    for et, g in ev.groupby("event_type"):
+        line_fields = [
+            dict(kv.split("=") for kv in f"type={r.event_type} uid={r.user_id} cents={r.cents}".split(" "))
+            for r in g.itertuples()
+        ]
+        row = got.loc[et]
+        assert row.n == len(line_fields)
+        assert row.n_users == len({d["uid"] for d in line_fields})
+        assert row.cents_sum == sum(int(d["cents"]) for d in line_fields)
+
+
+def test_lsh_scurve_math_and_shape(spark, sf_dir):
+    """Closed-form replication; S-curve laws: monotone in J, the
+    recall-leaning config (32x4) dominates the precision-leaning one
+    (8x16) at every J, and the 0.5-crossing approximates (1/b)^(1/r)."""
+    got = SPECS["dedup_lsh_scurve"].fn(spark, sf_dir).toPandas()
+    for _, r in got.iterrows():
+        want = 1 - (1 - r.jaccard ** r.rows_per) ** r.bands
+        assert abs(r.p_detect - round(want, 4)) <= 1e-4
+        assert 0 <= r.p_detect <= 1
+    for (b, rp), g in got.groupby(["bands", "rows_per"]):
+        g = g.sort_values("jaccard")
+        assert g.p_detect.is_monotonic_increasing
+        thr = (1 / b) ** (1 / rp)
+        crossing = g[g.p_detect >= 0.5].jaccard.min()
+        assert abs(crossing - thr) <= 0.1, (b, rp)
+    wide = got.pivot(index="jaccard", columns="bands", values="p_detect")
+    assert (wide[32] >= wide[8] - 1e-9).all()  # recall config dominates
+
+
+def test_index_rebase_laws(spark, sf_dir):
+    """Day-1 == 100 exactly per series; values positive; pandas
+    replication."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["ts_index_rebase"].fn(spark, sf_dir)
+        .toPandas().sort_values(["event_type", "day"])
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ev["cents"] = (ev.value.fillna(0) * 100).apply(int)
+    daily = ev.groupby(["event_type", "day"]).cents.sum()
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("day")
+        assert g.index_100.iloc[0] == 100.0
+        base = daily[et][g.day.iloc[0]]
+        for _, r in g.iterrows():
+            assert r.index_100 == round(100.0 * daily[et][r.day] / base, 4)
+            assert r.index_100 > 0
+
+
+def test_elephant_mice_heavy_tail_fact(spark, sf_dir):
+    """Conservation of flows and bytes across classes + the heavy-tail
+    fact itself: the mouse class has a larger flow share than byte
+    share, elephants the reverse (when both classes exist)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["flows_elephant_mice"].fn(spark, sf_dir)
+        .toPandas().set_index("cls")
+    )
+    ev = _table(spark, sf_dir, "events").select("value").toPandas()
+    ibyt = (ev.value.fillna(0) * 1000).apply(int)
+    ibyt = ibyt[ev.value.fillna(0) > 0]
+    assert got.n_flows.sum() == len(ibyt)
+    assert got.bytes.sum() == ibyt.sum()
+    if "mouse" in got.index and "elephant" in got.index:
+        assert got.loc["mouse", "flow_share_bp"] >= got.loc["mouse", "byte_share_bp"]
+        assert (
+            got.loc["elephant", "byte_share_bp"]
+            >= got.loc["elephant", "flow_share_bp"]
+        )

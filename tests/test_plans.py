@@ -1343,3 +1343,23 @@ def test_pmi_marginals_broadcast(spark, sf_dir):
     plan = get_plan(SPECS["text_pmi_collocations"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wave44_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-44 keys: audited Exchange budgets."""
+    budgets = {
+        # text write + line-split read + rollup + order
+        "scan_fixed_width": 3,
+        # str_to_map codegen + rollup (2-phase distinct) + order
+        "str_kv_parse": 4,
+        # 3x19 literal grid, broadcast cross + order only
+        "dedup_lsh_scurve": 2,
+        # day-grain agg + per-type FIRST_VALUE window + order
+        "ts_index_rebase": 3,
+        # 3-group agg + 3-row share windows + order
+        "flows_elephant_mice": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

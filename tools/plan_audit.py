@@ -215,6 +215,12 @@ AUDITED: dict[str, str] = {
     "events_adoption_curve": "firsts agg -> bounded curve table; cumulative windows; totals from a window",
     "ts_mann_kendall": "bounded daily self-join over a checkpointed day-grain agg; integer signs",
     "dedup_provenance_split": "shared shingle-pair core; source dims broadcast onto qualifying pairs only",
+    # wave-44 (round 5)
+    "scan_fixed_width": "lpad render + substring parse, both codegen; line-split read parallelizes",
+    "str_kv_parse": "str_to_map one-expression field map; typed element_at access",
+    "dedup_lsh_scurve": "pure arithmetic over a 3x19 literal grid; zero table input by design",
+    "ts_index_rebase": "integer day agg + per-type FIRST_VALUE window",
+    "flows_elephant_mice": "scan-local classing; 3-group agg; shares from 3-row windows",
 }
 
 
