@@ -96,6 +96,8 @@ from . import wave43  # noqa: F401  (r5: PMI collocations, 95th billing,
 #   adoption curves, Mann-Kendall, dedup provenance)
 from . import wave44  # noqa: F401  (r5: fixed-width scan, kv parse,
 #   LSH S-curve, index rebase, elephant/mice)
+from . import wave45  # noqa: F401  (r5: embedding drift, Breusch-Pagan,
+#   scan taxonomy, seasonality strength, daily Gini)
 from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos
 #   incl. the stream_state_reader full-lifecycle demo — rides the same
 #   expensive tail as wave15/scans)

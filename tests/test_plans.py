@@ -1363,3 +1363,24 @@ def test_wave44_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave45_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-45 keys: audited Exchange budgets."""
+    budgets = {
+        # posexplode + (label,half,dim) agg + bounded pair join + order
+        "emb_centroid_drift": 5,
+        # two 1-row moment passes + beta broadcast
+        "stats_breusch_pagan": 3,
+        # checkpointed synthesis + two distinct-count aggs (each
+        # 2-phase) + their 1-row summaries + cross
+        "flows_scan_taxonomy": 9,
+        # day agg + bounded decomposition windows + 1-row variance pass
+        "ts_seasonality_strength": 5,
+        # (day,user) rollup + day-partitioned rank windows + day agg
+        "agg_gini_daily_trend": 3,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

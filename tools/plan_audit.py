@@ -221,6 +221,12 @@ AUDITED: dict[str, str] = {
     "dedup_lsh_scurve": "pure arithmetic over a 3x19 literal grid; zero table input by design",
     "ts_index_rebase": "integer day agg + per-type FIRST_VALUE window",
     "flows_elephant_mice": "scan-local classing; 3-group agg; shares from 3-row windows",
+    # wave-45 (round 5)
+    "emb_centroid_drift": "one posexplode agg to 2*k*64 rows; pairing/norms on the bounded table",
+    "stats_breusch_pagan": "two 1-row moment passes; betas broadcast back; expansion-form aux R2",
+    "flows_scan_taxonomy": "checkpointed synthesis feeds both 2-phase distinct-count axes",
+    "ts_seasonality_strength": "one day-grain agg; decomposition + variance on the bounded day table",
+    "agg_gini_daily_trend": "day-partitioned rank windows (many partitions - the healthy window case)",
 }
 
 
