@@ -49,7 +49,6 @@ from . import wave19  # noqa: F401  (r4: interval-overlap join, ANOVA,
 #   multiline-quoted CSV robustness)
 from . import wave20  # noqa: F401  (r4: CUPED variance reduction +
 #   freshness SLA)
-from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode)
 from . import wave22  # noqa: F401  (r5: flow stitching, URL dedup, rank
 #   stats, perplexity filter, DP release)
 from . import wave23  # noqa: F401  (r5: spatial grid join, forecast
@@ -98,6 +97,10 @@ from . import wave44  # noqa: F401  (r5: fixed-width scan, kv parse,
 #   LSH S-curve, index rebase, elephant/mice)
 from . import wave45  # noqa: F401  (r5: embedding drift, Breusch-Pagan,
 #   scan taxonomy, seasonality strength, daily Gini)
+from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode +
+#   its STREAMING source — hosts a stream_* lifecycle demo, so it rides
+#   the expensive tail; RULE for future waves: any module registering a
+#   stream_* key goes in this tail block, never mid-list)
 from . import wave9  # noqa: F401  (hash keys + pricier rows-only demos
 #   incl. the stream_state_reader full-lifecycle demo — rides the same
 #   expensive tail as wave15/scans)
