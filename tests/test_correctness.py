@@ -6412,3 +6412,176 @@ def test_daily_gini_matches_numpy(spark, sf_dir):
         assert row.n_buyers == n
         assert abs(row.gini - round(gini, 4)) <= 1e-4
         assert 0 <= row.gini < 1
+
+
+# --- wave-46 (round 5) -------------------------------------------------------
+
+_WAVE46 = [
+    "events_best_send_hour",
+    "stats_ljung_box",
+    "agg_hurst_exponent",
+    "join_interval_overlap_duration",
+    "stats_mcnemar",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE46)
+def test_wave46_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-46 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_best_send_hour_pandas(spark, sf_dir):
+    """Pandas argmax replication; user counts conserve."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_best_send_hour"].fn(spark, sf_dir)
+        .toPandas().set_index("best_hour").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    ev["hour"] = ev.ts.dt.hour
+    uh = ev.groupby(["user_id", "hour"]).size().rename("c").reset_index()
+    best = {}
+    for uid, g in uh.groupby("user_id"):
+        g = g.sort_values(["c", "hour"], ascending=[False, True])
+        best[uid] = (g.hour.iloc[0], g.c.iloc[0])
+    import collections
+
+    dist = collections.Counter(h for h, _ in best.values())
+    assert got.n_users.sum() == len(best)
+    for h in got.index:
+        assert got.loc[h, "n_users"] == dist[h]
+        cs = [c for hh, c in best.values() if hh == h]
+        assert got.loc[h, "mean_events_at_best"] == round(sum(cs) / len(cs), 4)
+
+
+def test_ljung_box_matches_numpy(spark, sf_dir):
+    """Numpy replication of the 5-lag ACF and Q; Q >= 0; rho1 agrees
+    with ts_autocorr's lag-1 estimator family (same s0 denominator)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_ljung_box"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    n = len(daily)
+    mu = daily.mean()
+    s0 = ((daily - mu) ** 2).sum()
+    q = 0.0
+    for k in range(1, 6):
+        sk = ((daily[k:] - mu) * (daily[:-k] - mu)).sum()
+        q += (sk / s0) ** 2 / (n - k)
+        if k == 1:
+            assert abs(row.rho1 - round(sk / s0, 4)) <= 1e-4
+    q *= n * (n + 2)
+    assert row.n_days == n
+    assert abs(row.lb_stat - round(q, 4)) <= 2e-3
+    assert row.lb_stat >= 0 and row.df == 5
+
+
+def test_hurst_matches_numpy_rs(spark, sf_dir):
+    """Numpy R/S replication (population SD, same chunk rule); H in a
+    sane band (0, 1.2)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["agg_hurst_exponent"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    xs, ys = [], []
+    used = 0
+    for sz in (5, 10, 15):
+        rss = []
+        for c0 in range(0, len(daily) - sz + 1, sz):
+            w = daily[c0 : c0 + sz]
+            if len(w) < sz:
+                continue
+            s = w.std(ddof=0)
+            if s == 0:
+                continue
+            dev = np.cumsum(w - w.mean())
+            rss.append((dev.max() - dev.min()) / s)
+        if rss:
+            xs.append(np.log(sz))
+            ys.append(np.log(np.mean(rss)))
+            used += len(rss)
+    h = np.polyfit(xs, ys, 1)[0]
+    assert row.n_days == len(daily)
+    assert row.n_chunks_used == used
+    assert abs(row.hurst - round(h, 4)) <= 2e-4
+    assert 0 < row.hurst < 1.2
+
+
+def test_overlap_duration_pandas(spark, sf_dir):
+    """Pandas replication of the closed-form overlap; overlap_hours is
+    bounded by 4h x n_overlapping (two 2h windows)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["join_interval_overlap_duration"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    ev["t"] = ev.ts.astype("int64") // 1000
+    sess = ev.groupby(["user_id", "day"]).t.agg(["min", "max"]).reset_index()
+    sess = sess[sess["min"] < sess["max"]]
+    for day, g in sess.groupby("day"):
+        day0 = day.value // 1000  # µs midnight
+        tot = 0
+        n_olap = 0
+        for _, r in g.iterrows():
+            for h in (3, 14):
+                w0, w1 = day0 + h * 3600e6, day0 + (h + 2) * 3600e6
+                ov = max(0, min(r["max"], w1) - max(r["min"], w0))
+                tot += ov
+                n_olap += ov > 0
+        key = day.strftime("%Y-%m-%d")
+        row = got.loc[key]
+        assert row.n_pairs == 2 * len(g)
+        assert row.n_overlapping == n_olap
+        assert abs(row.overlap_hours - round(tot / 3600e6, 4)) <= 1e-4
+        assert row.overlap_hours <= 4.0 * len(g) + 1e-9
+
+
+def test_mcnemar_cells_and_statistic(spark, sf_dir):
+    """Pandas replication; cells partition the subjects; the statistic
+    uses only discordants."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_mcnemar"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    ).toPandas()
+    g = ev.groupby("user_id").apply(
+        lambda d: pd.Series(
+            {
+                "a": ((d.event_type == "purchase") & (d.event_id % 2 == 0)).any(),
+                "b": ((d.event_type == "purchase") & (d.event_id % 2 == 1)).any(),
+            }
+        ),
+        include_groups=False,
+    )
+    both = (g.a & g.b).sum()
+    oa = (g.a & ~g.b).sum()
+    ob = (~g.a & g.b).sum()
+    nei = (~g.a & ~g.b).sum()
+    assert (row.both_halves, row.only_a, row.only_b, row.neither) == (
+        both, oa, ob, nei
+    )
+    assert row.n_subjects == both + oa + ob + nei
+    want = 0.0 if oa + ob == 0 else (abs(oa - ob) - 1) ** 2 / (oa + ob)
+    assert row.mcnemar_chi2 == round(want, 4)

@@ -1384,3 +1384,30 @@ def test_wave45_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave46_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-46 keys: audited Exchange budgets."""
+    budgets = {
+        # (user,hour) rollup + WGL argmax window + 24-group summary
+        "events_best_send_hour": 4,
+        # day agg + 1-row mean cross + one 5-lag ACF aggregate
+        "stats_ljung_box": 4,
+        # checkpointed day table + chunk aggs/windows + <=3-row regr
+        "agg_hurst_exponent": 6,
+        # checkpointed session agg + day-grid distinct + broadcast
+        # window grid + day rollup + order
+        "join_interval_overlap_duration": 5,
+        # one user rollup + 1-row cells
+        "stats_mcnemar": 2,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_best_send_hour_window_group_limit(spark, sf_dir):
+    """The per-user argmax must prune via WindowGroupLimit."""
+    plan = get_plan(SPECS["events_best_send_hour"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan

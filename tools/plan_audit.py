@@ -227,6 +227,12 @@ AUDITED: dict[str, str] = {
     "flows_scan_taxonomy": "checkpointed synthesis feeds both 2-phase distinct-count axes",
     "ts_seasonality_strength": "one day-grain agg; decomposition + variance on the bounded day table",
     "agg_gini_daily_trend": "day-partitioned rank windows (many partitions - the healthy window case)",
+    # wave-46 (round 5)
+    "events_best_send_hour": "(user,hour) rollup; WGL argmax on <=24-row partitions; bounded summary",
+    "stats_ljung_box": "five ACF numerators in ONE aggregate over the checkpointed lag-projected day table",
+    "agg_hurst_exponent": "integer chunking on the checkpointed day index; regr_slope over <=3 points",
+    "join_interval_overlap_duration": "closed-form overlap inside a day-keyed equi-join; broadcast window grid",
+    "stats_mcnemar": "one user conditional rollup + 1-row cells; all-integer",
 }
 
 
