@@ -6585,3 +6585,156 @@ def test_mcnemar_cells_and_statistic(spark, sf_dir):
     assert row.n_subjects == both + oa + ob + nei
     want = 0.0 if oa + ob == 0 else (abs(oa - ob) - 1) ** 2 / (oa + ob)
     assert row.mcnemar_chi2 == round(want, 4)
+
+
+# --- wave-47 (round 5) -------------------------------------------------------
+
+_WAVE47 = [
+    "text_flesch_reading_ease",
+    "flows_unidirectional_ratio",
+    "events_anomaly_deseasonalized",
+    "stats_capture_recapture",
+    "stats_cochran_armitage",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE47)
+def test_wave47_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-47 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_flesch_python_replication(spark, sf_dir):
+    """re-based python replication of the heuristic per language."""
+    import re
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["text_flesch_reading_ease"].fn(spark, sf_dir)
+        .toPandas().set_index("lang").sort_index()
+    )
+    docs = _table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    for lang, g in docs.groupby("lang"):
+        fres = []
+        for t in g.text:
+            nw = len([w for w in t.split(" ") if w])
+            if nw == 0:
+                continue
+            ns = max(len([s for s in re.split(r"[.!?]+", t) if s.strip()]), 1)
+            sy = max(len(re.findall(r"[aeiouy]+", t.lower())), 1)
+            fres.append(206.835 - 1.015 * nw / ns - 84.6 * sy / nw)
+        row = got.loc[lang]
+        assert row.n_docs == len(fres)
+        assert abs(row.mean_fre - round(sum(fres) / len(fres), 4)) <= 1e-3
+        assert row.min_fre == round(min(fres), 4)
+        assert row.max_fre == round(max(fres), 4)
+        assert row.n_very_hard == sum(1 for f in fres if f < 30)
+
+
+def test_unidirectional_python_sets(spark, sf_dir):
+    """Python set replication of the answered/unanswered split."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["flows_unidirectional_ratio"].fn(spark, sf_dir)
+        .toPandas().set_index("sa").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("user_id", "event_id").toPandas()
+    dirs = set()
+    for u, e in zip(ev.user_id, ev.event_id):
+        a, b = f"10.0.{u % 50}", f"10.0.{(u + e) % 50}"
+        if a != b:
+            dirs.add((a, b))
+    from collections import defaultdict
+
+    peers = defaultdict(lambda: [0, 0])  # [total, unanswered]
+    for a, b in dirs:
+        peers[a][0] += 1
+        peers[a][1] += (b, a) not in dirs
+    for sa, (tot, un) in peers.items():
+        if un == 0:
+            assert sa not in got.index
+            continue
+        row = got.loc[sa]
+        assert row.n_peers == tot
+        assert row.n_unanswered == un
+        assert row.unanswered_bp == 10000 * un // tot
+
+
+def test_deseasonalized_kills_weekday_signal(spark, sf_dir):
+    """Numpy replication AND the point of the key: residual weekday
+    means are ~0 after adjustment (the weekly swing is gone)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["events_anomaly_deseasonalized"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index()
+    )
+    dow = daily.index.dayofweek
+    resid = daily - daily.groupby(dow).transform("mean")
+    z = (resid - resid.mean()) / resid.std(ddof=1)
+    for day, want in z.items():
+        key = day.strftime("%Y-%m-%d")
+        assert abs(got.loc[key, "z"] - round(want, 4)) <= 1e-3
+        assert got.loc[key, "is_anomaly"] == (abs(want) > 2.5)
+    # weekday means of the residual are zero: deseasonalization worked
+    assert np.abs(resid.groupby(dow).mean()).max() < 1e-6
+
+
+def test_capture_recapture_consistency(spark, sf_dir):
+    """Chapman estimate vs pandas replication; with near-complete
+    captures the estimate sits within 2% of the observed union and
+    never below the recaptured count."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_capture_recapture"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("user_id", "event_id").toPandas()
+    g = ev.groupby("user_id").event_id.agg(
+        a=lambda s: (s % 2 == 0).any(), b=lambda s: (s % 2 == 1).any()
+    )
+    n1, n2, m = g.a.sum(), g.b.sum(), (g.a & g.b).sum()
+    assert (row.capture_1, row.capture_2, row.recaptured) == (n1, n2, m)
+    assert row.observed_union == len(g)
+    want = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert row.chapman_estimate == round(want, 4)
+    assert row.chapman_estimate >= row.recaptured
+    assert abs(row.chapman_estimate - row.observed_union) <= 0.02 * row.observed_union
+
+
+def test_cochran_armitage_matches_numpy(spark, sf_dir):
+    """Numpy replication; |z| finite; the weighted-regression identity
+    (z equals the score-test form computed independently)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_cochran_armitage"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "event_type").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), hit=(ev.event_type == "purchase"))
+        .groupby("day").hit.agg(["sum", "size"]).sort_index()
+    )
+    k = daily["sum"].to_numpy(dtype=float)
+    n = daily["size"].to_numpy(dtype=float)
+    t = np.arange(len(k), dtype=float)
+    N, K = n.sum(), k.sum()
+    p = K / N
+    z = ((k * t).sum() - K * (n * t).sum() / N) / np.sqrt(
+        p * (1 - p) * ((n * t * t).sum() - (n * t).sum() ** 2 / N)
+    )
+    assert row.n_events == N and row.n_hits == K
+    assert abs(row.z - round(z, 4)) <= 1e-4
+    assert row.overall_rate == round(p, 4)
+    assert np.isfinite(row.z)

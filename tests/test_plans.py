@@ -1411,3 +1411,23 @@ def test_best_send_hour_window_group_limit(spark, sf_dir):
     """The per-user argmax must prune via WindowGroupLimit."""
     plan = get_plan(SPECS["events_best_send_hour"].fn(spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_wave47_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-47 keys: audited Exchange budgets."""
+    budgets = {
+        # scan-local counts + one lang rollup + order
+        "text_flesch_reading_ease": 3,
+        # checkpointed direction distinct + semi/left joins + rollup + order
+        "flows_unidirectional_ratio": 6,
+        # day agg + bounded weekday/moment windows + order
+        "events_anomaly_deseasonalized": 5,
+        # one user rollup + 1-row cells
+        "stats_capture_recapture": 2,
+        # daily (k,n) agg + bounded index window + 1-row moments
+        "stats_cochran_armitage": 4,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

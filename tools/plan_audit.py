@@ -233,6 +233,12 @@ AUDITED: dict[str, str] = {
     "agg_hurst_exponent": "integer chunking on the checkpointed day index; regr_slope over <=3 points",
     "join_interval_overlap_duration": "closed-form overlap inside a day-keyed equi-join; broadcast window grid",
     "stats_mcnemar": "one user conditional rollup + 1-row cells; all-integer",
+    # wave-47 (round 5)
+    "text_flesch_reading_ease": "three scan-local regexp counts; one lang rollup",
+    "flows_unidirectional_ratio": "LEFT SEMI self-join on the swapped key over the checkpointed direction distinct",
+    "events_anomaly_deseasonalized": "weekday means + moments + z all as bounded day-table windows",
+    "stats_capture_recapture": "one user conditional rollup + 1-row Chapman estimate",
+    "stats_cochran_armitage": "daily (k,n) agg + bounded index window + 1-row moments",
 }
 
 
