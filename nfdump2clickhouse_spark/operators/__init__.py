@@ -101,6 +101,8 @@ from . import wave46  # noqa: F401  (r5: best send hour, Ljung-Box,
 #   Hurst exponent, overlap duration, McNemar)
 from . import wave47  # noqa: F401  (r5: readability, flow asymmetry,
 #   deseasonalized anomalies, capture-recapture, Cochran-Armitage)
+from . import wave48  # noqa: F401  (r5: Hodges-Lehmann, systematic
+#   sampling, trimmed mean, Theil-Sen, dose-response)
 from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode +
 #   its STREAMING source — hosts a stream_* lifecycle demo, so it rides
 #   the expensive tail; RULE for future waves: any module registering a

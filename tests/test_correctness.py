@@ -6738,3 +6738,145 @@ def test_cochran_armitage_matches_numpy(spark, sf_dir):
     assert abs(row.z - round(z, 4)) <= 1e-4
     assert row.overall_rate == round(p, 4)
     assert np.isfinite(row.z)
+
+
+# --- wave-48 (round 5) -------------------------------------------------------
+
+_WAVE48 = [
+    "stats_hodges_lehmann",
+    "sample_systematic",
+    "agg_trimmed_mean",
+    "ts_theil_sen",
+    "events_dose_response",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE48)
+def test_wave48_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-48 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_hodges_lehmann_numpy(spark, sf_dir):
+    """Numpy Walsh-average replication; HL sits between min and max of
+    (mean, median) neighborhood under near-symmetry."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_hodges_lehmann"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    n = len(daily)
+    walsh = [
+        (daily[i] + daily[j]) / 2 for i in range(n) for j in range(i, n)
+    ]
+    assert row.n_days == n
+    assert row.n_walsh == n * (n + 1) // 2
+    assert row.hl_estimate == round(np.percentile(walsh, 50) / 100, 4)
+    assert row.plain_mean == round(daily.mean() / 100, 4)
+    assert row.plain_median == round(np.percentile(daily, 50) / 100, 4)
+
+
+def test_systematic_exact_membership(spark, sf_dir):
+    """Python replication of the every-100th-from-7 selection; the
+    checksum pins exact membership."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["sample_systematic"].fn(spark, sf_dir).toPandas().iloc[0]
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    picked = o.iloc[7::100]
+    assert row.n_sampled == len(picked)
+    assert row.key_checksum == picked.o_orderkey.sum()
+    assert row.sample_mean == round(picked.o_totalprice.mean(), 4)
+    assert row.pop_mean == round(o.o_totalprice.mean(), 4)
+    # key-ordered frame is unrelated to price: sample mean near pop mean
+    assert abs(row.sample_mean - row.pop_mean) < 0.2 * row.pop_mean
+
+
+def test_trimmed_mean_numpy_and_relation(spark, sf_dir):
+    """Numpy replication; kept-count ≈ 80% of the group; trimmed mean
+    lies within the [p10, p90] band."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_trimmed_mean"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    for et, g in ev.groupby("event_type"):
+        v = g.value.to_numpy()
+        lo, hi = np.percentile(v, [10, 90])
+        kept = v[(v >= lo) & (v <= hi)]
+        row = got.loc[et]
+        assert row.n_kept == len(kept)
+        assert row.trimmed_mean == round(kept.mean(), 4)
+        assert row.plain_mean == round(v.mean(), 4)
+        assert lo - 1e-9 <= row.trimmed_mean <= hi + 1e-9
+        assert 0.75 * len(v) <= row.n_kept <= 0.85 * len(v)
+
+
+def test_theil_sen_numpy_and_robustness(spark, sf_dir):
+    """Numpy pairwise-slope replication; corrupting one day moves the
+    OLS slope more than Theil-Sen (the robustness claim itself)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["ts_theil_sen"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    n = len(daily)
+    i = np.arange(1, n + 1, dtype=float)
+    slopes = [
+        (daily[j] - daily[k]) / (j - k)
+        for k in range(n)
+        for j in range(k + 1, n)
+    ]
+    ts = np.percentile(slopes, 50)
+    ols = np.polyfit(i, daily, 1)[0]
+    assert row.n_days == n and row.n_slopes == n * (n - 1) // 2
+    assert row.theil_sen_slope == round(ts / 100, 4)
+    assert abs(row.ols_slope - round(ols / 100, 4)) <= 1e-3
+    # robustness: one 100x day shifts OLS far more than Theil-Sen
+    poisoned = daily.copy()
+    poisoned[n // 2] *= 100
+    p_slopes = [
+        (poisoned[j] - poisoned[k]) / (j - k)
+        for k in range(n)
+        for j in range(k + 1, n)
+    ]
+    ts_shift = abs(np.percentile(p_slopes, 50) - ts)
+    ols_shift = abs(np.polyfit(i, poisoned, 1)[0] - ols)
+    assert ts_shift < ols_shift / 5
+
+
+def test_dose_response_laws(spark, sf_dir):
+    """Decile sizes differ by <=1, exposure is monotone across deciles,
+    conversion_bp matches its integer definition."""
+    got = (
+        SPECS["events_dose_response"].fn(spark, sf_dir)
+        .toPandas().sort_values("decile").reset_index(drop=True)
+    )
+    assert list(got.decile) == list(range(1, 11))
+    assert got.n_users.max() - got.n_users.min() <= 1
+    assert got.mean_exposure.is_monotonic_increasing
+    for _, r in got.iterrows():
+        assert r.conversion_bp == 10000 * r.n_converted // r.n_users
+        assert 0 <= r.n_converted <= r.n_users

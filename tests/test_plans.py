@@ -1431,3 +1431,23 @@ def test_wave47_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave48_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-48 keys: audited Exchange budgets."""
+    budgets = {
+        # checkpointed day table + bounded pair join + percentile agg
+        "stats_hodges_lehmann": 4,
+        # key-order window (bounded demo; global_rank at scale) + aggs
+        "sample_systematic": 3,
+        # percentile-band agg broadcast back + group rollup + order
+        "agg_trimmed_mean": 4,
+        # checkpointed day table + bounded pair join + percentile agg
+        "ts_theil_sen": 4,
+        # user rollup + exact_ntile two-phase + 10-row response + order
+        "events_dose_response": 5,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

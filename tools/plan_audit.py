@@ -239,6 +239,12 @@ AUDITED: dict[str, str] = {
     "events_anomaly_deseasonalized": "weekday means + moments + z all as bounded day-table windows",
     "stats_capture_recapture": "one user conditional rollup + 1-row Chapman estimate",
     "stats_cochran_armitage": "daily (k,n) agg + bounded index window + 1-row moments",
+    # wave-48 (round 5)
+    "stats_hodges_lehmann": "Walsh pairs over the bounded checkpointed day table; exact percentile",
+    "sample_systematic": "integer-modulo pick on a key-order rank; sibling population mean",
+    "agg_trimmed_mean": "exact [p10,p90] band broadcast back; boundary-inclusive keep",
+    "ts_theil_sen": "exact-integer pairwise slopes on the bounded day table; exact median",
+    "events_dose_response": "one user rollup + exact_ntile two-phase deciles; 10-row response",
 }
 
 
