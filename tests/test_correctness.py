@@ -6880,3 +6880,143 @@ def test_dose_response_laws(spark, sf_dir):
     for _, r in got.iterrows():
         assert r.conversion_bp == 10000 * r.n_converted // r.n_users
         assert 0 <= r.n_converted <= r.n_users
+
+
+# --- wave-49 (round 5) -------------------------------------------------------
+
+_WAVE49_HASH = [
+    "text_hapax_ratio",
+    "stats_sign_test",
+    "emb_distance_histogram",
+    "ml_cohens_kappa",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE49_HASH)
+def test_wave49_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-49 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_dynamic_partition_overwrite_contract(spark, sf_dir):
+    """THE mode's contract: only the overwritten partition's sums
+    change; every partition's rows survive; nothing disappears (the
+    static-mode wipe would zero four of five partitions)."""
+    got = (
+        SPECS["sink_dynamic_partition_overwrite"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    assert len(got) == 5
+    assert got.rows_intact.all()  # dynamic overwrite loses no rows
+    assert not got.loc["purchase", "sums_intact"]  # the new batch landed
+    others = got.drop(index="purchase")
+    assert others.sums_intact.all()  # untouched partitions byte-stable
+    assert (got.rows_after > 0).all()
+
+
+def test_hapax_counter_replication(spark, sf_dir):
+    """collections.Counter replication; hapax <= vocab; the synthetic
+    closed-vocabulary corpus has near-zero hapax share (the documented
+    contrast with natural text)."""
+    import collections
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["text_hapax_ratio"].fn(spark, sf_dir)
+        .toPandas().set_index("lang").sort_index()
+    )
+    docs = _table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    for lang, g in docs.groupby("lang"):
+        cnt = collections.Counter(
+            w for t in g.text for w in t.lower().split(" ") if w
+        )
+        row = got.loc[lang]
+        assert row.vocab == len(cnt)
+        assert row.tokens == sum(cnt.values())
+        assert row.hapax == sum(1 for c in cnt.values() if c == 1)
+        assert row.dis_legomena == sum(1 for c in cnt.values() if c == 2)
+        assert row.hapax_vocab_bp == 10000 * row.hapax // row.vocab
+        assert row.hapax <= row.vocab
+
+
+def test_sign_test_matches_python_and_ladder(spark, sf_dir):
+    """Python replication; n = pos + neg; the sign-test z agrees in
+    SIGN with Wilcoxon's z on the same pairs (the ladder is
+    coherent)."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_sign_test"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    ).toPandas().dropna(subset=["value"])
+    x = ev[ev.event_id % 2 == 0].groupby("user_id").value.mean()
+    y = ev[ev.event_id % 2 == 1].groupby("user_id").value.mean()
+    d = (y - x).dropna().round(6)
+    d = d[d != 0]
+    k, n = (d > 0).sum(), len(d)
+    z = (k - n / 2) / (n / 4) ** 0.5
+    assert (row.n_pairs, row.n_positive, row.n_negative) == (n, k, n - k)
+    assert row.z == round(z, 4)
+    wz = SPECS["stats_wilcoxon_signed_rank"].fn(spark, sf_dir).toPandas().iloc[0].z
+    if abs(row.z) > 0.5 and abs(wz) > 0.5:
+        assert (row.z > 0) == (wz > 0)
+
+
+def test_distance_histogram_numpy(spark, sf_dir):
+    """Numpy replication of the binning and moments; bins partition all
+    pairs; rel_spread > 0 (the sample is not degenerate)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["emb_distance_histogram"].fn(spark, sf_dir)
+        .toPandas().set_index("bin").sort_index()
+    )
+    emb = (
+        _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        .filter("vec_id < 100").toPandas().sort_values("vec_id")
+    )
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    n = len(X)
+    dists = []
+    for i in range(n):
+        d = np.sqrt(((X[i + 1 :] - X[i]) ** 2).sum(axis=1))
+        dists.extend(d)
+    dists = np.array(dists)
+    dmin, dmax = dists.min(), dists.max()
+    width = (dmax - dmin) / 10
+    bins = np.minimum(np.floor((dists - dmin) / width).astype(int), 9)
+    assert got.n_pairs.sum() == n * (n - 1) // 2
+    for b in got.index:
+        assert got.loc[b, "n_pairs"] == (bins == b).sum()
+    assert got.mean_dist.iloc[0] == round(dists.mean(), 4)
+    assert got.rel_spread.iloc[0] == round(dists.std(ddof=1) / dists.mean(), 4)
+    assert got.rel_spread.iloc[0] > 0
+
+
+def test_kappa_matches_sklearn_free_formula(spark, sf_dir):
+    """Pandas replication of the 2x2 and kappa; kappa <= observed
+    agreement's headroom (kappa <= 1); the engineered raters are
+    near-independent so |kappa| is small."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["ml_cohens_kappa"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("value").toPandas().dropna()
+    a = ev.value >= 100
+    b = ((ev.value // 50).astype(int) % 2) == 0
+    n = len(ev)
+    po = ((a & b) | (~a & ~b)).mean()
+    pe = (a.mean() * b.mean()) + ((1 - a.mean()) * (1 - b.mean()))
+    kappa = (po - pe) / (1 - pe)
+    assert row.n == n
+    assert abs(row.observed_agreement - round(po, 4)) <= 1e-4
+    assert abs(row.chance_agreement - round(pe, 4)) <= 1e-4
+    assert abs(row.kappa - round(kappa, 4)) <= 2e-4
+    assert -1 <= row.kappa <= 1
+    assert abs(row.kappa) < 0.2  # engineered near-independence

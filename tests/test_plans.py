@@ -1451,3 +1451,23 @@ def test_wave48_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave49_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-49 keys: audited Exchange budgets."""
+    budgets = {
+        # (lang,word) agg + lang rollup + order
+        "text_hapax_ratio": 3,
+        # user rollup + 1-row sign count
+        "stats_sign_test": 2,
+        # broadcast 100-row self-join (checkpointed pairs) + bin rollup
+        "emb_distance_histogram": 3,
+        # one scan, 1-row 2x2 cells
+        "ml_cohens_kappa": 1,
+        # write/read verification joins on bounded per-partition rollups
+        "sink_dynamic_partition_overwrite": 6,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

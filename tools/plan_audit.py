@@ -245,6 +245,12 @@ AUDITED: dict[str, str] = {
     "agg_trimmed_mean": "exact [p10,p90] band broadcast back; boundary-inclusive keep",
     "ts_theil_sen": "exact-integer pairwise slopes on the bounded day table; exact median",
     "events_dose_response": "one user rollup + exact_ntile two-phase deciles; 10-row response",
+    # wave-49 (round 5)
+    "sink_dynamic_partition_overwrite": "per-write dynamic mode; materialized before-state; pruned verification reads",
+    "text_hapax_ratio": "(lang,word) combinable count + bounded rollup",
+    "stats_sign_test": "one user rollup + 1-row sign count; 1e-6 pre-round",
+    "emb_distance_histogram": "broadcast 100-row self-join; HOF distances; shared min/max bins",
+    "ml_cohens_kappa": "both raters in one scan; 1-row 2x2 cells",
 }
 
 
