@@ -7020,3 +7020,149 @@ def test_kappa_matches_sklearn_free_formula(spark, sf_dir):
     assert abs(row.kappa - round(kappa, 4)) <= 2e-4
     assert -1 <= row.kappa <= 1
     assert abs(row.kappa) < 0.2  # engineered near-independence
+
+
+# --- wave-50 (round 5) -------------------------------------------------------
+
+_WAVE50 = [
+    "maint_join_cardinality_exact",
+    "text_lang_divergence",
+    "dedup_shingle_size_curve",
+    "stats_grubbs",
+    "stats_block_bootstrap",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE50)
+def test_wave50_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-50 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_join_cardinality_equals_actual_join(spark, sf_dir):
+    """THE claim: exact_join_rows equals the materialized join's count
+    (computed without materializing it); F2 >= NDV."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["maint_join_cardinality_exact"].fn(spark, sf_dir).toPandas().iloc[0]
+    o = _table(spark, sf_dir, "orders").select("o_orderkey")
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey")
+    actual = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert row.exact_join_rows == actual
+    assert row.ndv_matched <= min(row.ndv_orders, row.ndv_lineitem)
+    assert row.f2_lineitem >= row.ndv_lineitem
+    assert row.max_key_contribution >= 1
+
+
+def test_lang_divergence_null_case_and_bounds(spark, sf_dir):
+    """JSD in [0, 1]; the shared-word-pool fixture yields near-zero
+    divergence everywhere (the pinned null case); support equality
+    holds (the shared-char sum is the complete JSD); scipy-free numpy
+    replication."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["text_lang_divergence"].fn(spark, sf_dir).toPandas()
+    docs = _table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    from collections import Counter
+
+    dists = {}
+    for lang, g in docs.groupby("lang"):
+        cnt = Counter(ch for t in g.text for ch in t.lower() if ch != " ")
+        tot = sum(cnt.values())
+        dists[lang] = {ch: c / tot for ch, c in cnt.items()}
+    langs = sorted(dists)
+    supports = [set(d) for d in dists.values()]
+    assert all(s == supports[0] for s in supports)  # shared support
+    for _, r in got.iterrows():
+        pa, pb = dists[r.lang_a], dists[r.lang_b]
+        jsd = 0.0
+        for ch in set(pa) | set(pb):
+            x, y = pa.get(ch, 0.0), pb.get(ch, 0.0)
+            m = (x + y) / 2
+            if x > 0:
+                jsd += 0.5 * x * np.log2(x / m)
+            if y > 0:
+                jsd += 0.5 * y * np.log2(y / m)
+        assert abs(r.jsd - round(jsd, 4)) <= 2e-4
+        assert 0 <= r.jsd <= 1
+        assert r.jsd < 0.01  # shared pool: near-zero divergence
+    assert len(got) == len(langs) * (len(langs) - 1) // 2
+
+
+def test_shingle_curve_monotone_and_k3_reconciles(spark, sf_dir):
+    """Candidates decline monotonically with k; the k=3 qualifying
+    count equals dedup_ngram_jaccard's pair count (same threshold,
+    same shingles)."""
+    got = (
+        SPECS["dedup_shingle_size_curve"].fn(spark, sf_dir)
+        .toPandas().set_index("shingle_k").sort_index()
+    )
+    assert list(got.index) == [2, 3, 5]
+    assert got.n_candidates.is_monotonic_decreasing
+    assert (got.n_pairs_j30 <= got.n_candidates).all()
+    base = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).count()
+    assert got.loc[3, "n_pairs_j30"] == base
+
+
+def test_grubbs_matches_numpy(spark, sf_dir):
+    """Numpy replication of G and the suspect-day argmax."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_grubbs"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"),
+                  c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum()
+    )
+    dev = (daily - daily.mean()).abs()
+    g = dev.max() / daily.std(ddof=1)
+    assert row.n_days == len(daily)
+    assert abs(row.g_stat - round(g, 4)) <= 1e-4
+    assert row.suspect_day == dev.idxmax()
+    assert row.suspect_revenue == round(daily[dev.idxmax()] / 100, 4)
+    assert row.g_stat > 0
+
+
+def test_block_bootstrap_python_replication(spark, sf_dir):
+    """Exact python replication of the deterministic block draw and
+    the CI; ci_lo <= boot_mean <= ci_hi."""
+    import math
+
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+    from nfdump2clickhouse_spark.operators.wave50 import (
+        _BB_BLOCK, _BB_MULT, _BB_REPS,
+    )
+
+    row = SPECS["stats_block_bootstrap"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    nd = len(daily)
+    n_blocks = math.ceil(nd / _BB_BLOCK)
+    means = []
+    for r in range(_BB_REPS):
+        vals = []
+        for b in range(n_blocks):
+            start = ((r * 1000003 + b * 7919) * _BB_MULT) % 4294967296 % (
+                nd - _BB_BLOCK + 1
+            )
+            vals.extend(daily[start : start + _BB_BLOCK])
+        means.append(np.mean(vals))
+    assert row.n_days == nd and row.n_replicates == _BB_REPS
+    assert row.boot_mean == round(np.mean(means) / 100, 4)
+    assert row.ci_lo == round(np.percentile(means, 2.5) / 100, 4)
+    assert row.ci_hi == round(np.percentile(means, 97.5) / 100, 4)
+    assert row.ci_lo <= row.boot_mean <= row.ci_hi

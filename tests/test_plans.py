@@ -1471,3 +1471,25 @@ def test_wave49_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave50_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-50 keys: audited Exchange budgets."""
+    budgets = {
+        # two key-frequency rollups + key join + 1-row report
+        "maint_join_cardinality_exact": 5,
+        # (lang,char) rollup + checkpointed distro pair join + order
+        "text_lang_divergence": 5,
+        # checkpointed k-grid shingling (one scan) + (k,shingle) pair
+        # gen + size joins + k rollup — every post-checkpoint exchange
+        # carries shingle/pair tables, not the corpus
+        "dedup_shingle_size_curve": 9,
+        # checkpointed day table + 1-row argmax
+        "stats_grubbs": 2,
+        # integer block grid + broadcast range join + 200-row CI
+        "stats_block_bootstrap": 4,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"

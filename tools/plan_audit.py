@@ -251,6 +251,12 @@ AUDITED: dict[str, str] = {
     "stats_sign_test": "one user rollup + 1-row sign count; 1e-6 pre-round",
     "emb_distance_histogram": "broadcast 100-row self-join; HOF distances; shared min/max bins",
     "ml_cohens_kappa": "both raters in one scan; 1-row 2x2 cells",
+    # wave-50 (round 5)
+    "maint_join_cardinality_exact": "two key-frequency rollups joined; join size WITHOUT materializing the join",
+    "text_lang_divergence": "(lang,char) rollup; pair join on the checkpointed bounded distribution table",
+    "dedup_shingle_size_curve": "checkpointed k-grid shingling from one scan; (k,shingle)-keyed pair buckets",
+    "stats_grubbs": "checkpointed day agg + 1-row moments + min_by argmax",
+    "stats_block_bootstrap": "integer block grid + broadcast range join on the bounded day table",
 }
 
 
