@@ -194,9 +194,14 @@ def text_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNNEST(generate_series(1, greatest(len(ws) - ks.k + 1, 0))) AS t(i)
     ),
     sz AS (SELECT k, doc_id, COUNT(*) AS n FROM sh GROUP BY k, doc_id),
+    df AS (
+      SELECT k, shingle FROM sh GROUP BY k, shingle
+      HAVING COUNT(*) <= 10000
+    ),
+    shc AS (SELECT sh.* FROM sh JOIN df USING (k, shingle)),
     inter AS (
       SELECT a.k, a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
-      FROM sh a JOIN sh b
+      FROM shc a JOIN shc b
         ON a.k = b.k AND a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.k, a.doc_id, b.doc_id
     )
@@ -221,7 +226,10 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three shingle sizes ride ONE scan via a broadcast k-grid into
     the array-slice shingling (the word split happens once); the
     inverted-index pair generation then keys on (k, shingle), so each
-    size's candidates stay in their own buckets of the same shuffle.
+    size's candidates stay in their own buckets of the same shuffle,
+    and posting lists above max_df=10k drop BEFORE pair generation
+    (the `shingle_pair_counts` stop-shingle rule — k=2 lists explode
+    quadratically on duplicated corpora without it; probe-caught).
     Integer cross-multiplied threshold (`dedup_threshold_curve`
     discipline)."""
     from ..functions.text import words as _words
@@ -251,8 +259,18 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # sizes + both pair sides share one shingling
     )
     sz = sh.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select("k", F.col("doc_id").alias("id1"), "shingle")
-    b = sh.select("k", F.col("doc_id").alias("id2"), "shingle")
+    # max_df stop-shingle cap (the `shingle_pair_counts` rule): on a
+    # duplicated corpus the k=2 posting lists otherwise explode
+    # quadratically — the 8x probe OOM'd the uncapped draft
+    df_ok = (
+        sh.groupBy("k", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 10000)
+        .select("k", "shingle")
+    )
+    shc = sh.join(df_ok, ["k", "shingle"])
+    a = shc.select("k", F.col("doc_id").alias("id1"), "shingle")
+    b = shc.select("k", F.col("doc_id").alias("id2"), "shingle")
     inter = (
         a.join(b, ["k", "shingle"])
         .filter(F.col("id1") < F.col("id2"))
