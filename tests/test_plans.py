@@ -1480,10 +1480,11 @@ def test_wave50_exchange_budgets(spark, sf_dir):
         "maint_join_cardinality_exact": 5,
         # (lang,char) rollup + checkpointed distro pair join + order
         "text_lang_divergence": 5,
-        # checkpointed k-grid shingling (one scan) + (k,shingle) pair
-        # gen + size joins + k rollup — every post-checkpoint exchange
-        # carries shingle/pair tables, not the corpus
-        "dedup_shingle_size_curve": 9,
+        # checkpointed k-grid shingling (one scan) + the max_df
+        # stop-shingle agg/join + (k,shingle) pair gen + size joins +
+        # k rollup — every post-checkpoint exchange carries
+        # shingle/pair tables, not the corpus
+        "dedup_shingle_size_curve": 11,
         # checkpointed day table + 1-row argmax
         "stats_grubbs": 2,
         # integer block grid + broadcast range join + 200-row CI
