@@ -107,6 +107,8 @@ from . import wave49  # noqa: F401  (r5: dynamic partition overwrite,
 #   hapax ratio, sign test, distance histogram, Cohen's kappa)
 from . import wave50  # noqa: F401  (r5: exact join cardinality, lang
 #   divergence, shingle-size curve, Grubbs, block bootstrap)
+from . import wave51  # noqa: F401  (r5: average precision, Friedman,
+#   Durbin-Watson, repeat purchase, multi-measure unpivot)
 from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode +
 #   its STREAMING source — hosts a stream_* lifecycle demo, so it rides
 #   the expensive tail; RULE for future waves: any module registering a

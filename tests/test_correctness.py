@@ -7166,3 +7166,141 @@ def test_block_bootstrap_python_replication(spark, sf_dir):
     assert row.ci_lo == round(np.percentile(means, 2.5) / 100, 4)
     assert row.ci_hi == round(np.percentile(means, 97.5) / 100, 4)
     assert row.ci_lo <= row.boot_mean <= row.ci_hi
+
+
+# --- wave-51 (round 5) -------------------------------------------------------
+
+_WAVE51 = [
+    "ml_eval_average_precision",
+    "stats_friedman_test",
+    "stats_durbin_watson",
+    "events_repeat_purchase",
+    "reshape_unpivot_multi",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE51)
+def test_wave51_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-51 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_average_precision_numpy_and_bounds(spark, sf_dir):
+    """Numpy replication of AP; base_rate <= AP <= 1 (a score ranking
+    can't do worse than random in expectation on this fixture —
+    verified empirically, not assumed)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["ml_eval_average_precision"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    ev = ev.sort_values(["value", "event_id"], ascending=[False, True])
+    y = (ev.event_type == "purchase").to_numpy(dtype=int)
+    tp = np.cumsum(y)
+    rnk = np.arange(1, len(y) + 1)
+    ap = (tp[y == 1] / rnk[y == 1]).sum() / y.sum()
+    assert row.n == len(y) and row.n_pos == y.sum()
+    assert abs(row.average_precision - round(ap, 4)) <= 1e-4
+    assert row.base_rate == round(y.mean(), 4)
+    assert 0 <= row.average_precision <= 1
+
+
+def test_friedman_matches_numpy_ranks(spark, sf_dir):
+    """Numpy average-rank replication of the Friedman statistic."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_friedman_test"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ev["c"] = (ev.value.fillna(0) * 100).apply(int)
+    cell = ev.groupby(["day", "event_type"]).c.sum().unstack()
+    ranks = cell.rank(axis=1, method="average")
+    rsums = ranks.sum(axis=0)
+    n, k = cell.shape
+    chi2 = 12.0 / (n * k * (k + 1)) * (rsums ** 2).sum() - 3 * n * (k + 1)
+    assert row.n_blocks == n and row.k_treatments == k
+    assert abs(row.friedman_chi2 - round(chi2, 4)) <= 2e-3
+    assert row.friedman_chi2 >= 0
+
+
+def test_durbin_watson_numpy_and_range(spark, sf_dir):
+    """Numpy replication; DW in (0, 4)."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_durbin_watson"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    t = np.arange(1, len(daily) + 1, dtype=float)
+    b1, b0 = np.polyfit(t, daily, 1)
+    e = daily - b0 - b1 * t
+    dw = (np.diff(e) ** 2).sum() / (e ** 2).sum()
+    assert row.n_days == len(daily)
+    assert abs(row.dw_stat - round(dw, 4)) <= 1e-3
+    assert 0 < row.dw_stat < 4
+
+
+def test_repeat_purchase_pandas(spark, sf_dir):
+    """Pandas replication of the nth-purchase extraction; repeat share
+    in [0, 1]; gap nonnegative."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["events_repeat_purchase"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).toPandas()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["t"] = p.ts.astype("int64") // 1000
+    p = p.sort_values(["user_id", "t", "event_id"])
+    gaps = []
+    n_repeat = 0
+    buyers = p.user_id.nunique()
+    for _, g in p.groupby("user_id"):
+        if len(g) >= 2:
+            n_repeat += 1
+            gaps.append((g.t.iloc[1] - g.t.iloc[0]) / 3600e6)
+    assert row.n_buyers == buyers
+    assert row.n_repeat == n_repeat
+    assert row.repeat_bp == 10000 * n_repeat // buyers
+    assert abs(row.mean_gap_h - round(np.mean(gaps), 4)) <= 1e-4
+    assert abs(row.p50_gap_h - round(np.percentile(gaps, 50), 4)) <= 1e-4
+    assert row.mean_gap_h >= 0
+
+
+def test_unpivot_multi_reconciles_with_wide(spark, sf_dir):
+    """Long form carries exactly 4 metrics per flag and the values
+    equal the wide aggregate's."""
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = SPECS["reshape_unpivot_multi"].fn(spark, sf_dir).toPandas()
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    ).toPandas()
+    for flag, g in li.groupby("l_returnflag"):
+        sub = got[got.flag == flag].set_index("metric")
+        assert len(sub) == 4
+        assert sub.loc["revenue", "value"] == round(
+            round(g.l_extendedprice.sum(), 2), 4
+        )
+        assert sub.loc["quantity", "value"] == round(round(g.l_quantity.sum(), 2), 4)
+        assert sub.loc["avg_discount", "value"] == round(
+            round(g.l_discount.mean(), 6), 4
+        )
+        assert sub.loc["n_items", "value"] == float(len(g))

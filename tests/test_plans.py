@@ -1494,3 +1494,33 @@ def test_wave50_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_wave51_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-51 keys: audited Exchange budgets."""
+    budgets = {
+        # global ordered rank/cumsum (prefix_sums is the scale form,
+        # per the ml_eval_auc precedent) + 1-row fold
+        "ml_eval_average_precision": 4,
+        # checkpointed cell table + day-partitioned rank windows +
+        # k rank sums + 1-row stat
+        "stats_friedman_test": 5,
+        # checkpointed day table + residual lag window + 1-row sums
+        "stats_durbin_watson": 3,
+        # purchase-slice user window + user agg + 1-row summary
+        "events_repeat_purchase": 3,
+        # one grouped agg + Expand unpivot + order (no extra shuffle)
+        "reshape_unpivot_multi": 2,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_unpivot_multi_is_expand(spark, sf_dir):
+    """The multi-measure unpivot must plan as Expand over the k-row
+    aggregate, not a union of per-metric scans."""
+    plan = get_plan(SPECS["reshape_unpivot_multi"].fn(spark, sf_dir), "simple")
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan

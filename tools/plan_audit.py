@@ -257,6 +257,12 @@ AUDITED: dict[str, str] = {
     "dedup_shingle_size_curve": "checkpointed k-grid shingling from one scan; (k,shingle)-keyed pair buckets",
     "stats_grubbs": "checkpointed day agg + 1-row moments + min_by argmax",
     "stats_block_bootstrap": "integer block grid + broadcast range join on the bounded day table",
+    # wave-51 (round 5)
+    "ml_eval_average_precision": "global ordered rank + running-TP cumsum (ml_eval_auc shape); one conditional fold",
+    "stats_friedman_test": "day-partitioned <=k-row rank windows; k rank sums -> 1-row stat",
+    "stats_durbin_watson": "1-row betas broadcast back; residual lag window on the bounded day table",
+    "events_repeat_purchase": "purchase-slice user window; conditional nth extraction; 1-row summary",
+    "reshape_unpivot_multi": "native unpivot = Expand over the k-row aggregate; single FileScan",
 }
 
 
