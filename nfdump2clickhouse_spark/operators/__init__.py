@@ -109,6 +109,8 @@ from . import wave50  # noqa: F401  (r5: exact join cardinality, lang
 #   divergence, shingle-size curve, Grubbs, block bootstrap)
 from . import wave51  # noqa: F401  (r5: average precision, Friedman,
 #   Durbin-Watson, repeat purchase, multi-measure unpivot)
+from . import wave52  # noqa: F401  (r5: Tukey fences, MASE, one-sample t,
+#   embedding anisotropy, lateral aliases)
 from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode +
 #   its STREAMING source — hosts a stream_* lifecycle demo, so it rides
 #   the expensive tail; RULE for future waves: any module registering a

@@ -7304,3 +7304,120 @@ def test_unpivot_multi_reconciles_with_wide(spark, sf_dir):
             round(g.l_discount.mean(), 6), 4
         )
         assert sub.loc["n_items", "value"] == float(len(g))
+
+
+# --- wave-52 (round 5) -------------------------------------------------------
+
+_WAVE52 = [
+    "agg_tukey_fences",
+    "ts_forecast_mase",
+    "stats_one_sample_t",
+    "emb_anisotropy",
+    "sql_lateral_alias",
+]
+
+
+@pytest.mark.parametrize("sfd", CROSS_SF_DIRS)
+@pytest.mark.parametrize("key", _WAVE52)
+def test_wave52_across_sfs(key, sfd, spark, ddb_by_sf):
+    """Triple-SF pin for the wave-52 hash keys."""
+    spec = SPECS[key]
+    spark_pdf = spec.fn(spark, sfd).toPandas()
+    oracle_pdf = ddb_by_sf(sfd).execute(spec.oracle).df()
+    compare_frames(spark_pdf, oracle_pdf, f"{key}@{sfd}")
+
+
+def test_tukey_fences_numpy(spark, sf_dir):
+    """Numpy replication; fence_lo < fence_hi; outliers consistent."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    got = (
+        SPECS["agg_tukey_fences"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).toPandas().dropna(subset=["value"])
+    for et, g in ev.groupby("event_type"):
+        v = g.value.to_numpy()
+        q1, q3 = np.percentile(v, [25, 75])
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        row = got.loc[et]
+        # tolerance, not equality: python round() is banker's, the
+        # engines round half-up — they differ at exact .5 boundaries
+        assert abs(row.fence_lo - lo) <= 1e-4 and abs(row.fence_hi - hi) <= 1e-4
+        assert row.n_low_outliers == (v < lo).sum()
+        assert row.n_high_outliers == (v > hi).sum()
+        assert row.fence_lo < row.fence_hi
+        assert row.outlier_bp == 10000 * (
+            (v < lo).sum() + (v > hi).sum()
+        ) // len(v)
+
+
+def test_mase_matches_numpy_and_identity(spark, sf_dir):
+    """Numpy replication; MASE == mae_snaive/mae_naive up to the
+    rounding of the display columns."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["ts_forecast_mase"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"), c=(ev.value.fillna(0) * 100).apply(int))
+        .groupby("day").c.sum().sort_index().to_numpy(dtype=float)
+    )
+    snaive_err = np.abs(daily[7:] - daily[:-7])
+    naive_err = np.abs(daily[1:] - daily[:-1])
+    assert row.n_scored == len(snaive_err)
+    assert row.mae_snaive == round(snaive_err.mean() / 100, 4)
+    assert row.mae_naive == round(naive_err.mean() / 100, 4)
+    assert row.mase == round(snaive_err.mean() / naive_err.mean(), 4)
+    assert row.mase > 0
+
+
+def test_one_sample_t_numpy(spark, sf_dir):
+    """Numpy replication of t against the mu0=100 benchmark."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["stats_one_sample_t"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = _table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    v = ev[ev.event_type == "purchase"].value.dropna().to_numpy()
+    t = (v.mean() - 100.0) / (v.std(ddof=1) / np.sqrt(len(v)))
+    assert row.n == len(v) and row.df == len(v) - 1
+    assert row.sample_mean == round(v.mean(), 4)
+    assert abs(row.t_stat - round(t, 4)) <= 1e-4
+
+
+def test_anisotropy_identity_vs_bruteforce(spark, sf_dir):
+    """THE identity pin: the one-pass sum-vector form must equal the
+    brute-force all-pairs mean cosine computed in numpy."""
+    import numpy as np
+
+    from nfdump2clickhouse_spark.catalog import table as _table
+
+    row = SPECS["emb_anisotropy"].fn(spark, sf_dir).toPandas().iloc[0]
+    emb = _table(spark, sf_dir, "embeddings").select("embedding").toPandas()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(U)
+    G = U @ U.T
+    brute = (G.sum() - np.trace(G)) / (n * (n - 1))
+    assert row.n_vectors == n
+    assert abs(row.mean_pairwise_cosine - round(brute, 4)) <= 2e-4
+    assert row.mean_vector_norm == round(np.linalg.norm(U.sum(axis=0)) / n, 4)
+    assert -1 <= row.mean_pairwise_cosine <= 1
+
+
+def test_lateral_alias_chain_semantics(spark, sf_dir):
+    """The alias chain must see the previous alias's ALREADY-ROUNDED
+    value (not a re-derivation) — verified against the expanded
+    computation."""
+    got = SPECS["sql_lateral_alias"].fn(spark, sf_dir).toPandas()
+    for _, r in got.iterrows():
+        assert r.net_per_item == round(r.net / r.n, 4)
+        assert r.net_per_item_taxed == round(r.net_per_item * 1.1, 4)

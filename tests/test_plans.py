@@ -1524,3 +1524,30 @@ def test_unpivot_multi_is_expand(spark, sf_dir):
     plan = get_plan(SPECS["reshape_unpivot_multi"].fn(spark, sf_dir), "simple")
     assert "Expand" in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_wave52_exchange_budgets(spark, sf_dir):
+    """Round-5 wave-52 keys: audited Exchange budgets."""
+    budgets = {
+        # quartile agg broadcast back + group rollup + order
+        "agg_tukey_fences": 4,
+        # day agg + lag windows + 1-row metric
+        "ts_forecast_mase": 3,
+        # ONE 1-row moment aggregate
+        "stats_one_sample_t": 1,
+        # posexplode + 64-dim agg + 1-row identity fold
+        "emb_anisotropy": 2,
+        # one partial+final agg + order (alias chain folds into it)
+        "sql_lateral_alias": 2,
+    }
+    for key, budget in budgets.items():
+        plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
+        got = plan.count("Exchange")
+        assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_anisotropy_no_pair_join(spark, sf_dir):
+    """The all-pairs mean cosine must come from the sum-vector identity
+    — NO join anywhere in the plan (the n² form would be a self-join)."""
+    plan = get_plan(SPECS["emb_anisotropy"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan

@@ -263,6 +263,12 @@ AUDITED: dict[str, str] = {
     "stats_durbin_watson": "1-row betas broadcast back; residual lag window on the bounded day table",
     "events_repeat_purchase": "purchase-slice user window; conditional nth extraction; 1-row summary",
     "reshape_unpivot_multi": "native unpivot = Expand over the k-row aggregate; single FileScan",
+    # wave-52 (round 5)
+    "agg_tukey_fences": "exact-quartile fit broadcast back; integer-bp outlier share",
+    "ts_forecast_mase": "two lag windows on the bounded day table; integer-cents errors",
+    "stats_one_sample_t": "ONE 1-row moment aggregate",
+    "emb_anisotropy": "all-pairs mean cosine WITHOUT a pair join: sum-vector identity over one posexplode agg",
+    "sql_lateral_alias": "alias chain folds into one projection over one partial+final agg",
 }
 
 
