@@ -259,7 +259,15 @@ class FlowService:
         real nfcapd writes) into staged FLOWS parquet: the same ledger,
         retry, and atomic-rename contract as ``decode_v9_files``, with
         ``sources.flows.read_nffile_directory`` doing the decode
-        (VERDICT r4 missing-#2)."""
+        (VERDICT r4 missing-#2).
+
+        Codec coverage: none/bz2 always, LZ4/zstd when a library is
+        importable. nfdump's DEFAULT codec in many deployments is
+        LZO1X-1, which has no binding in this environment — such files
+        raise a ValueError naming the two escape hatches: re-capture
+        with ``nfcapd -z=bz2``, or set ``decode_cmd`` in the source
+        conf to shell out to ``nfdump -r {file} -o csv`` (the
+        subprocess seam this native path otherwise replaces)."""
         from .sources.flows import read_nffile_directory
 
         return self._decode_native_files(src, read_nffile_directory, "nffile")

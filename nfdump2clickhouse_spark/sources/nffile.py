@@ -17,9 +17,12 @@ tombstone [S README]):
   layout version 2, nfd version, created stamp, compression codec,
   encryption, appendix block count + offset, block size, block count;
 - data blocks: 12-byte header (record count, byte size, block type,
-  flags) + payload, per-block compressed when flag bit 0 is set, codec
-  named file-wide in the header (0 none / 1 LZO1X-1 / 2 bz2 / 3 LZ4 /
-  4 zstd);
+  flags) + payload. The codec is named file-wide in the header (0 none
+  / 1 LZO1X-1 / 2 bz2 / 3 LZ4 / 4 zstd) and applies to every block
+  EXCEPT those with flags bit 0 set: nffileV2.h defines bit 0 as
+  FLAG_BLOCK_UNCOMPRESSED (0 = block compressed with the file codec,
+  1 = block stored raw) — note the polarity, a compressed block
+  carries a CLEAR bit (ADVICE r5 high);
 - records: 12-byte v3 record header (type 11, size, element count,
   engine/exporter ids) followed by extension elements, each a 4-byte
   (type, total-length) header + payload. Elements we don't map are
@@ -64,7 +67,12 @@ _DATA_BLOCK = "<IIHH"
 _DATA_BLOCK_LEN = struct.calcsize(_DATA_BLOCK)  # 12
 
 DATA_BLOCK_TYPE_3 = 3  # block of v3 records
-_FLAG_BLOCK_COMPRESSED = 1  # flags bit 0
+#: nffileV2.h flags bit 0 — FLAG_BLOCK_UNCOMPRESSED: "0: file block
+#: compression, 1: block uncompressed". A compressed block (the
+#: common/default deployment) carries bit 0 CLEAR; the file-header
+#: codec applies to it. Bit SET means the block is stored raw
+#: regardless of the header codec.
+_FLAG_BLOCK_UNCOMPRESSED = 1
 
 #: recordHeaderV3_t — type, size, numElements, engineType, engineID,
 #: exporterID, flags, nfversion
@@ -316,7 +324,11 @@ def decode_nffile(content: bytes, exporter: str | None = None) -> list[tuple]:
         off += size
         if btype != DATA_BLOCK_TYPE_3:
             continue  # exporter/sampler/stat blocks: skip whole
-        if bflags & _FLAG_BLOCK_COMPRESSED:
+        if not (bflags & _FLAG_BLOCK_UNCOMPRESSED):
+            # bit 0 CLEAR → the file-header codec applies (identity
+            # when the header says COMPRESSION_NONE); bit 0 SET →
+            # block stored raw, header codec ignored (nffileV2.h
+            # FLAG_BLOCK_UNCOMPRESSED — polarity per ADVICE r5 high)
             try:
                 payload = _decompress(payload, compression, block_size)
             except Exception:
@@ -334,7 +346,11 @@ def decode_nffile(content: bytes, exporter: str | None = None) -> list[tuple]:
             if rtype == V3_RECORD:
                 body = payload[p + _RECORD_V3_LEN : p + rsize]
                 rec = _parse_v3_record(body, n_el, exp_id)
-                if "_first" in rec or "sa" in rec or "sa6" in rec:
+                # EXgenericFlow is required: a record carrying only an
+                # IP element has no timestamps/counters, and emitting
+                # it with ts=te=0 would land in a 1970-01-01 partition
+                # downstream (ADVICE r5 low) — drop it instead
+                if "_first" in rec:
                     flows.append(_finalize_v3(rec, exporter))
             p += rsize  # non-v3 record types skip by size
     return flows
@@ -450,13 +466,18 @@ def _gen_record(f: int, r: int, v6: bool) -> bytes:
     return _v3_record(elements)
 
 
-def _data_block(records: list[bytes], codec: int) -> bytes:
+def _data_block(records: list[bytes], codec: int, *,
+                force_raw: bool = False) -> bytes:
+    """One type-3 data block. Per nffileV2.h, a block compressed with
+    the file-header codec carries flags bit 0 CLEAR; ``force_raw``
+    stores the payload uncompressed with FLAG_BLOCK_UNCOMPRESSED set
+    (both forms appear in real files — the reader must honor the flag
+    over the header codec)."""
     raw = b"".join(records)
-    flags = 0
-    payload = raw
-    if codec != COMPRESSION_NONE:
-        payload = _compress(raw, codec)
-        flags = _FLAG_BLOCK_COMPRESSED
+    if force_raw:
+        payload, flags = raw, _FLAG_BLOCK_UNCOMPRESSED
+    else:
+        payload, flags = _compress(raw, codec), 0
     return (
         struct.pack(_DATA_BLOCK, len(records), len(payload),
                     DATA_BLOCK_TYPE_3, flags)
@@ -510,7 +531,11 @@ def write_nffile(
         block1 = _data_block(recs1, compression)
         # a non-type-3 block (exporter table, type 2): skipped whole
         other = struct.pack(_DATA_BLOCK, 1, 16, 2, 0) + b"\x02" * 16
-        block2 = _data_block(recs2, compression)
+        # second block stored raw with FLAG_BLOCK_UNCOMPRESSED set, so
+        # every compressed-codec file exercises BOTH flag polarities
+        # (bit 0 clear → header codec, bit 0 set → raw)
+        block2 = _data_block(recs2, compression,
+                             force_raw=compression != COMPRESSION_NONE)
         body = block1 + other + block2
         # appendix: one stat-ish block past offAppendix (never parsed)
         appendix = struct.pack(_DATA_BLOCK, 1, 24, 5, 0) + b"\x05" * 24
