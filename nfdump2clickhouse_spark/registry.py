@@ -139,23 +139,54 @@ def _certified_hashes() -> dict[str, dict]:
     return data if isinstance(data, dict) else {}
 
 
+#: Never-swept keys the sweep must certify BEFORE the rest of the
+#: never-swept pool (VERDICT r5 next-#1): the ETL-parity core — the
+#: family that IS the reference's dataflow (scans/sinks/service/
+#: streaming, `operators/scans.py` + the nffile pair + wave9's
+#: source/stream demos) — reached round 6 with zero driver rows
+#: because the r5 registration-tail maintenance pushed it behind 150
+#: cheap statistics keys. This list is a certification-schedule
+#: override only: a key leaves it the moment the driver certifies it
+#: (it becomes tier 4 like any other pass), so the tier self-empties
+#: and raw registration order (streaming demos last — the property
+#: `test_registry_order_certification_rotation` pins) is untouched.
+_SWEEP_PRIORITY: tuple[str, ...] = (
+    # wave21 — the nfdump on-disk format pair
+    "flows_nffile_decode", "stream_nffile_source",
+    # wave9 — Python DataSource + state-reader lifecycle demos
+    "source_python_datasource", "stream_state_reader", "observe_metrics",
+    "agg_grouping_id", "set_intersect_all", "set_except_all",
+    # scans.py — the reference's own scan/sink/service/stream surface
+    "scan_parquet", "scan_csv_typed", "sink_parquet_part", "retention_ttl",
+    "maint_bucketed_join", "sink_jdbc_clickhouse", "service_conf_ingest",
+    "scan_jsonl", "src_stream_dir", "stream_foreachbatch",
+    "stream_restart_resume", "stream_watermark", "stream_dedup_watermark",
+    "stream_output_modes", "stream_stateful", "stream_session_window",
+    "stream_stream_join", "stream_v9_source", "maint_compaction",
+    "stream_transform_with_state", "stream_left_outer_join",
+)
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Registry order for the driver's budget-capped correctness sweep.
 
     The driver certifies keys front-to-back under a fixed window (r1–r3
     each covered exactly the first 50 registered keys), so ordering IS the
-    certification schedule. Four tiers, stable within each:
+    certification schedule. Five tiers, stable within each:
 
     1. keys whose latest driver row is an ERR/mismatch (re-certify first),
     2. keys with a stale pass — implementation rewritten since the driver
        certified it (source hash no longer matches ``EVIDENCE_HASHES.json``),
-    3. keys the driver has never reached (registration order = cheap hash
+    3. never-swept keys on the ``_SWEEP_PRIORITY`` list (the ETL-parity
+       core the r5 tail-shuffle deferred — VERDICT r5 next-#1),
+    4. keys the driver has never reached (registration order = cheap hash
        families first, per ``operators/__init__`` import order),
-    4. keys already certified (pass / rows-only clean) on their current
+    5. keys already certified (pass / rows-only clean) on their current
        source — re-sweeping them certifies nothing new, so they go last.
     """
     evidence = _certification_evidence()
     recorded = _certified_hashes()
+    priority = set(_SWEEP_PRIORITY)
 
     def tier(k: str) -> int:
         v = evidence.get(k)
@@ -169,8 +200,8 @@ def _sweep_order(keys: list[str]) -> list[str]:
                 and rec["hash"] != source_hash(_REGISTRY[k].fn)
             ):
                 return 1  # certified an older implementation — re-queue
-            return 3
-        return 2  # never swept
+            return 4
+        return 2 if k in priority else 3  # never swept
 
     return sorted(keys, key=tier)  # sort is stable
 

@@ -935,6 +935,16 @@ def test_registry_order_certification_rotation():
     stream_pos = [i for i, k in enumerate(reg_order) if k.startswith("stream_")]
     assert all(i >= 0.6 * len(reg_order) for i in stream_pos), (
         "streaming demos must register late (cheap hash families first)")
+    # VERDICT r5 next-#1: never-swept _SWEEP_PRIORITY keys (the
+    # ETL-parity core the r5 tail-shuffle deferred) lead the
+    # never-swept pool; certified ones drop out (tier self-empties)
+    assert set(registry._SWEEP_PRIORITY) <= set(reg_order)
+    never = [k for k in keys if evidence.get(k) is None]
+    prio_never = [k for k in never if k in set(registry._SWEEP_PRIORITY)]
+    if prio_never:
+        assert never[: len(prio_never)] == prio_never, (
+            "never-swept priority (ETL-core) keys must head the "
+            "never-swept queue")
 
 
 def test_registry_hash_invalidation_requeues_rewritten_keys(tmp_path, monkeypatch):
