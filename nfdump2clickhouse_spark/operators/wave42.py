@@ -92,8 +92,16 @@ def stats_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     row reads its nearest control from LAST_VALUE(below, IGNORE NULLS)
     and FIRST_VALUE(above) — 1-D nearest neighbor IS a sorted-merge,
     the `join_asof_nearest` lesson applied to causal matching. Scores
-    pre-round to 1e-6 so ordering is engine-stable; the user-level
-    window is bounded (the `stats_wilcoxon_signed_rank` disclosure)."""
+    pre-round to 1e-6 so ordering is engine-stable. Scale shape
+    (VERDICT r5 wrong-#1: the draft streamed all users through one
+    unpartitioned window): literal range boundaries split the (score,
+    user_id) order into pids; a per-pid O(P) collect carries each
+    range's LAST control below / FIRST control above across the
+    boundary, and the windows run PARTITIONED BY pid — the
+    `prefix_sums` two-phase trick with last-seen values instead of
+    sums."""
+    from ..functions.distributed import range_pid, sample_boundaries
+
     u = (
         table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -107,21 +115,74 @@ def stats_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("treated", F.col("user_id") % 2 == 0)
         .filter(F.col("outcome").isNotNull())
+        .localCheckpoint()  # three passes share one compute (cache,
+        # not a correctness crutch — boundaries are plan literals)
     )
-    w = Window.orderBy("score", "user_id")
+    keys = ["score", "user_id"]
+    bounds = sample_boundaries(u, keys, 8)
+    p = u.withColumn("_pid", range_pid(u, keys, bounds))
+    nparts = len(bounds) + 1
+    # phase 1: each range's first/last control row, O(P) rows collected
+    ord_key = F.struct("score", "user_id")
+    sy = F.struct(F.col("score").alias("s"), F.col("outcome").alias("y"))
+    ends = {
+        r["_pid"]: r
+        for r in p.filter(~F.col("treated"))
+        .groupBy("_pid")
+        .agg(
+            F.min_by(sy, ord_key).alias("first_ctrl"),
+            F.max_by(sy, ord_key).alias("last_ctrl"),
+        )
+        .collect()
+    }
+    carry_below: dict[int, tuple | None] = {}
+    carry_above: dict[int, tuple | None] = {}
+    run = None
+    for pid in range(nparts):
+        carry_below[pid] = run
+        r = ends.get(pid)
+        if r is not None and r["last_ctrl"] is not None:
+            run = (r["last_ctrl"]["s"], r["last_ctrl"]["y"])
+    run = None
+    for pid in reversed(range(nparts)):
+        carry_above[pid] = run
+        r = ends.get(pid)
+        if r is not None and r["first_ctrl"] is not None:
+            run = (r["first_ctrl"]["s"], r["first_ctrl"]["y"])
+
+    def _carry(d: dict, idx: int):
+        whens = [
+            F.when(F.col("_pid") == pid, F.lit(v[idx]))
+            for pid, v in d.items()
+            if v is not None
+        ]
+        none = F.lit(None).cast("double")
+        return F.coalesce(*whens, none) if whens else none
+
+    # phase 2: windows PARTITIONED BY the range id, boundary carries
+    # broadcast back as literals
+    w = Window.partitionBy("_pid").orderBy("score", "user_id")
     below = w.rowsBetween(Window.unboundedPreceding, 0)
     above = w.rowsBetween(0, Window.unboundedFollowing)
     ctrl_y = F.when(~F.col("treated"), F.col("outcome"))
     ctrl_s = F.when(~F.col("treated"), F.col("score"))
-    ordered = u.select(
+    ordered = p.select(
         "user_id",
         "score",
         "outcome",
         "treated",
-        F.last(ctrl_y, ignorenulls=True).over(below).alias("ctrl_below_y"),
-        F.last(ctrl_s, ignorenulls=True).over(below).alias("ctrl_below_s"),
-        F.first(ctrl_y, ignorenulls=True).over(above).alias("ctrl_above_y"),
-        F.first(ctrl_s, ignorenulls=True).over(above).alias("ctrl_above_s"),
+        F.coalesce(
+            F.last(ctrl_y, ignorenulls=True).over(below), _carry(carry_below, 1)
+        ).alias("ctrl_below_y"),
+        F.coalesce(
+            F.last(ctrl_s, ignorenulls=True).over(below), _carry(carry_below, 0)
+        ).alias("ctrl_below_s"),
+        F.coalesce(
+            F.first(ctrl_y, ignorenulls=True).over(above), _carry(carry_above, 1)
+        ).alias("ctrl_above_y"),
+        F.coalesce(
+            F.first(ctrl_s, ignorenulls=True).over(above), _carry(carry_above, 0)
+        ).alias("ctrl_above_s"),
     ).filter(F.col("treated"))
     use_below = (
         F.col("ctrl_above_s").isNull()

@@ -150,7 +150,7 @@ AUDITED: dict[str, str] = {
     "privacy_t_closeness": "integer-exact TVD; (QI,s) rollup checkpointed for three sibling aggs; 3-row threshold grid broadcast",
     "scan_text_wholefile": "distributed whole-file scan; checksums scan-local; one 20-row ordering exchange",
     # wave-33 (round 5)
-    "stats_wilcoxon_signed_rank": "user agg + user-level avg-rank window (RANGE peers) + 1-row moments; 1e-6 pre-round",
+    "stats_wilcoxon_signed_rank": "distinct-|d| collapse + prefix_sums exclusive cumcount; closed-form tie ranks, NO window",
     "graph_adamic_adar": "z-keyed neighbor self-join (triangle shape); degree + anti-join broadcast; TakeOrderedAndProject top-20",
     "ts_rolling_corr": "one conditional-count daily agg; corr as window aggregate over the bounded days table",
     "flows_exporter_dedup": "one flow-key hash agg dedups (copies meet in one reducer); 1-row sibling totals",
@@ -194,17 +194,17 @@ AUDITED: dict[str, str] = {
     # wave-40 (round 5)
     "events_recency_weighted_score": "1-row data-MAX anchor broadcast; one user agg; TakeOrderedAndProject top-100",
     "privacy_generalization_ladder": "4 ladder levels in one scan; argmin window over the bounded mins table",
-    "agg_pareto_8020": "user rollup first; integer cross-multiplied 80% crossing on user-level windows",
+    "agg_pareto_8020": "user rollup + prefix_sums over (-rev,id); integer cross-multiplied 80% crossing, pid-partitioned windows only",
     "agg_median_of_means": "deterministic hash buckets; one 16-group agg + 16-row arithmetic",
     "stats_jarque_bera": "one pass of raw power sums; binomial central-moment expansion shared by both engines",
     # wave-41 (round 5)
     "stats_bayes_shrunk_rates": "checkpointed user rollup + 1-row MoM prior broadcast; TOAP top-50",
-    "stats_sprt_early_stop": "one ordered LLR cumsum; min_by on first decided t extracts the boundary state",
+    "stats_sprt_early_stop": "integer prefix_sums (hits,t) + closed-form LLR in codegen; min_by on first decided t",
     "text_burstiness_dispersion": "(word,doc) agg; zero-docs via closed-form moments; TOAP top-30",
     "ml_calibration_brier": "checkpointed scored pass; 10-bin decomposition + 1-row brier sibling",
     "agg_log_histogram": "scan-local decade codegen; shares from windows over the bucket table",
     # wave-42 (round 5)
-    "stats_nn_matching": "score-sorted merge windows (last-below/first-above IGNORE NULLS); no pair join",
+    "stats_nn_matching": "pid-partitioned merge windows + O(P) boundary-carry collect; no pair join, no global sort",
     "dedup_entity_resolution": "first-letter blocked candidate join; per-string argmin window; codegen levenshtein",
     "privacy_cell_suppression": "cell rollup then fold rollup; all-integer conservation",
     "events_growth_accounting": "ONE checkpointed window pass classifies all statuses incl. churn; no anti-join",
@@ -241,7 +241,7 @@ AUDITED: dict[str, str] = {
     "stats_cochran_armitage": "daily (k,n) agg + bounded index window + 1-row moments",
     # wave-48 (round 5)
     "stats_hodges_lehmann": "Walsh pairs over the bounded checkpointed day table; exact percentile",
-    "sample_systematic": "integer-modulo pick on a key-order rank; sibling population mean",
+    "sample_systematic": "global_rank two-phase row number; integer-modulo pick; sibling population mean",
     "agg_trimmed_mean": "exact [p10,p90] band broadcast back; boundary-inclusive keep",
     "ts_theil_sen": "exact-integer pairwise slopes on the bounded day table; exact median",
     "events_dose_response": "one user rollup + exact_ntile two-phase deciles; 10-row response",
@@ -258,7 +258,7 @@ AUDITED: dict[str, str] = {
     "stats_grubbs": "checkpointed day agg + 1-row moments + min_by argmax",
     "stats_block_bootstrap": "integer block grid + broadcast range join on the bounded day table",
     # wave-51 (round 5)
-    "ml_eval_average_precision": "global ordered rank + running-TP cumsum (ml_eval_auc shape); one conditional fold",
+    "ml_eval_average_precision": "one prefix_sums pass yields rank AND running TP; pid-partitioned windows; one conditional fold",
     "stats_friedman_test": "day-partitioned <=k-row rank windows; k rank sums -> 1-row stat",
     "stats_durbin_watson": "1-row betas broadcast back; residual lag window on the bounded day table",
     "events_repeat_purchase": "purchase-slice user window; conditional nth extraction; 1-row summary",
