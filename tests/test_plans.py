@@ -1086,9 +1086,8 @@ def test_wave33_exchange_budgets(spark, sf_dir):
     budgets = {
         # user agg + user-level rank window + 1-row moments
         "stats_wilcoxon_signed_rank": 4,
-        # distinct edges (checkpointed) + z-keyed self-join + pair agg
-        # + degree broadcast + anti-join broadcast + top-20
-        "graph_adamic_adar": 6,
+        # distinct-edge agg (partial+final) + single-group GEMM batch
+        "graph_adamic_adar": 3,
         # daily conditional-count agg + bounded days window + order
         "ts_rolling_corr": 4,
         # flow-key dedup agg + two 1-row totals
@@ -1100,13 +1099,16 @@ def test_wave33_exchange_budgets(spark, sf_dir):
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
 
 
-def test_adamic_adar_topk_and_broadcasts(spark, sf_dir):
-    """Top-20 must be TakeOrderedAndProject; degree lookup and the
-    already-an-edge anti-join must broadcast (the candidate join on the
-    shared endpoint z is the only data-sized shuffle)."""
+def test_adamic_adar_gemm_batch_no_pair_join(spark, sf_dir):
+    """r6 rework: the data-sized phase is ONE distinct-edge aggregate;
+    all-pairs scoring is a single bounded Arrow batch (A·diag(w)·Aᵀ
+    over the fixed ≤1000-node space) — the z-keyed self-join whose
+    candidate mass hit Σ deg² at the dense ceiling is gone, as is any
+    join at all."""
     plan = get_plan(SPECS["graph_adamic_adar"].fn(spark, sf_dir), "simple")
-    assert "TakeOrderedAndProject" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan  # the distributed distinct
 
 
 def test_compression_ratio_zero_preagg_shuffles(spark, sf_dir):

@@ -151,7 +151,7 @@ AUDITED: dict[str, str] = {
     "scan_text_wholefile": "distributed whole-file scan; checksums scan-local; one 20-row ordering exchange",
     # wave-33 (round 5)
     "stats_wilcoxon_signed_rank": "distinct-|d| collapse + prefix_sums exclusive cumcount; closed-form tie ranks, NO window",
-    "graph_adamic_adar": "z-keyed neighbor self-join (triangle shape); degree + anti-join broadcast; TakeOrderedAndProject top-20",
+    "graph_adamic_adar": "distributed distinct-edge agg + ONE bounded GEMM batch (A.diag(w).A^T over the fixed 1000-node space); no pair join",
     "ts_rolling_corr": "one conditional-count daily agg; corr as window aggregate over the bounded days table",
     "flows_exporter_dedup": "one flow-key hash agg dedups (copies meet in one reducer); 1-row sibling totals",
     "text_compression_ratio": "scan-local Arrow zlib UDF; one per-source rollup exchange",

@@ -63,7 +63,7 @@ PROBED = [
     "ml_eval_lift",           # exact_ntile two-phase decile rank
     "privacy_t_closeness",    # integer TVD; (QI,s) rollup + siblings
     "events_interarrival_stats",  # lag window + rollup on one exchange
-    "graph_adamic_adar",      # z-keyed neighbor self-join (triangle shape)
+    "graph_adamic_adar",      # distinct-edge agg + bounded GEMM batch (r6)
     "flows_exporter_dedup",   # one flow-key dedup agg under 2x copies
 ]
 
