@@ -261,13 +261,15 @@ class FlowService:
         ``sources.flows.read_nffile_directory`` doing the decode
         (VERDICT r4 missing-#2).
 
-        Codec coverage: none/bz2 always, LZ4/zstd when a library is
-        importable. nfdump's DEFAULT codec in many deployments is
-        LZO1X-1, which has no binding in this environment — such files
-        raise a ValueError naming the two escape hatches: re-capture
-        with ``nfcapd -z=bz2``, or set ``decode_cmd`` in the source
-        conf to shell out to ``nfdump -r {file} -o csv`` (the
-        subprocess seam this native path otherwise replaces)."""
+        Codec coverage: none/bz2/LZO1X always — LZO (nfdump's default
+        ``-z`` codec in many deployments) decodes through the in-house
+        pure-Python bitstream reader ``sources/lzo1x.py``, with a
+        documented throughput caveat (a few MB/s vs liblzo2; for bulk
+        LZO backfills prefer ``nfcapd -z=bz2`` re-capture or the
+        ``decode_cmd`` conf seam, ``nfdump -r {file} -o csv``) —
+        plus LZ4/zstd when a library is importable; a genuinely
+        unopenable codec raises a ValueError naming the decode_cmd
+        escape hatch."""
         from .sources.flows import read_nffile_directory
 
         return self._decode_native_files(src, read_nffile_directory, "nffile")
