@@ -196,7 +196,7 @@ def text_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz AS (SELECT k, doc_id, COUNT(*) AS n FROM sh GROUP BY k, doc_id),
     df AS (
       SELECT k, shingle FROM sh GROUP BY k, shingle
-      HAVING COUNT(*) <= 10000
+      HAVING COUNT(*) <= CASE WHEN k = 2 THEN 1000 ELSE 10000 END
     ),
     shc AS (SELECT sh.* FROM sh JOIN df USING (k, shingle)),
     inter AS (
@@ -227,11 +227,14 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array-slice shingling (the word split happens once); the
     inverted-index pair generation then keys on (k, shingle), so each
     size's candidates stay in their own buckets of the same shuffle,
-    and posting lists above max_df=10k drop BEFORE pair generation
-    (the `shingle_pair_counts` stop-shingle rule — k=2 lists explode
-    quadratically on duplicated corpora without it; probe-caught).
-    Integer cross-multiplied threshold (`dedup_threshold_curve`
-    discipline)."""
+    and posting lists above the PER-K stop-shingle cap drop BEFORE
+    pair generation: k=2 caps at max_df=1000 (bigrams go stopword-like
+    at far lower df — the r5 flat 10k cap left Σ df² ≈ 1e9 bigram pair
+    mass on the 8× dup-mass fixture and OOM'd an 8 GB heap; r6
+    probe-caught), k∈{3,5} keep max_df=10000, which preserves the k=3
+    reconciliation with `dedup_ngram_jaccard` exactly (pinned in
+    tests). Integer cross-multiplied threshold
+    (`dedup_threshold_curve` discipline)."""
     from ..functions.text import words as _words
 
     w = table(spark, sf_dir, "documents").select(
@@ -259,13 +262,20 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # sizes + both pair sides share one shingling
     )
     sz = sh.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # max_df stop-shingle cap (the `shingle_pair_counts` rule): on a
-    # duplicated corpus the k=2 posting lists otherwise explode
-    # quadratically — the 8x probe OOM'd the uncapped draft
+    # PER-K max_df stop-shingle cap (the `shingle_pair_counts` rule,
+    # tightened for bigrams): pair mass per posting list is df², so the
+    # cap is the only bound on join mass — k=2 lists at the r5 flat 10k
+    # cap carried ~1e9 pairs on the 8× dup-mass fixture (OOM @ 8g,
+    # r6 probe-caught); 1000 bounds any one list at 5e5 pairs while
+    # k=3/5 keep 10k so the k=3 curve still reconciles with
+    # dedup_ngram_jaccard
     df_ok = (
         sh.groupBy("k", "shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 10000)
+        .filter(
+            F.col("df")
+            <= F.when(F.col("k") == 2, F.lit(1000)).otherwise(F.lit(10000))
+        )
         .select("k", "shingle")
     )
     shc = sh.join(df_ok, ["k", "shingle"])

@@ -65,6 +65,20 @@ PROBED = [
     "events_interarrival_stats",  # lag window + rollup on one exchange
     "graph_adamic_adar",      # distinct-edge agg + bounded GEMM batch (r6)
     "flows_exporter_dedup",   # one flow-key dedup agg under 2x copies
+    # round 6 depth batch: never-probed data-heavy r5 keys (waves 29-52)
+    "dedup_shingle_size_curve",   # per-k max_df cap under 8x dup mass (r6 fix)
+    "dedup_threshold_curve",      # minhash banding grid under dup mass
+    "dedup_lsh_scurve",           # s-curve banding probe under dup mass
+    "dedup_entity_resolution",    # blocked pair scoring under dup mass
+    "dedup_canonical_doc",        # cluster-rep election under dup mass
+    "text_pmi_collocations",      # bigram mass + unigram join
+    "text_lang_divergence",       # capped shingle distro pair join
+    "flows_billing_95th",         # per-customer exact 95th percentile
+    "events_cohort_retention_matrix",  # cohort x age matrix rollup
+    "events_growth_accounting",   # MAU state transitions via lag
+    "agg_hurst_exponent",         # R/S rescaled-range over the series
+    "stats_block_bootstrap",      # integer block grid resampling
+    "maint_join_cardinality_exact",  # F2/NDV key-frequency rollups
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
