@@ -288,7 +288,8 @@ def src_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_stream_dir(spark)
 
 
-@register("stream_foreachbatch")  # rows-only
+@register("stream_foreachbatch")  # rows-only: real StreamingQuery with
+# side-effecting idempotent batch writes — no cross-engine value oracle
 def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_foreachbatch(spark)
 
@@ -298,22 +299,26 @@ def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_restart_resume(spark)
 
 
-@register("stream_watermark")  # rows-only
+@register("stream_watermark")  # rows-only: real watermarked windowed agg
+# run; emission timing is engine trigger behavior, not a SQL value
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_watermark(spark)
 
 
-@register("stream_dedup_watermark")  # rows-only
+@register("stream_dedup_watermark")  # rows-only: real watermarked
+# dropDuplicates stream; state eviction is engine-internal
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_dedup_watermark(spark)
 
 
-@register("stream_output_modes")  # rows-only
+@register("stream_output_modes")  # rows-only: compares append/update/
+# complete sink contents across micro-batches — a lifecycle, not a query
 def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_output_modes(spark)
 
 
-@register("stream_stateful")  # rows-only
+@register("stream_stateful")  # rows-only: real applyInPandasWithState
+# run; per-group state timeouts have no batch-SQL analog
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_stateful_sessions(spark)
 

@@ -3,6 +3,9 @@ runs on Spark and (when an oracle exists) must match DuckDB exactly."""
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pandas as pd
 import pytest
 
@@ -945,6 +948,26 @@ def test_registry_order_certification_rotation():
         assert never[: len(prio_never)] == prio_never, (
             "never-swept priority (ETL-core) keys must head the "
             "never-swept queue")
+
+
+def test_rows_only_keys_carry_reason():
+    """Every rows-only key (QuerySpec.oracle is None) must carry an
+    explicit `# rows-only: <why>` comment at its registration site AND
+    fall into one of the principled categories of
+    tools/rows_only_audit.py — an uncategorized rows-only key is a
+    hash-graduation candidate the audit must surface (VERDICT r5
+    next-#8: revisit, don't force)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import rows_only_audit as audit
+
+    for k, s in sorted(SPECS.items()):
+        if s.oracle is not None:
+            continue
+        reason = audit.extract_reason(s)
+        assert reason, f"{k}: no `# rows-only:` comment at registration"
+        assert audit.categorize(k, reason), (
+            f"{k}: reason fits no principled category — graduate it to a "
+            f"hash oracle or extend the audit taxonomy: {reason!r}")
 
 
 def test_registry_hash_invalidation_requeues_rewritten_keys(tmp_path, monkeypatch):
