@@ -253,8 +253,23 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ordinary shuffled equi-join, no broadcast, no all-pairs). The
     distance itself is `F.levenshtein` — JVM-side, identical semantics
     to the oracle's. At 100 TB, widen recall with multiple block keys
-    (prefix, suffix, length bucket) unioned before the distinct."""
+    (prefix, suffix, length bucket) unioned before the distinct.
+
+    Scale path (r6 probe-caught: 70× wall on the 8× dup-mass fixture —
+    every verbatim copy pair ran the full O(len²) DP, serialized on the
+    scan's few splits). Three semantic no-ops fix it, so the oracle is
+    byte-identical: (1) equality fast path — lev(t,t)=0 without DP,
+    which is exactly the dup-mass case a dedup operator exists for;
+    (2) length-band prefilter — lev ≥ |len1−len2|, so a pair outside
+    the 30% length band can never pass the threshold and skips DP;
+    (3) the parallelism gate (same rationale as `dedup_ngram_jaccard`
+    above) so the CPU-heavy DP stage runs cluster-wide, not on the
+    fixture's row-group count. Post-fix probe: 8× wall 77.4 s → 3.6 s,
+    ratio 5.5 (was 70.3) — inside the dedup family band."""
     d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < par:  # metadata-only gate; no-op at scale
+        d = d.repartition(par)
     b = d.select(
         "doc_id",
         "text",
@@ -273,10 +288,20 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
         F.col("len").alias("len2"),
     )
-    lev = F.levenshtein("t1", "t2")
+    # equality fast path: lev(t,t) = 0 — verbatim duplicates (the bulk
+    # of any real dup mass) never run the DP
+    lev = F.when(F.col("t1") == F.col("t2"), F.lit(0)).otherwise(
+        F.levenshtein("t1", "t2")
+    )
     return (
         a.join(c, "blk")
         .filter(F.col("id1") < F.col("id2"))
+        # band prefilter: lev >= |len1-len2|, so any pair outside the
+        # 30% length band fails the threshold without running the DP
+        .filter(
+            F.abs(F.col("len1") - F.col("len2"))
+            <= 0.3 * F.greatest("len1", "len2")
+        )
         .withColumn("lev", lev)
         .filter(F.col("lev") <= 0.3 * F.greatest("len1", "len2"))
         .select("id1", "id2", "lev")

@@ -269,6 +269,8 @@ AUDITED: dict[str, str] = {
     "stats_one_sample_t": "ONE 1-row moment aggregate",
     "emb_anisotropy": "all-pairs mean cosine WITHOUT a pair join: sum-vector identity over one posexplode agg",
     "sql_lateral_alias": "alias chain folds into one projection over one partial+final agg",
+    # round 6 probe-caught rework
+    "dedup_fuzzy_levenshtein": "canopy equi-join; equality fast path + length-band prefilter gate the O(len^2) DP; gated repartition parallelizes the CPU-bound stage",
 }
 
 

@@ -79,6 +79,21 @@ PROBED = [
     "agg_hurst_exponent",         # R/S rescaled-range over the series
     "stats_block_bootstrap",      # integer block grid resampling
     "maint_join_cardinality_exact",  # F2/NDV key-frequency rollups
+    # round 6 depth batch 2: iterative / dup-mass / window-cascade keys
+    "dedup_cluster_cc",           # iterative connected components under dup mass
+    "dedup_fuzzy_levenshtein",    # blocked edit-distance pairs under dup mass
+    "dedup_pipeline_e2e",         # full dedup pipeline under dup mass
+    "text_line_dedup",            # line-level firsts under dup mass
+    "text_decontaminate",         # benchmark n-gram anti-join
+    "text_boilerplate_ngrams",    # shingle df rollup under dup mass
+    "graph_pagerank",             # iterative PR rounds on the event graph
+    "graph_label_propagation",    # iterative LP rounds
+    "dedup_semantic_cluster",     # Lloyd rounds + assignment
+    "agg_group_quantiles_exact",  # grouped_rank exact group quantiles
+    "events_survival_km",         # life-table fold
+    "join_asof",                  # time-bucketed as-of join
+    "ts_subsequence_search",      # z-normalized sliding distance
+    "text_lm_perplexity_filter",  # char-ngram LM scoring
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
