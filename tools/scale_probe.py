@@ -94,6 +94,27 @@ PROBED = [
     "join_asof",                  # time-bucketed as-of join
     "ts_subsequence_search",      # z-normalized sliding distance
     "text_lm_perplexity_filter",  # char-ngram LM scoring
+    # round 6 depth batch 3: event windows, flow rollups, regex-heavy text
+    "events_funnel",              # ordered-step window cascade
+    "events_retention",           # cohort self-join on day offsets
+    "events_sequence_match",      # pattern DP over user sessions
+    "events_path_ngrams",         # session path explode + ngram rollup
+    "events_markov_transition",   # lag window + transition rollup
+    "events_dau_wau",             # day/window distinct-user rollups
+    "events_activity_streaks",    # gaps-and-islands per user
+    "events_peak_concurrency",    # +1/-1 sweep over interval bounds
+    "flows_biflow",               # direction-normalized flow-key agg
+    "flows_portscan",             # per-src fanout agg + threshold
+    "flows_ddos_amplification",   # amplification ratio join
+    "flows_beaconing_detection",  # per-pair interarrival regularity
+    "doc_chunking",               # overlapping char-window slicing
+    "pack_token_budget",          # greedy bin packing via prefix sums
+    "text_containment",           # shingle containment join
+    "text_pii_scrub",             # regex-heavy per-row scrub (CPU path)
+    "corpus_report_e2e",          # multi-stat corpus rollup
+    "cdc_scd2",                   # change-capture full-outer merge
+    "merge_upsert",               # keyed full-outer merge
+    "zorder_layout",              # interleaved-bit layout sort
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
