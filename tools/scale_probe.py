@@ -115,6 +115,26 @@ PROBED = [
     "cdc_scd2",                   # change-capture full-outer merge
     "merge_upsert",               # keyed full-outer merge
     "zorder_layout",              # interleaved-bit layout sort
+    # round 6 depth batch 4: join strategies, time series, feature prep
+    "join_theta_range",           # binned range join (no BNLJ)
+    "join_skew_salted",           # salted skew-key join
+    "join_interval_bin",          # interval-binned equi join
+    "join_bloom_prefilter",       # bloom-screened big-big join
+    "join_ip_prefix_lookup",      # exploded-prefix broadcast LPM
+    "filter_nfdump_lang",         # compiled filter predicate pushdown
+    "win_sliding_distinct",       # sliding distinct via set windows
+    "ts_interpolate",             # gap grid + boundary-carry lerp
+    "ts_gap_fill",                # sequence+explode grid fill
+    "ts_resample_ohlc",           # bucket agg with first/last
+    "events_anomaly_zscore",      # day rollup + rolling stats window
+    "agg_quantile_weighted",      # weighted exact quantile fold
+    "agg_mad_outliers",           # double median pass
+    "agg_cramers_v",              # contingency rollup + chi2 fold
+    "events_lag_features",        # multi-lag user windows
+    "features_pit_join",          # point-in-time snapshot join
+    "sample_negative_mining",     # in-batch negative pair sampling
+    "emb_matryoshka_truncate",    # prefix-slice renorm HOFs
+    "text_quality_filter_e2e",    # stacked quality predicates
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
