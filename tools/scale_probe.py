@@ -135,6 +135,27 @@ PROBED = [
     "sample_negative_mining",     # in-batch negative pair sampling
     "emb_matryoshka_truncate",    # prefix-slice renorm HOFs
     "text_quality_filter_e2e",    # stacked quality predicates
+    # round 6 depth batch 5: privacy, ml-eval, sampling, reshape
+    "privacy_k_anonymity",        # QI rollup + suppression
+    "privacy_l_diversity",        # per-QI sensitive-value diversity
+    "privacy_t_closeness",        # integer TVD vs global distro
+    "privacy_cell_suppression",   # small-cell primary+complementary
+    "privacy_pseudonymize",       # keyed-hash token projection
+    "ml_eval_auc",                # shared prefix_sums rank scan (r3 rework)
+    "ml_eval_ndcg",               # per-query WGL top-k + log2 fold
+    "ml_eval_calibration",        # score-bucket rollup
+    "ml_feature_woe_binning",     # bin rollup + WoE fold
+    "sample_stratified",          # per-stratum fraction sampling
+    "sample_train_split",         # hash-split projection
+    "sub_correlated",             # decorrelated agg + equi-join
+    "reshape_pivot",              # pivot agg
+    "events_cuped_adjust",        # covariate window + 1-row theta
+    "data_quality_rules",         # stacked rule counters
+    "flows_top_talkers",          # key rollup + TakeOrdered
+    "flows_stat_report",          # grouping-sets Expand + WGL top-5
+    "win_session",                # session_window agg
+    "events_cohort_ltv",          # cohort x month rollup
+    "agg_histogram",              # width_bucket rollup
 ]
 
 SMALL = ["region", "nation", "customer", "supplier", "part"]
