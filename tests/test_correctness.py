@@ -7454,3 +7454,38 @@ def test_lateral_alias_chain_semantics(spark, sf_dir):
     for _, r in got.iterrows():
         assert r.net_per_item == round(r.net / r.n, 4)
         assert r.net_per_item_taxed == round(r.net_per_item * 1.1, 4)
+
+
+# --- round-6 scale-rework semantic pins --------------------------------------
+
+
+def test_fuzzy_levenshtein_edge_semantics(spark, tmp_path):
+    """The r6 scale rework of `dedup_fuzzy_levenshtein` (equality fast
+    path, length-band prefilter, gated repartition) must be a semantic
+    no-op. Engineered cases: an exact duplicate pairs at lev=0 via the
+    fast path; an in-band suffix extension keeps its exact DP distance;
+    a same-block pair outside the 30% length band is dropped (band
+    prefilter and lev threshold agree — lev >= |len1-len2|); a doc with
+    different first-3 words never becomes a candidate."""
+    from nfdump2clickhouse_spark.catalog import FIXTURE_SCHEMAS
+
+    base = "alpha beta gamma " + "a" * 18  # len 35, block "alpha beta gamma"
+    docs = [
+        (1, base, "en", "t", len(base)),
+        (2, base, "en", "t", len(base)),                    # exact dup of 1
+        (3, base + "b" * 14, "en", "t", len(base) + 14),    # lev 14 <= 0.3*49
+        (4, base + "b" * 40, "en", "t", len(base) + 40),    # |diff| 40 > 0.3*75
+        (5, "zeta eta theta " + base, "en", "t", len(base) + 15),  # other block
+    ]
+    spark.createDataFrame(docs, FIXTURE_SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        SPECS["dedup_fuzzy_levenshtein"].fn(spark, str(tmp_path))
+        .toPandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (1, 2, 0),   # equality fast path
+        (1, 3, 14),  # exact DP distance survives the rework
+        (2, 3, 14),
+    ]
