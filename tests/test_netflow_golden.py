@@ -176,3 +176,69 @@ def test_v9_template_persists_across_packets():
     p1 = _v9_header(1) + _v9_template_flowset()
     p2 = _v9_header(1) + _v9_data_flowset()
     assert decode_flow_stream(p1 + p2) == [_EXPECTED_FLOW]
+
+
+# --- IPFIX (RFC 7011) ----------------------------------------------------------
+
+
+def _ipfix_template_set(tid: int, fields) -> bytes:
+    payload = be(tid, 2) + be(len(fields), 2)
+    for ftype, flen in fields:
+        payload += be(ftype, 2) + be(flen, 2)
+    return be(2, 2) + be(4 + len(payload), 2) + payload
+
+
+_IPFIX_FIELDS = [
+    (8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (6, 1), (2, 4), (1, 4),
+    (152, 8),  # flowStartMilliseconds (absolute, dateTimeMilliseconds)
+    (153, 8),  # flowEndMilliseconds
+]
+
+
+def _ipfix_data_set(tid: int) -> bytes:
+    rec = (
+        be(0x0A000001, 4)
+        + be(0xC0A80102, 4)
+        + be(1234, 2)
+        + be(443, 2)
+        + be(6, 1)
+        + be(0x18, 1)
+        + be(10, 4)
+        + be(5000, 4)
+        + be(1_709_251_170_000, 8)
+        + be(1_709_251_185_000, 8)
+    )
+    assert len(rec) == 38
+    # RFC 7011 §3.3.1: sets may pad, padding shorter than one record
+    return be(tid, 2) + be(4 + len(rec) + 2, 2) + rec + b"\x00\x00"
+
+
+def test_ipfix_golden_packet_decodes_exactly():
+    """RFC 7011 message: 16-byte header (version 10 + TOTAL length),
+    template set id 2, data set id = template id, absolute millisecond
+    timestamps taken verbatim (no sysUptime arithmetic)."""
+    body = _ipfix_template_set(400, _IPFIX_FIELDS) + _ipfix_data_set(400)
+    pkt = (
+        be(10, 2)
+        + be(16 + len(body), 2)     # length counts the header itself
+        + be(1_709_251_200, 4)      # exportTime (unused for ts here)
+        + be(1, 4)                  # sequence
+        + be(9, 4)                  # observationDomainId
+        + body
+    )
+    assert decode_flow_stream(pkt) == [
+        (
+            1_709_251_170_000,
+            1_709_251_185_000,
+            15.0,
+            "10.0.0.1",
+            "192.168.1.2",
+            1234,
+            443,
+            "TCP",
+            ".AP...",
+            10,
+            5000,
+            "sid-9",
+        )
+    ]
