@@ -242,3 +242,25 @@ def test_ipfix_golden_packet_decodes_exactly():
             "sid-9",
         )
     ]
+
+
+def test_v9_options_template_sampling_golden():
+    """RFC 3954 §6.1 options template (flowset id 1, byte-length scope/
+    option sections) announcing System-scoped SAMPLING_INTERVAL (type
+    34), then an options data record carrying interval=100: no flows,
+    and with_meta surfaces {"sampling": {sourceId: 100}}."""
+    # options template: tid=500, scope 4 bytes = one (type=1 System, len=2),
+    # options 4 bytes = one (type=34 SAMPLING_INTERVAL, len=4)
+    ot_payload = (
+        be(500, 2) + be(4, 2) + be(4, 2)
+        + be(1, 2) + be(2, 2)
+        + be(34, 2) + be(4, 2)
+    )
+    ot = be(1, 2) + be(4 + len(ot_payload), 2) + ot_payload
+    # options data record: 2-byte scope value + 4-byte interval, 2 pad
+    od_rec = be(0, 2) + be(100, 4)
+    od = be(500, 2) + be(4 + len(od_rec) + 2, 2) + od_rec + b"\x00\x00"
+    pkt = _v9_header(2) + ot + od
+    flows, meta = decode_flow_stream(pkt, with_meta=True)
+    assert flows == []
+    assert meta == {"sampling": {7: 100}}
