@@ -21,6 +21,8 @@ Supported subset (the documented common core [P]):
               | [dir] 'port' cmp           sp/dp comparison
               | [dir] 'port' 'in' '[' NUM+ ']'
               | 'proto' NAME_OR_NUM        pr equality (name, or IANA number)
+              | PROTO_NAME                 bare shorthand: 'tcp', 'udp', ...
+              | 'router' 'ip' ADDR         ra (exporter) equality
               | 'packets' cmp              ipkt (k/m/g multipliers)
               | 'bytes' cmp                ibyt (k/m/g multipliers)
               | 'duration' cmp             td (seconds)
@@ -72,6 +74,12 @@ _PROTO_ALIASES = {"icmp6": "ICMP6", "ipv6-icmp": "ICMP6"}
 
 # IANA protocol numbers the nfdump docs use (`proto 6` ≡ `proto tcp`) [P]
 _PROTO_NUMS = {"1": "ICMP", "6": "TCP", "17": "UDP", "47": "GRE", "50": "ESP", "58": "ICMP6"}
+
+# bare protocol names usable as primaries (`'tcp and dst port 443'`),
+# per the published nfdump grammar [P]
+_PROTO_SHORTHANDS = {
+    "tcp", "udp", "icmp", "icmp6", "igmp", "gre", "esp", "ospf", "sctp",
+}
 
 
 def _tokenize(s: str) -> list[str]:
@@ -225,6 +233,27 @@ class _Parser:
             dp = self._cmp(F.col("dp"), "port")
             assert self.i == end
             return sides(sp, dp)
+
+        if tok.lower() in _PROTO_SHORTHANDS:
+            # nfdump grammar: a bare protocol name IS a primary
+            # (`'tcp and dst port 443'` [P nfdump docs]); protocols take
+            # no direction
+            if direction is not None:
+                raise NfFilterError(
+                    f"protocol {tok!r} takes no src/dst qualifier"
+                )
+            return F.upper(F.col("pr")).eqNullSafe(
+                _PROTO_ALIASES.get(tok.lower(), tok.upper())
+            )
+
+        if tok == "router":
+            # `router ip ADDR` [P nfdump docs]: the exporting router —
+            # equality on the ra (flow source / exporter) column
+            if direction is not None:
+                raise NfFilterError("'router' takes no src/dst qualifier")
+            if self.take() != "ip":
+                raise NfFilterError("expected 'ip' after 'router'")
+            return F.col("ra") == self.take()
 
         if tok == "proto":
             name = self.take()

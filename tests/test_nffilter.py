@@ -145,6 +145,14 @@ EXT_CASES = [
         "any and not proto 1",
         lambda c: F.lit(True) & ~F.upper(c("pr")).eqNullSafe("ICMP"),
     ),
+    # bare protocol shorthand + router ip (published nfdump grammar)
+    ("tcp", lambda c: F.upper(c("pr")).eqNullSafe("TCP")),
+    (
+        "udp and dst port 53",
+        lambda c: F.upper(c("pr")).eqNullSafe("UDP") & (c("dp") == 53),
+    ),
+    ("not icmp", lambda c: ~F.upper(c("pr")).eqNullSafe("ICMP")),
+    ("router ip 172.16.0.1", lambda c: c("ra") == "172.16.0.1"),
 ]
 
 
@@ -162,6 +170,9 @@ def test_extended_grammar_agrees(flows, text, expected):
         "net 10.0.0.0 255.0.255.0",     # non-contiguous mask
         "net 10.0.0.0",                 # net needs CIDR or mask
         "ip in [10.1.2.3",              # unclosed list
+        "src tcp",                      # protocols take no direction
+        "router 10.0.0.99",             # router requires 'ip'
+        "dst router ip x",              # router takes no direction
     ],
 )
 def test_extended_grammar_errors(bad):
