@@ -23,6 +23,7 @@ Supported subset (the documented common core [P]):
               | 'proto' NAME_OR_NUM        pr equality (name, or IANA number)
               | PROTO_NAME                 bare shorthand: 'tcp', 'udp', ...
               | 'router' 'ip' ADDR         ra (exporter) equality
+              | 'ipv4' | 'ipv6'            address-family selectors
               | 'packets' cmp              ipkt (k/m/g multipliers)
               | 'bytes' cmp                ibyt (k/m/g multipliers)
               | 'duration' cmp             td (seconds)
@@ -233,6 +234,14 @@ class _Parser:
             dp = self._cmp(F.col("dp"), "port")
             assert self.i == end
             return sides(sp, dp)
+
+        if tok in ("ipv4", "ipv6"):
+            # address-family selectors [P nfdump docs]: both record
+            # addresses share a family, so the source address decides
+            if direction is not None:
+                raise NfFilterError(f"{tok!r} takes no src/dst qualifier")
+            is6 = F.coalesce(F.col("sa").contains(":"), F.lit(False))
+            return is6 if tok == "ipv6" else ~is6
 
         if tok.lower() in _PROTO_SHORTHANDS:
             # nfdump grammar: a bare protocol name IS a primary

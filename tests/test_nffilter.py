@@ -153,6 +153,15 @@ EXT_CASES = [
     ),
     ("not icmp", lambda c: ~F.upper(c("pr")).eqNullSafe("ICMP")),
     ("router ip 172.16.0.1", lambda c: c("ra") == "172.16.0.1"),
+    (
+        "ipv4",
+        lambda c: ~F.coalesce(c("sa").contains(":"), F.lit(False)),
+    ),
+    (
+        "ipv6 or tcp",
+        lambda c: F.coalesce(c("sa").contains(":"), F.lit(False))
+        | F.upper(c("pr")).eqNullSafe("TCP"),
+    ),
 ]
 
 
