@@ -206,7 +206,16 @@ def _rand_ast(rng, depth=0):
         if kind == "and":
             return f"({lt}) and ({rt})", lambda c, lp=lp, rp=rp: lp(c) & rp(c)
         return f"({lt}) or ({rt})", lambda c, lp=lp, rp=rp: lp(c) | rp(c)
-    leaf = rng.choice(["port", "net", "proto", "packets", "bytes", "pps"])
+    leaf = rng.choice(
+        ["port", "net", "proto", "packets", "bytes", "pps", "bare", "family"]
+    )
+    if leaf == "bare":  # bare protocol shorthand primary
+        name = rng.choice(["tcp", "udp", "icmp"])
+        return name, lambda c, w=name.upper(): F.upper(c("pr")).eqNullSafe(w)
+    if leaf == "family":  # ipv4/ipv6 address-family selector
+        fam = rng.choice(["ipv4", "ipv6"])
+        is6 = lambda c: F.coalesce(c("sa").contains(":"), F.lit(False))
+        return fam, (is6 if fam == "ipv6" else (lambda c, is6=is6: ~is6(c)))
     if leaf == "port":
         d = rng.choice(["src ", "dst ", ""])
         v = rng.choice([53, 80, 443, 8080, 40000])
