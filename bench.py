@@ -102,9 +102,25 @@ def _ingest_throughput(spark) -> float:
     return round(n_files * rows_per_file / dt, 1)
 
 
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
+COOLDOWN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "120"))
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+
 def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # The committed number must defend itself (VERDICT r6 what's-wrong #1):
+    # if the box is busy when we start, take one automatic cooldown before
+    # opening the session, and annotate both readings in the emitted JSON.
+    load_at_start = round(os.getloadavg()[0], 2)
+    cooldown_taken = 0
+    if load_at_start > LOAD_GATE and COOLDOWN_SEC > 0:
+        time.sleep(COOLDOWN_SEC)
+        cooldown_taken = COOLDOWN_SEC
+    load_after_cooldown = round(os.getloadavg()[0], 2)
+
     spark = get_spark("spark-flows-bench")
     qs = registry.queries()
     # warmup (not timed): flagship for JVM/codegen, a pandas-UDF query for
@@ -124,8 +140,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    per_query = {key: _best_of_3(key) for key in HEADLINE}
-    total = round(sum(per_query.values()), 3)
+    # n=3 full headline passes; the committed `value` is the MEDIAN pass's
+    # total and `queries` is that same pass's per-query breakdown, so
+    # sum(queries.values()) == value still holds (ADVICE r2 invariant)
+    # while a single load spike can no longer own the committed number.
+    passes = []
+    for _ in range(max(1, PASSES)):
+        load_before = round(os.getloadavg()[0], 2)
+        per_query = {key: _best_of_3(key) for key in HEADLINE}
+        passes.append(
+            {
+                "total": round(sum(per_query.values()), 3),
+                "queries": per_query,
+                "load_1min_before": load_before,
+            }
+        )
+    median_pass = sorted(passes, key=lambda p: p["total"])[len(passes) // 2]
     # extras live under their own key (ADVICE r2): sum(queries.values())
     # must keep equaling `value` for any consumer recomputing the headline
     extras = {key: _best_of_3(key) for key in EXTRAS}
@@ -134,12 +164,17 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": median_pass["total"],
                 "unit": "sec",
-                "queries": per_query,
+                "queries": median_pass["queries"],
                 "extras": extras,
                 "sf": sf,
                 "ingest_rows_per_sec": ingest,
+                "pass_totals": [p["total"] for p in passes],
+                "pass_loads_1min": [p["load_1min_before"] for p in passes],
+                "load_at_start": load_at_start,
+                "load_after_cooldown": load_after_cooldown,
+                "cooldown_sec": cooldown_taken,
             }
         )
     )
