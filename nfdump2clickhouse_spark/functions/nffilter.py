@@ -237,11 +237,16 @@ class _Parser:
 
         if tok in ("ipv4", "ipv6"):
             # address-family selectors [P nfdump docs]: both record
-            # addresses share a family, so the source address decides
+            # addresses share a family, so the source address decides.
+            # Address-less records (sa NULL — e.g. EXgenericFlow-only
+            # nffile records) belong to NEITHER family under nfdump's
+            # two-valued filter algebra, so both selectors gate on sa
+            # being present (ADVICE r6).
             if direction is not None:
                 raise NfFilterError(f"{tok!r} takes no src/dst qualifier")
-            is6 = F.coalesce(F.col("sa").contains(":"), F.lit(False))
-            return is6 if tok == "ipv6" else ~is6
+            if tok == "ipv6":
+                return F.coalesce(F.col("sa").contains(":"), F.lit(False))
+            return F.col("sa").isNotNull() & ~F.col("sa").contains(":")
 
         if tok.lower() in _PROTO_SHORTHANDS:
             # nfdump grammar: a bare protocol name IS a primary

@@ -54,6 +54,7 @@ from ..registry import register
            ROUND(tot.pos * 1.0 / tot.n, 4) AS base_rate
     FROM ranked CROSS JOIN tot
     GROUP BY tot.n, tot.pos
+    HAVING tot.pos > 0
     """,
 )
 def ml_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +90,8 @@ def ml_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank (_ps_one) plus both grand totals
     ranked, totals = prefix_sums(scored, ["negscore", "event_id"], ["y", "one"])
     n, pos = totals["one"], totals["y"]
+    # AP is undefined with zero positives: empty on BOTH sides (the
+    # oracle's HAVING tot.pos > 0 mirrors this early return — ADVICE r6)
     if n == 0 or pos == 0:
         return spark.createDataFrame(
             [], "n bigint, n_pos bigint, average_precision double, base_rate double"

@@ -91,6 +91,8 @@ def decompress(src: bytes, max_out: int) -> bytes:
             raise LzoError("truncated initial literal run")
         out += src[ip : ip + t]
         ip += t
+        if len(out) > max_out:
+            raise LzoError("output exceeds max_out")
         state = 4 if t >= 4 else t
     while True:
         if ip >= n:

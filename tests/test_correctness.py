@@ -7245,6 +7245,31 @@ def test_average_precision_numpy_and_bounds(spark, sf_dir):
     assert 0 <= row.average_precision <= 1
 
 
+def test_average_precision_zero_positives_parity(spark, tmp_path):
+    """pos==0 with n>0: AP is undefined, and BOTH engines must return
+    empty — the engine's early return is mirrored by the oracle's
+    HAVING tot.pos > 0 guard (ADVICE r6: without the guard, the oracle
+    emitted one divide-by-zero row while the engine emitted none)."""
+    import duckdb
+
+    from tests.conftest import SMALL_SF_DIR
+
+    ev = (
+        spark.read.parquet(os.path.join(SMALL_SF_DIR, "events.parquet"))
+        .filter("event_type <> 'purchase'")
+        .toPandas()
+    )
+    assert len(ev) > 0
+    out = str(tmp_path / "events.parquet")
+    ev.to_parquet(out)
+    spec = SPECS["ml_eval_average_precision"]
+    pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}')")
+    opdf = con.execute(spec.oracle).df()
+    assert len(pdf) == 0 and len(opdf) == 0
+
+
 def test_friedman_matches_numpy_ranks(spark, sf_dir):
     """Numpy average-rank replication of the Friedman statistic."""
     import numpy as np

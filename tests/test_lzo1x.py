@@ -135,6 +135,15 @@ def test_max_out_is_enforced():
         lzo1x.decompress(lzo1x.compress(data), 100)
 
 
+def test_max_out_enforced_on_initial_literal_run():
+    """The first-byte>17 initial literal run must honor max_out too —
+    it is an output-growing path like any other (ADVICE r6)."""
+    s = bytes([17 + 8]) + b"abcdefgh" + EOS
+    assert lzo1x.decompress(s, 8) == b"abcdefgh"
+    with pytest.raises(lzo1x.LzoError):
+        lzo1x.decompress(s, 4)
+
+
 @settings(max_examples=200, deadline=None)
 @given(junk=st.binary(max_size=400))
 def test_junk_never_hangs_or_overreads(junk):

@@ -155,7 +155,7 @@ EXT_CASES = [
     ("router ip 172.16.0.1", lambda c: c("ra") == "172.16.0.1"),
     (
         "ipv4",
-        lambda c: ~F.coalesce(c("sa").contains(":"), F.lit(False)),
+        lambda c: c("sa").isNotNull() & ~c("sa").contains(":"),
     ),
     (
         "ipv6 or tcp",
@@ -170,6 +170,22 @@ def test_extended_grammar_agrees(flows, text, expected):
     got = flows.filter(compile_filter(text)).count()
     want = flows.filter(expected(F.col)).count()
     assert got == want, f"{text}: {got} != {want}"
+
+
+def test_family_selectors_exclude_addressless_records(spark):
+    """Records with sa NULL (EXgenericFlow-only nffile records) belong to
+    NEITHER address family: nfdump's filter algebra is two-valued, so
+    `ipv4` must not pick them up via negation (ADVICE r6)."""
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("2001:db8::1",), (None,)], "sa string"
+    )
+    v4 = [r.sa for r in df.filter(compile_filter("ipv4")).collect()]
+    v6 = [r.sa for r in df.filter(compile_filter("ipv6")).collect()]
+    assert v4 == ["10.0.0.1"]
+    assert v6 == ["2001:db8::1"]
+    # two-valued algebra: the families partition only the addressed rows
+    both = df.filter(compile_filter("ipv4 or ipv6")).count()
+    assert both == 2
 
 
 @pytest.mark.parametrize(
@@ -214,8 +230,9 @@ def _rand_ast(rng, depth=0):
         return name, lambda c, w=name.upper(): F.upper(c("pr")).eqNullSafe(w)
     if leaf == "family":  # ipv4/ipv6 address-family selector
         fam = rng.choice(["ipv4", "ipv6"])
-        is6 = lambda c: F.coalesce(c("sa").contains(":"), F.lit(False))
-        return fam, (is6 if fam == "ipv6" else (lambda c, is6=is6: ~is6(c)))
+        if fam == "ipv6":
+            return fam, lambda c: F.coalesce(c("sa").contains(":"), F.lit(False))
+        return fam, lambda c: c("sa").isNotNull() & ~c("sa").contains(":")
     if leaf == "port":
         d = rng.choice(["src ", "dst ", ""])
         v = rng.choice([53, 80, 443, 8080, 40000])
