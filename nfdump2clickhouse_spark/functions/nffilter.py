@@ -26,7 +26,7 @@ Supported subset (the documented common core [P]):
               | 'ipv4' | 'ipv6'            address-family selectors
               | 'packets' cmp              ipkt (k/m/g multipliers)
               | 'bytes' cmp                ibyt (k/m/g multipliers)
-              | 'duration' cmp             td (seconds)
+              | 'duration' cmp             td*1000 (MILLISECONDS — nfdump unit)
               | 'pps' cmp                  ipkt/td (derived packets/second)
               | 'bps' cmp                  8*ibyt/td (derived bits/second)
               | 'bpp' cmp                  ibyt/ipkt (derived bytes/packet)
@@ -288,7 +288,15 @@ class _Parser:
         if tok == "bytes":
             return self._cmp(F.col("ibyt"), "bytes")
         if tok == "duration":
-            return self._cmp(F.col("td"), "duration")
+            # nfdump compares `duration` literals in MILLISECONDS in every
+            # published filter engine: v1.6's nftree.c duration function is
+            # (last*1000 + msec_last) − (first*1000 + msec_first), and
+            # v1.7's libnfdump/filter computes msecLast − msecFirst — both
+            # fed unscaled to the comparator. Our td column is seconds
+            # (§1.2), so the column scales up to ms before the comparison
+            # (r6 SURVEY §14.6 divergence risk resolved by citation —
+            # until r7 this compiled against td directly, i.e. seconds).
+            return self._cmp(F.col("td") * 1000, "duration")
         # derived rate filters [P nfdump docs]: guarded against td=0 /
         # ipkt=0 (rates are undefined there → the record never matches)
         if tok == "pps":

@@ -41,7 +41,9 @@ CASES = [
     ("proto tcp", lambda c: F.upper(c("pr")) == "TCP"),
     ("packets > 1k", lambda c: c("ipkt") > 1000),
     ("bytes >= 50k", lambda c: c("ibyt") >= 50000),
-    ("duration < 30", lambda c: c("td") < 30),
+    # duration literals are MILLISECONDS (nfdump nftree.c / libnfdump
+    # filter: msec-resolution duration fed unscaled to the comparator)
+    ("duration < 30000", lambda c: c("td") * 1000 < 30000),
     ("flags AS", lambda c: c("flg").contains("A") & c("flg").contains("S")),
     (
         "src net 10.0.0.0/14 and dst port 443 and proto tcp",
@@ -170,6 +172,22 @@ def test_extended_grammar_agrees(flows, text, expected):
     got = flows.filter(compile_filter(text)).count()
     want = flows.filter(expected(F.col)).count()
     assert got == want, f"{text}: {got} != {want}"
+
+
+def test_duration_literal_unit_is_milliseconds(spark):
+    """Golden pin for the `duration` literal unit (VERDICT r6 next-#4):
+    nfdump's filter engines compare duration in MILLISECONDS — v1.6
+    nftree.c computes (last*1000+msec_last)−(first*1000+msec_first) and
+    v1.7 libnfdump/filter computes msecLast−msecFirst, both fed unscaled
+    to the comparator — while our td column is seconds. A 250 ms flow
+    (td=0.25) must match `duration < 500` and a 2 s flow must not."""
+    df = spark.createDataFrame([(0.25, "a"), (2.0, "b"), (0.5, "c")], "td double, tag string")
+    short = [r.tag for r in df.filter(compile_filter("duration < 500")).collect()]
+    assert sorted(short) == ["a"]
+    exact = [r.tag for r in df.filter(compile_filter("duration 500")).collect()]
+    assert exact == ["c"]
+    long_ = [r.tag for r in df.filter(compile_filter("duration > 1000")).collect()]
+    assert long_ == ["b"]
 
 
 def test_family_selectors_exclude_addressless_records(spark):
