@@ -241,8 +241,15 @@ def _rand_ast(rng, depth=0):
             return f"({lt}) and ({rt})", lambda c, lp=lp, rp=rp: lp(c) & rp(c)
         return f"({lt}) or ({rt})", lambda c, lp=lp, rp=rp: lp(c) | rp(c)
     leaf = rng.choice(
-        ["port", "net", "proto", "packets", "bytes", "pps", "bare", "family"]
+        ["port", "net", "proto", "packets", "bytes", "pps", "bare", "family",
+         "duration"]
     )
+    if leaf == "duration":  # literal unit is MILLISECONDS (r7 citation fix)
+        v = rng.choice([500, 5000, 30000, 120000])
+        op = rng.choice(["< ", "> ", ">= ", "<= "])
+        ops = {"< ": lambda x: x < v, "> ": lambda x: x > v,
+               ">= ": lambda x: x >= v, "<= ": lambda x: x <= v}[op]
+        return f"duration {op}{v}", lambda c, ops=ops: ops(c("td") * 1000)
     if leaf == "bare":  # bare protocol shorthand primary
         name = rng.choice(["tcp", "udp", "icmp"])
         return name, lambda c, w=name.upper(): F.upper(c("pr")).eqNullSafe(w)
