@@ -53,6 +53,7 @@ from ..registry import register
            CAST(MIN(cum) AS BIGINT) AS n_covered,
            CAST(MIN(total) AS BIGINT) AS n_total
     FROM c WHERE cum * 10 >= total * 9
+    HAVING COUNT(*) > 0  -- empty input -> empty, matching the script's IF guard
     """,
 )
 def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,8 +105,18 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             SET p = p * 2;
             SET cnt = (SELECT COUNT(*) FROM w27_cents WHERE cents < p);
           END WHILE;
-          SELECT CAST(j AS BIGINT) AS j, p AS threshold_cents,
-                 cnt AS n_covered, n AS n_total;
+          -- zero rows: no threshold exists; emit NO row (the oracle's
+          -- HAVING COUNT(*) > 0 mirrors this — r7 edge sweep)
+          IF n > 0 THEN
+            SELECT CAST(j AS BIGINT) AS j, p AS threshold_cents,
+                   cnt AS n_covered, n AS n_total;
+          ELSE
+            SELECT CAST(NULL AS BIGINT) AS j,
+                   CAST(NULL AS BIGINT) AS threshold_cents,
+                   CAST(NULL AS BIGINT) AS n_covered,
+                   CAST(NULL AS BIGINT) AS n_total
+            WHERE 1 = 0;
+          END IF;
         END
         """
     )

@@ -155,6 +155,12 @@ def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # k rows of 64 doubles — collect to ONE array-of-structs literal
     rows = cent.collect()
+    if not rows:
+        # zero embeddings -> zero clusters: empty result (r7 edge sweep —
+        # F.array() over no centroids infers VOID and breaks the HOFs)
+        return spark.createDataFrame(
+            [], "label int, n bigint, mean_silhouette double, min_silhouette double"
+        )
     lit = F.array(
         *[
             F.struct(

@@ -255,13 +255,17 @@ def ml_eval_confusion_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vb", F.col("event_type").alias("pred"))
     )
-    fallback = (
+    fb_rows = (
         train.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "event_type")
         .limit(1)
-        .collect()[0]["event_type"]
+        .collect()
     )
+    # empty train split (degenerate input): no global majority exists;
+    # predictions stay NULL and the empty test split yields an empty
+    # result on both sides (r7 edge sweep — collect()[0] crashed here)
+    fallback = fb_rows[0]["event_type"] if fb_rows else None
     test = (
         ev.filter(F.col("event_id") % 2 == 1)
         .join(F.broadcast(model), "vb", "left")

@@ -357,7 +357,8 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_dup_records,
            CAST((SELECT SUM(ibyt) FROM seen) AS BIGINT) AS bytes_reported,
            CAST(SUM(ibyt) AS BIGINT) AS bytes_actual,
-           CAST(count_if(n_copies > 1) AS BIGINT) AS n_multi_exporter
+           -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+           CAST(COALESCE(count_if(n_copies > 1), 0) AS BIGINT) AS n_multi_exporter
     FROM dedup
     """,
 )

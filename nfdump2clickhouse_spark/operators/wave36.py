@@ -235,6 +235,7 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / SQRT(2.0 * n_up * n_down * (2.0 * n_up * n_down - n)
                         / (n * n * (n - 1.0))), 4) AS z
     FROM agg
+    WHERE 2 * n_up * n_down > n  -- validity gate, mirrored engine-side
     """,
 )
 def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +283,12 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("up")).alias("n_up"),
         F.count_if(~F.col("up")).alias("n_down"),
         F.sum("new_run").alias("runs"),
+    ).filter(
+        # test validity gate, mirrored in the oracle (r7 edge sweep):
+        # sigma² = 2·n₊·n₋·(2·n₊·n₋−n)/(n²(n−1)) > 0 requires
+        # 2·n₊·n₋ > n; below that (zero/one sign, all-same-direction)
+        # z is undefined and both engines emit no row
+        2 * F.col("n_up") * F.col("n_down") > F.col("n")
     )
     n, nu, nd, r = F.col("n"), F.col("n_up"), F.col("n_down"), F.col("runs")
     mu = 1.0 + 2.0 * nu * nd / n
