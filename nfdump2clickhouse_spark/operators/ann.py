@@ -120,6 +120,8 @@ def train_ivf_codebook(e: DataFrame, k: int, iters: int) -> list[list[float]]:
     import numpy as np
 
     codebook = seed_codebook(e, k)
+    if not codebook:
+        return codebook  # empty corpus: no cells to train (r7 edge sweep)
     for _ in range(iters):
         bcb = e.sparkSession.sparkContext.broadcast(
             np.array(codebook, dtype=np.float64)

@@ -299,6 +299,12 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(16)
         .collect()
     )
+    if not seeds:
+        # empty corpus: no codebook to sample (r7 edge sweep — empty
+        # nested literals infer VOID and break the zip_with distances)
+        return spark.createDataFrame(
+            [], "subspace int, n_vectors bigint, n_codes_used bigint, mse_e4 double"
+        )
     codebooks = [
         [[float(v) for v in row["emb"][s * 8 : (s + 1) * 8]] for row in seeds]
         for s in range(8)
@@ -426,6 +432,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ann import _nearest_cells
 
     codebook = train_ivf_codebook(e, K, ITERS)
+    if not codebook:
+        # empty corpus: nothing to cluster (r7 edge sweep — an empty
+        # codebook literal breaks the assignment HOFs downstream)
+        return spark.createDataFrame(
+            [],
+            "cell int, n_vectors bigint, n_candidate_pairs bigint, n_dropped bigint",
+        )
     # SOFT assignment: each vector indexes under its 2 nearest cells, so a
     # pair straddling a cell boundary is still blocked together whenever
     # their cell sets overlap (the standard soft-clustering recall fix —
@@ -1102,7 +1115,11 @@ def ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.exists("w", lambda x: x.isNull()))
         .localCheckpoint()
     )
-    q = win.orderBy(F.desc("day")).limit(1).collect()[0]
+    q_rows = win.orderBy(F.desc("day")).limit(1).collect()
+    if not q_rows:
+        # fewer than L days: no query window exists (r7 edge sweep)
+        return spark.createDataFrame([], "start_day timestamp, zdist double")
+    q = q_rows[0]
     import math
 
     qm = sum(q["w"]) / L
@@ -1698,7 +1715,10 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
         F.expr(
-            "CAST((2 * 1000000 * s2 + 2 * p * n) DIV (2 * 2 * p * n) AS BIGINT)"
+            # one-class corpus (P or N zero): AUC undefined -> NULL, the
+            # value DuckDB's `//` yields on a zero divisor (r7 edge sweep)
+            "CAST(CASE WHEN p * n = 0 THEN NULL ELSE"
+            " (2 * 1000000 * s2 + 2 * p * n) DIV (2 * 2 * p * n) END AS BIGINT)"
         ).alias("auc_e6"),
     )
 

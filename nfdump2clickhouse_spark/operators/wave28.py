@@ -337,14 +337,19 @@ def ml_feature_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
     ).localCheckpoint(eager=False)  # 10 rows, two consumers
     t = b.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
-    ps = F.col("n_pos").cast("double") / F.col("tp")
-    ns = F.col("n_neg").cast("double") / F.col("tn")
+    # try_divide: a one-class corpus (tp or tn zero) leaves WoE/IV NULL,
+    # matching DuckDB's NULL-on-zero-divisor division (r7 edge sweep —
+    # ANSI `/` raised instead)
+    ps = F.try_divide(F.col("n_pos").cast("double"), F.col("tp"))
+    ns = F.try_divide(F.col("n_neg").cast("double"), F.col("tn"))
     return b.crossJoin(F.broadcast(t)).select(
         "bin",
         "n_pos",
         "n_neg",
-        F.floor(F.log(ps / ns) * 1000000).cast("bigint").alias("woe_e6"),
-        F.floor((ps - ns) * F.log(ps / ns) * 1000000)
+        F.floor(F.log(F.try_divide(ps, ns)) * 1000000)
+        .cast("bigint")
+        .alias("woe_e6"),
+        F.floor((ps - ns) * F.log(F.try_divide(ps, ns)) * 1000000)
         .cast("bigint")
         .alias("iv_term_e6"),
     )

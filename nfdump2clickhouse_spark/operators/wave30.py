@@ -253,15 +253,20 @@ def features_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.50)").alias("med"),
         F.expr("percentile(value, 0.75)").alias("q3"),
     )
+    # try_divide throughout: a constant group (range 0, IQR 0, sigma 0)
+    # leaves that recipe's scaled mean NULL, matching DuckDB's
+    # NULL-on-zero-divisor division (r7 edge sweep — ANSI `/` raised)
     sc = ev.join(F.broadcast(s), "event_type").select(
         "event_type",
-        ((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))).alias(
-            "mm"
+        F.try_divide(
+            F.col("value") - F.col("vmin"), F.col("vmax") - F.col("vmin")
+        ).alias("mm"),
+        F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))).alias(
+            "az"
         ),
-        F.abs((F.col("value") - F.col("mu")) / F.col("sigma")).alias("az"),
-        F.abs((F.col("value") - F.col("med")) / (F.col("q3") - F.col("q1"))).alias(
-            "ar"
-        ),
+        F.abs(
+            F.try_divide(F.col("value") - F.col("med"), F.col("q3") - F.col("q1"))
+        ).alias("ar"),
     )
     means = sc.groupBy("event_type").agg(
         F.avg("mm").alias("minmax_mean_raw"),

@@ -169,8 +169,14 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k - 1).cast("bigint").alias("df1"),
         (nn - k).cast("bigint").alias("df2"),
         F.round(
-            ((nn - k) * (F.col("sbetween_part") - F.col("tsz") * F.col("tsz") / nn))
-            / ((k - 1) * F.col("ss_within")),
+            # try_divide: k==1 or all singleton groups make the
+            # denominator 0 -> W undefined -> NULL, matching DuckDB's
+            # NULL-on-zero-divisor division (r7 edge sweep)
+            F.try_divide(
+                (nn - k)
+                * (F.col("sbetween_part") - F.col("tsz") * F.col("tsz") / nn),
+                (k - 1) * F.col("ss_within"),
+            ),
             4,
         ).alias("levene_w"),
     )
@@ -262,10 +268,16 @@ def ml_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decile").cast("int").alias("decile"),
         F.col("n").cast("bigint").alias("n"),
         F.col("pos").cast("bigint").alias("positives"),
-        F.round(F.col("cum_pos") * 1.0 / F.col("tot_pos"), 4).alias("cum_capture"),
+        # try_divide: zero positives make capture/lift undefined -> NULL,
+        # matching DuckDB's NULL-on-zero-divisor division (r7 edge sweep)
+        F.round(F.try_divide(F.col("cum_pos") * 1.0, F.col("tot_pos")), 4).alias(
+            "cum_capture"
+        ),
         F.round(
-            (F.col("cum_pos") * 1.0 / F.col("cum_n"))
-            / (F.col("tot_pos") * 1.0 / F.col("tot_n")),
+            F.try_divide(
+                F.col("cum_pos") * 1.0 / F.col("cum_n"),
+                F.col("tot_pos") * 1.0 / F.col("tot_n"),
+            ),
             4,
         ).alias("cum_lift"),
     ).orderBy("decile")
@@ -346,8 +358,13 @@ def ts_cusum_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cnt",
         (
-            (F.col("cnt") - s * 1.0 / nd)
-            / F.sqrt((ss - s * 1.0 * s / nd) / (nd - 1))
+            # try_divide twice: a single day (nd==1) or zero variance
+            # leaves z undefined -> NULL, matching DuckDB's
+            # NULL-on-zero-divisor division (r7 edge sweep)
+            F.try_divide(
+                F.col("cnt") - s * 1.0 / nd,
+                F.sqrt(F.try_divide(ss - s * 1.0 * s / nd, nd - 1)),
+            )
             - F.lit(0.5)
         ).alias("dz"),
     )

@@ -217,7 +217,9 @@ def emb_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = m.select(
         "dim",
         (s / n).alias("mean_raw"),
-        ((ss - s * s / n) / (n - 1)).alias("var_raw"),
+        # try_divide: a single vector (n==1) leaves the sample variance
+        # undefined -> NULL, matching DuckDB (r7 edge sweep)
+        F.try_divide(ss - s * s / n, n - 1).alias("var_raw"),
     )
     wt = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -227,7 +229,7 @@ def emb_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         (F.round("mean_raw", 4) + F.lit(0)).alias("mean_v"),
         F.round("var_raw", 6).alias("var_v"),
-        F.round(F.lit(10000) * F.col("var_raw") / F.col("tv"), 4).alias(
+        F.round(F.try_divide(F.lit(10000) * F.col("var_raw"), F.col("tv")), 4).alias(
             "var_share_bp"
         ),
     ).orderBy("dim")

@@ -241,9 +241,17 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     mu, n = rows["mu"], rows["n"]
-    var = rows["ss"] / n - mu * mu
+    # degenerate series (r7 edge sweep): fewer than 2 days has no lag-1
+    # pair and a constant series has zero variance — PACF undefined,
+    # empty result; lags beyond n-1 have no overlap and are not emitted
+    max_lag = min(7, (n or 0) - 1)
+    var = (rows["ss"] / n - mu * mu) if n else 0.0
+    if max_lag < 1 or var <= 0:
+        return spark.createDataFrame(
+            [], "lag int, n_days long, acf double, pacf double"
+        )
     acf = [1.0]
-    for k in range(1, 8):
+    for k in range(1, max_lag + 1):
         # standard ACF estimator: 1/n Σ (x_t-μ)(x_{t-k}-μ) / var
         cov = (
             rows[f"s{k}"] - mu * rows[f"sl{k}"] - mu * rows[f"sr{k}"]
@@ -253,19 +261,24 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Durbin-Levinson on the 8-element ACF — bounded driver state
     pacf = [1.0]
     phi_prev: list[float] = []
-    for k in range(1, 8):
+    for k in range(1, max_lag + 1):
         if k == 1:
             phi_kk = acf[1]
             phi_prev = [phi_kk]
         else:
             num = acf[k] - sum(phi_prev[j] * acf[k - 1 - j] for j in range(k - 1))
             den = 1.0 - sum(phi_prev[j] * acf[j + 1] for j in range(k - 1))
+            if den == 0.0:
+                break  # perfectly predictable series: recursion exhausted
             phi_kk = num / den
             phi_prev = [
                 phi_prev[j] - phi_kk * phi_prev[k - 2 - j] for j in range(k - 1)
             ] + [phi_kk]
         pacf.append(phi_kk)
-    out = [(k, n_days, round(acf[k], 4), round(pacf[k], 4)) for k in range(1, 8)]
+    out = [
+        (k, n_days, round(acf[k], 4), round(pacf[k], 4))
+        for k in range(1, len(pacf))
+    ]
     return spark.createDataFrame(
         out, "lag int, n_days long, acf double, pacf double"
     )
@@ -385,26 +398,31 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("value")).alias("ss"),
         )
     )
+    # try_divide on the sample variances and the pooled-SD ratio: a
+    # singleton group or identical groups leave d undefined -> NULL,
+    # matching DuckDB's NULL-on-zero-divisor division (r7 edge sweep)
     a = g.select(
         F.col("event_type").alias("type_a"),
         F.col("n").alias("na"),
         (F.col("s") / F.col("n")).alias("ma"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
-            "va"
-        ),
+        F.try_divide(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n"), F.col("n") - 1
+        ).alias("va"),
     )
     b = g.select(
         F.col("event_type").alias("type_b"),
         F.col("n").alias("nb"),
         (F.col("s") / F.col("n")).alias("mb"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
-            "vb"
-        ),
+        F.try_divide(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n"), F.col("n") - 1
+        ).alias("vb"),
     )
     pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
     na, nb = F.col("na"), F.col("nb")
-    pooled = F.sqrt(((na - 1) * F.col("va") + (nb - 1) * F.col("vb")) / (na + nb - 2))
-    d = (F.col("ma") - F.col("mb")) / pooled
+    pooled = F.sqrt(
+        F.try_divide((na - 1) * F.col("va") + (nb - 1) * F.col("vb"), na + nb - 2)
+    )
+    d = F.try_divide(F.col("ma") - F.col("mb"), pooled)
     corr = 1 - 3.0 / (4 * (na + nb) - 9)
     return pairs.select(
         "type_a",

@@ -113,9 +113,15 @@ def stats_ols_two_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx2") / n).alias("mx2"),
         (F.col("sy") / n).alias("my"),
     )
+    # try_divide: a singular normal matrix (constant predictors, n==1)
+    # leaves the betas undefined -> NULL, matching DuckDB (r7 edge sweep)
     det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
-    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
-    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    b1 = F.try_divide(
+        F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12"), det
+    )
+    b2 = F.try_divide(
+        F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12"), det
+    )
     b = c.select(
         "n", "syy_c", "mx1", "mx2", "my", "s1y", "s2y",
         b1.alias("b1"), b2.alias("b2"),
@@ -129,8 +135,10 @@ def stats_ols_two_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 4).alias("beta_qty"),
         F.round("b2", 4).alias("beta_discount"),
         F.round(
-            (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y"))
-            / F.col("syy_c"),
+            F.try_divide(
+                F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y"),
+                F.col("syy_c"),
+            ),
             4,
         ).alias("r2"),
     )

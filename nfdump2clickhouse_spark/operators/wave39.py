@@ -185,9 +185,11 @@ def flows_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(count_if(n_a > 0 AND n_b = 0) AS BIGINT) AS pure_a,
-           CAST(count_if(n_b > 0 AND n_a = 0) AS BIGINT) AS pure_b,
-           CAST(count_if(n_a > 0 AND n_b > 0) AS BIGINT) AS contaminated,
+           -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+           CAST(COALESCE(count_if(n_a > 0 AND n_b = 0), 0) AS BIGINT) AS pure_a,
+           CAST(COALESCE(count_if(n_b > 0 AND n_a = 0), 0) AS BIGINT) AS pure_b,
+           CAST(COALESCE(count_if(n_a > 0 AND n_b > 0), 0) AS BIGINT)
+             AS contaminated,
            CAST(10000 * count_if(n_a > 0 AND n_b > 0) // COUNT(*)
                 AS BIGINT) AS contamination_bp
     FROM exp
@@ -220,7 +222,10 @@ def events_ab_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if((nb > 0) & (na == 0)).cast("bigint").alias("pure_b"),
         F.count_if((na > 0) & (nb > 0)).cast("bigint").alias("contaminated"),
         F.expr(
-            "10000 * count_if(n_a > 0 AND n_b > 0) DIV count(1)"
+            # zero users: share undefined -> NULL, the value DuckDB's `//`
+            # yields on a zero divisor (r7 edge sweep — DIV raised)
+            "CASE WHEN count(1) = 0 THEN NULL ELSE"
+            " 10000 * count_if(n_a > 0 AND n_b > 0) DIV count(1) END"
         )
         .cast("bigint")
         .alias("contamination_bp"),

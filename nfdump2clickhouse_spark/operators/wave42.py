@@ -251,8 +251,9 @@ def stats_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dirty d JOIN best b ON d.noisy = b.noisy AND b.rn = 1
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
-           CAST(count_if(candidate = truth) AS BIGINT) AS n_correct,
-           CAST(count_if(dist <= 1) AS BIGINT) AS n_within_1,
+           -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+           CAST(COALESCE(count_if(candidate = truth), 0) AS BIGINT) AS n_correct,
+           CAST(COALESCE(count_if(dist <= 1), 0) AS BIGINT) AS n_within_1,
            ROUND(AVG(dist), 4) AS mean_dist,
            CAST(10000 * count_if(candidate = truth) // COUNT(*) AS BIGINT)
              AS accuracy_bp
@@ -307,7 +308,12 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(ok).cast("bigint").alias("n_correct"),
         F.count_if(F.col("dist") <= 1).cast("bigint").alias("n_within_1"),
         F.round(F.avg("dist"), 4).alias("mean_dist"),
-        F.expr("10000 * count_if(candidate = truth) DIV count(1)")
+        F.expr(
+            # zero entities: accuracy undefined -> NULL, the value DuckDB's
+            # `//` yields on a zero divisor (r7 edge sweep — DIV raised)
+            "CASE WHEN count(1) = 0 THEN NULL ELSE"
+            " 10000 * count_if(candidate = truth) DIV count(1) END"
+        )
         .cast("bigint")
         .alias("accuracy_bp"),
     )
