@@ -392,8 +392,10 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n
         ).alias("m4"),
     )
-    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
-    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    # try_divide: a constant group (m2 == 0) leaves S/K undefined -> NULL,
+    # matching DuckDB's NULL-on-zero-divisor division (r7 edge sweep)
+    skew = F.try_divide(F.col("m3"), F.pow(F.col("m2"), 1.5))
+    kurt = F.try_divide(F.col("m4"), F.col("m2") * F.col("m2")) - 3
     return c.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),

@@ -94,17 +94,16 @@ def stats_bayes_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = u.agg(
         F.avg(rate).alias("mu"), F.var_samp(rate).alias("v")
     )
-    m = F.col("mu") * (F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1)
+    # method-of-moments factor X = mu(1-mu)/v, NULL when the rate
+    # variance is zero or undefined (single user / identical rates) —
+    # try_divide matches DuckDB's NULL-on-zero-divisor division; alpha
+    # and beta are the oracle's DIRECT forms mu*(X-1) and (1-mu)*(X-1)
+    # (the old beta rewrite alpha*(1-mu)/mu divided by a zero mu on an
+    # all-miss corpus — r7 edge sweep)
+    x_m1 = F.try_divide(F.col("mu") * (1 - F.col("mu")), F.col("v")) - 1
     ab = prior.select(
-        (m).alias("alpha"),
-        ((1 - F.col("mu")) / F.col("mu") * m).alias("beta_raw"),
-        "mu",
-        "v",
-    ).select(
-        "alpha",
-        # (1-mu)*(mu(1-mu)/v - 1), written via alpha*(1-mu)/mu to share
-        # the subexpression exactly with the oracle's direct form
-        (F.col("beta_raw")).alias("beta"),
+        (F.col("mu") * x_m1).alias("alpha"),
+        ((1 - F.col("mu")) * x_m1).alias("beta"),
     )
     s = u.crossJoin(F.broadcast(ab)).select(
         "user_id",
@@ -112,8 +111,10 @@ def stats_bayes_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.round(rate, 4).alias("raw_rate"),
         F.round(
-            (F.col("k") + F.col("alpha"))
-            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            F.try_divide(
+                F.col("k") + F.col("alpha"),
+                F.col("n") + F.col("alpha") + F.col("beta"),
+            ),
             4,
         ).alias("shrunk_rate"),
     )
@@ -171,7 +172,7 @@ _SPRT_LO = math.log(1.0 / 19.0)
              END AS decision
       FROM r
     )
-    SELECT CAST(MAX(t) AS BIGINT) AS n_total,
+    SELECT CAST(COALESCE(MAX(t), 0) AS BIGINT) AS n_total,  -- 0 trials, not NULL
            CAST(MIN(CASE WHEN decision IS NOT NULL THEN t END) AS BIGINT)
              AS stopped_at,
            min_by(decision, CASE WHEN decision IS NOT NULL THEN t END)
@@ -306,7 +307,11 @@ def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean_c = F.col("total") * 1.0 / n
-    var_c = (F.col("scc") - F.col("total") * F.col("total") * 1.0 / n) / (n - 1)
+    # try_divide: a single-document corpus (n==1) leaves the cross-doc
+    # variance undefined -> NULL, matching DuckDB (r7 edge sweep)
+    var_c = F.try_divide(
+        F.col("scc") - F.col("total") * F.col("total") * 1.0 / n, n - 1
+    )
     return (
         stats.select(
             "word",

@@ -563,11 +563,13 @@ def scan_csv_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 name,
                 int(agg["n"]),
-                int(agg["id_sum"]),
-                int(agg["v_sum"]),
+                # empty batches sum to NULL; 0 keeps the checksum total
+                # and lets 0==0 reconcile (r7 edge sweep)
+                int(agg["id_sum"] or 0),
+                int(agg["v_sum"] or 0),
                 bool(
-                    agg["id_sum"] == truth["id_sum"]
-                    and agg["v_sum"] == truth["v_sum"]
+                    (agg["id_sum"] or 0) == (truth["id_sum"] or 0)
+                    and (agg["v_sum"] or 0) == (truth["v_sum"] or 0)
                 ),
             )
         )

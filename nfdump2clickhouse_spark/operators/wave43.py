@@ -381,9 +381,10 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN src s2 ON p.id2 = s2.doc_id
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(count_if(same_source) AS BIGINT) AS within_source,
-           CAST(count_if(NOT same_source) AS BIGINT) AS cross_source,
-           CAST(10000 * count_if(same_source)
+           -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+           CAST(COALESCE(count_if(same_source), 0) AS BIGINT) AS within_source,
+           CAST(COALESCE(count_if(NOT same_source), 0) AS BIGINT) AS cross_source,
+           CAST(10000 * COALESCE(count_if(same_source), 0)
                 // greatest(COUNT(*), 1) AS BIGINT) AS within_bp
     FROM tagged
     """,

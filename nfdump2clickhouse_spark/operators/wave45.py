@@ -180,8 +180,11 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * y).alias("sxy"),
     )
     n = F.col("n")
-    b1 = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    # try_divide: a constant regressor (zero x-variance, e.g. n==1)
+    # leaves the fit undefined -> NULL, matching DuckDB (r7 edge sweep)
+    b1 = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / n,
+        F.col("sxx") - F.col("sx") * F.col("sx") / n,
     )
     beta = m.select(
         b1.alias("b1"), (F.col("sy") / n - b1 * F.col("sx") / n).alias("b0")
@@ -205,8 +208,8 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aux.select(
         n.cast("bigint").alias("n"),
-        F.round(num / den, 4).alias("aux_r2"),
-        F.round(n * num / den, 4).alias("bp_stat"),
+        F.round(F.try_divide(num, den), 4).alias("aux_r2"),
+        F.round(F.try_divide(n * num, den), 4).alias("bp_stat"),
         F.lit(1).cast("bigint").alias("df"),
     )
 

@@ -397,10 +397,11 @@ def join_interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFram
       FROM events GROUP BY user_id
     ),
     cells AS (
-      SELECT count_if(buy_a AND buy_b) AS both_,
-             count_if(buy_a AND NOT buy_b) AS only_a,
-             count_if(NOT buy_a AND buy_b) AS only_b,
-             count_if(NOT buy_a AND NOT buy_b) AS neither,
+      -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+      SELECT COALESCE(count_if(buy_a AND buy_b), 0) AS both_,
+             COALESCE(count_if(buy_a AND NOT buy_b), 0) AS only_a,
+             COALESCE(count_if(NOT buy_a AND buy_b), 0) AS only_b,
+             COALESCE(count_if(NOT buy_a AND NOT buy_b), 0) AS neither,
              COUNT(*) AS n
       FROM halves
     )

@@ -276,8 +276,10 @@ def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM events GROUP BY user_id
     ),
     c AS (
-      SELECT count_if(in_a) AS n1, count_if(in_b) AS n2,
-             count_if(in_a AND in_b) AS m,
+      -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+      SELECT COALESCE(count_if(in_a), 0) AS n1,
+             COALESCE(count_if(in_b), 0) AS n2,
+             COALESCE(count_if(in_a AND in_b), 0) AS m,
              COUNT(*) AS true_n
       FROM caps
     )
@@ -396,8 +398,13 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn, kk = F.col("nn"), F.col("kk")
     p = kk * 1.0 / nn
-    z = (F.col("skt") - kk * 1.0 * F.col("snt") / nn) / F.sqrt(
-        p * (1 - p) * (F.col("sntt") - F.col("snt") * 1.0 * F.col("snt") / nn)
+    # try_divide: a single day (zero time spread) or an all/none hit rate
+    # leaves z undefined -> NULL, matching DuckDB (r7 edge sweep)
+    z = F.try_divide(
+        F.col("skt") - kk * 1.0 * F.col("snt") / nn,
+        F.sqrt(
+            p * (1 - p) * (F.col("sntt") - F.col("snt") * 1.0 * F.col("snt") / nn)
+        ),
     )
     return m.select(
         nn.cast("bigint").alias("n_events"),

@@ -59,6 +59,14 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .localCheckpoint()
     )
+    if ev.isEmpty():
+        # nothing to write: a zero-partition table cannot demonstrate the
+        # mode, and reading it back cannot infer a schema (r7 edge sweep)
+        return spark.createDataFrame(
+            [],
+            "event_type string, rows_before bigint, rows_after bigint,"
+            " rows_intact boolean, sums_intact boolean",
+        )
     out = os.path.join(tempfile.mkdtemp(prefix="sf_dpo_"), "tbl")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     # MATERIALIZE the before-state: a lazy frame would re-read the
@@ -176,8 +184,9 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE x IS NOT NULL AND y IS NOT NULL AND ROUND(y - x, 6) <> 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(count_if(d > 0) AS BIGINT) AS n_positive,
-           CAST(count_if(d < 0) AS BIGINT) AS n_negative,
+           -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+           CAST(COALESCE(count_if(d > 0), 0) AS BIGINT) AS n_positive,
+           CAST(COALESCE(count_if(d < 0), 0) AS BIGINT) AS n_negative,
            ROUND((count_if(d > 0) - COUNT(*) / 2.0)
                  / SQRT(COUNT(*) / 4.0), 4) + 0 AS z
     FROM d
@@ -214,7 +223,11 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_pairs"),
         k.cast("bigint").alias("n_positive"),
         F.count_if(F.col("d") < 0).cast("bigint").alias("n_negative"),
-        (F.round((k - n / 2.0) / F.sqrt(n / 4.0), 4) + F.lit(0)).alias("z"),
+        # try_divide: zero usable pairs leave z undefined -> NULL,
+        # matching DuckDB's NULL-on-zero-divisor division (r7 edge sweep)
+        (F.round(F.try_divide(k - n / 2.0, F.sqrt(n / 4.0)), 4) + F.lit(0)).alias(
+            "z"
+        ),
     )
 
 
@@ -291,12 +304,26 @@ def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("d").alias("dmean"),
         F.stddev_samp("d").alias("dstd"),
     ).collect()[0]
+    if m["dmin"] is None:
+        # fewer than two sample vectors: no pairs, no histogram — empty
+        # on both sides (r7 edge sweep: None arithmetic crashed here)
+        return spark.createDataFrame(
+            [], "bin int, n_pairs bigint, mean_dist double, rel_spread double"
+        )
     width = (m["dmax"] - m["dmin"]) / 10
     binned = pairs.select(
         F.least(
-            F.floor((F.col("d") - F.lit(m["dmin"])) / F.lit(width)).cast("int"),
+            # try_divide: identical distances (width 0) bin to NULL on
+            # both engines rather than erroring under ANSI
+            F.floor(F.try_divide(F.col("d") - F.lit(m["dmin"]), F.lit(width)))
+            .cast("int"),
             F.lit(9),
         ).alias("bin")
+    )
+    rel = (
+        m["dstd"] / m["dmean"]
+        if m["dstd"] is not None and m["dmean"]
+        else None
     )
     return (
         binned.groupBy("bin")
@@ -305,7 +332,7 @@ def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bin").cast("int").alias("bin"),
             "n_pairs",
             F.round(F.lit(m["dmean"]), 4).alias("mean_dist"),
-            F.round(F.lit(m["dstd"] / m["dmean"]), 4).alias("rel_spread"),
+            F.round(F.lit(rel).cast("double"), 4).alias("rel_spread"),
         )
         .orderBy("bin")
     )
@@ -379,13 +406,16 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     tt, tf, ft, ff = F.col("tt"), F.col("tf"), F.col("ft"), F.col("ff")
-    po = (tt + ff) * 1.0 / n
-    pe = ((tt + tf) * 1.0 * (tt + ft) + (ft + ff) * 1.0 * (tf + ff)) / (
-        n * 1.0 * n
+    # try_divide: zero ratings (n==0) or perfect chance agreement
+    # (pe==1) leave the statistic undefined -> NULL, matching DuckDB's
+    # NULL-on-zero-divisor division (r7 edge sweep)
+    po = F.try_divide((tt + ff) * 1.0, n)
+    pe = F.try_divide(
+        (tt + tf) * 1.0 * (tt + ft) + (ft + ff) * 1.0 * (tf + ff), n * 1.0 * n
     )
     return c.select(
         n.cast("bigint").alias("n"),
         F.round(po, 4).alias("observed_agreement"),
         F.round(pe, 4).alias("chance_agreement"),
-        (F.round((po - pe) / (1 - pe), 4) + F.lit(0)).alias("kappa"),
+        (F.round(F.try_divide(po - pe, 1 - pe), 4) + F.lit(0)).alias("kappa"),
     )
