@@ -1960,11 +1960,6 @@ def maint_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dt"
     ).mode("overwrite").parquet(tbl)
 
-    rows = (
-        spark.read.parquet(tbl)
-        .groupBy("dt")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
     meta = []
     for d in _os.listdir(tbl):
         if not d.startswith("dt="):
@@ -1973,6 +1968,19 @@ def maint_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         files = [f for f in _os.listdir(pdir) if f.endswith(".parquet")]
         nbytes = sum(_os.path.getsize(_os.path.join(pdir, f)) for f in files)
         meta.append((d.split("=", 1)[1], len(files), nbytes))
+    if not meta:
+        # an empty source writes zero partitions, and a zero-partition
+        # table cannot even infer a read schema (r7 edge sweep)
+        return spark.createDataFrame(
+            [],
+            "dt date, n_files int, n_rows bigint, bytes long,"
+            " mean_file_bytes long, small_files boolean",
+        )
+    rows = (
+        spark.read.parquet(tbl)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
     m = spark.createDataFrame(meta, "dt string, n_files int, bytes long").select(
         F.col("dt").cast("date").alias("dt"), "n_files", "bytes"
     )

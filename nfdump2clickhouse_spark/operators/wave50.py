@@ -318,7 +318,7 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n, AVG(rev) AS mu, STDDEV_SAMP(rev) AS s
       FROM daily
     )
-    SELECT CAST(MAX(m.n) AS BIGINT) AS n_days,
+    SELECT CAST(COALESCE(MAX(m.n), 0) AS BIGINT) AS n_days,  -- 0 days, not NULL
            ROUND(MAX(ABS(daily.rev - m.mu)) / MAX(m.s), 4) AS g_stat,
            min_by(daily.day, -ABS(daily.rev - m.mu)) AS suspect_day,
            ROUND(min_by(daily.rev, -ABS(daily.rev - m.mu)) / 100.0, 4)
@@ -356,7 +356,11 @@ def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.abs(F.col("rev") - F.lit(m["mu"]))
     return daily.agg(
         F.lit(m["n"]).cast("bigint").alias("n_days"),
-        F.round(F.max(dev) / F.lit(m["s"]), 4).alias("g_stat"),
+        # try_divide: a constant series (s==0) leaves G undefined -> NULL,
+        # matching DuckDB (r7 edge sweep); s may also be None (n<2)
+        F.round(
+            F.try_divide(F.max(dev), F.lit(m["s"]).cast("double")), 4
+        ).alias("g_stat"),
         F.min_by(F.col("day"), -dev).alias("suspect_day"),
         F.round(F.min_by(F.col("rev"), -dev) / 100.0, 4).alias("suspect_revenue"),
     )

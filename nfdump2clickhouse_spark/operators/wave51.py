@@ -139,8 +139,8 @@ def ml_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT COUNT(DISTINCT event_type) FROM cell) AS k
       FROM ranked GROUP BY event_type
     )
-    SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
-           CAST(MAX(k) AS BIGINT) AS k_treatments,
+    SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_blocks,  -- 0, not NULL
+           CAST(COALESCE(MAX(k), 0) AS BIGINT) AS k_treatments,
            ROUND(12.0 / (MAX(n) * MAX(k) * (MAX(k) + 1))
                  * SUM(rsum * rsum)
                  - 3 * MAX(n) * (MAX(k) + 1), 4) AS friedman_chi2
@@ -184,16 +184,23 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.rank().over(wr) + (peers - 1) / 2.0).alias("r")
     )
     sums = ranked.groupBy("event_type").agg(F.sum("r").alias("rsum"))
+    # an empty design (no blocks or no treatments) leaves chi2 undefined
+    # -> NULL, matching the oracle's NULL algebra (r7 edge sweep: the
+    # literal division by n·k·(k+1)=0 raised under ANSI)
+    denom = n_b * k_t * (k_t + 1)
+    chi2 = (
+        F.round(
+            F.lit(12.0) / denom * F.sum(F.col("rsum") * F.col("rsum"))
+            - 3 * n_b * (k_t + 1),
+            4,
+        )
+        if denom
+        else F.lit(None).cast("double")
+    )
     return sums.agg(
         F.lit(n_b).cast("bigint").alias("n_blocks"),
         F.lit(k_t).cast("bigint").alias("k_treatments"),
-        F.round(
-            F.lit(12.0)
-            / (n_b * k_t * (k_t + 1))
-            * F.sum(F.col("rsum") * F.col("rsum"))
-            - 3 * n_b * (k_t + 1),
-            4,
-        ).alias("friedman_chi2"),
+        chi2.alias("friedman_chi2"),
     )
 
 
@@ -268,10 +275,21 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("rev")).alias("str_"),
     ).collect()[0]
     n = m["n"]
-    b1 = (m["str_"] - m["st"] * m["sr"] / n) / (m["stt"] - m["st"] ** 2 / n)
-    b0 = m["sr"] / n - b1 * m["st"] / n
+    # degenerate series (r7 edge sweep): zero days has no moments and a
+    # single day has zero time-variance — the trend fit is undefined, so
+    # the residuals (and DW) go NULL, matching the oracle's NULL algebra
+    den = (m["stt"] - m["st"] ** 2 / n) if n else 0.0
+    if n and den:
+        b1 = (m["str_"] - m["st"] * m["sr"] / n) / den
+        b0 = m["sr"] / n - b1 * m["st"] / n
+    else:
+        b1 = b0 = None
     resid = daily.select(
-        "t", (F.col("rev") - F.lit(b0) - F.lit(b1) * F.col("t")).alias("e")
+        "t",
+        (
+            F.col("rev") - F.lit(b0).cast("double")
+            - F.lit(b1).cast("double") * F.col("t")
+        ).alias("e"),
     )
     lagged = resid.select(
         "e", F.lag("e").over(Window.orderBy("t")).alias("ep")
@@ -279,13 +297,17 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.agg(
         F.lit(n).cast("bigint").alias("n_days"),
         F.round(
-            F.sum(
-                F.when(
-                    F.col("ep").isNotNull(),
-                    (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
-                ).otherwise(0.0)
-            )
-            / F.sum(F.col("e") * F.col("e")),
+            # try_divide: a perfect fit (all residuals zero) leaves DW
+            # undefined -> NULL, matching DuckDB (r7 edge sweep)
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("ep").isNotNull(),
+                        (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+                    ).otherwise(0.0)
+                ),
+                F.sum(F.col("e") * F.col("e")),
+            ),
             4,
         ).alias("dw_stat"),
     )
@@ -313,7 +335,8 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM buys GROUP BY user_id
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
-           CAST(count_if(n_buys >= 2) AS BIGINT) AS n_repeat,
+           -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+           CAST(COALESCE(count_if(n_buys >= 2), 0) AS BIGINT) AS n_repeat,
            CAST(10000 * count_if(n_buys >= 2) // COUNT(*) AS BIGINT)
              AS repeat_bp,
            ROUND(AVG(CASE WHEN t2 IS NOT NULL
@@ -358,7 +381,12 @@ def events_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
         F.count_if(F.col("n_buys") >= 2).cast("bigint").alias("n_repeat"),
-        F.expr("10000 * count_if(n_buys >= 2) DIV count(1)")
+        F.expr(
+            # zero buyers: share undefined -> NULL, the value DuckDB's `//`
+            # yields on a zero divisor (r7 edge sweep — DIV raised)
+            "CASE WHEN count(1) = 0 THEN NULL ELSE"
+            " 10000 * count_if(n_buys >= 2) DIV count(1) END"
+        )
         .cast("bigint")
         .alias("repeat_bp"),
         F.round(F.avg(gap_h), 4).alias("mean_gap_h"),

@@ -121,7 +121,8 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(rev, 1) OVER (ORDER BY day) AS naive
       FROM daily
     )
-    SELECT CAST(count_if(snaive IS NOT NULL) AS BIGINT) AS n_scored,
+    -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+    SELECT CAST(COALESCE(count_if(snaive IS NOT NULL), 0) AS BIGINT) AS n_scored,
            ROUND(AVG(CASE WHEN snaive IS NOT NULL
                      THEN ABS(rev - snaive) / 100.0 END), 4)
              AS mae_snaive,
@@ -171,7 +172,12 @@ def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(s_ok, abs_s / 100.0)), 4).alias("mae_snaive"),
         F.round(F.avg(F.when(n_ok, abs_n / 100.0)), 4).alias("mae_naive"),
         F.round(
-            F.avg(F.when(s_ok, abs_s * 1.0)) / F.avg(F.when(n_ok, abs_n * 1.0)), 4
+            # try_divide: a constant series (naive MAE 0) leaves MASE
+            # undefined -> NULL, matching DuckDB (r7 edge sweep)
+            F.try_divide(
+                F.avg(F.when(s_ok, abs_s * 1.0)), F.avg(F.when(n_ok, abs_n * 1.0))
+            ),
+            4,
         ).alias("mase"),
     )
 
@@ -288,7 +294,9 @@ def emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     return agg.select(
         n.cast("bigint").alias("n_vectors"),
-        (F.round((F.col("ss") - n) / (n * (n - 1.0)), 4) + F.lit(0)).alias(
+        # try_divide: a single vector (n==1) has no pairs -> NULL,
+        # matching DuckDB's NULL-on-zero-divisor division (r7 edge sweep)
+        (F.round(F.try_divide(F.col("ss") - n, n * (n - 1.0)), 4) + F.lit(0)).alias(
             "mean_pairwise_cosine"
         ),
         F.round(F.sqrt(F.col("ss")) / n, 4).alias("mean_vector_norm"),
