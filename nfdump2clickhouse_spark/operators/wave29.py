@@ -422,8 +422,15 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "nh",
         "sd",
-        F.expr(f"wt * {_NEYMAN_N} DIV tot").alias("base"),
-        F.expr(f"wt * {_NEYMAN_N} % tot").alias("rem"),
+        # tot==0 (all strata zero-variance): allocation undefined -> NULL,
+        # the value DuckDB's `//`/`%` yield on a zero divisor (r7 edge
+        # sweep const mode — DIV/% raised under ANSI)
+        F.expr(
+            f"CASE WHEN tot = 0 THEN NULL ELSE wt * {_NEYMAN_N} DIV tot END"
+        ).alias("base"),
+        F.expr(
+            f"CASE WHEN tot = 0 THEN NULL ELSE wt * {_NEYMAN_N} % tot END"
+        ).alias("rem"),
     )
     # strata count is the event-type vocabulary — bounded; the ordered
     # window runs on <=10 rows

@@ -85,7 +85,18 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("grp")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.corr("rq", "rp"), 4).alias("spearman_rho"),
+            # corr as try_divide(covar, sx*sy): Spark's builtin corr
+            # THROWS under ANSI when either rank column is constant
+            # (all-tied values), where DuckDB's corr returns NULL (r7
+            # edge sweep const mode); the co-moment form is the same
+            # Welford state, divided NULL-tolerantly
+            F.round(
+                F.try_divide(
+                    F.covar_samp("rq", "rp"),
+                    F.stddev_samp("rq") * F.stddev_samp("rp"),
+                ),
+                4,
+            ).alias("spearman_rho"),
         )
         .orderBy("grp")
     )

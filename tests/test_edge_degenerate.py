@@ -73,31 +73,48 @@ FIXED_KEYS = [
     "ts_forecast_mase",
     "ts_pacf",
     "ts_subsequence_search",
+    # const-mode finds (zero variance with n>1)
+    "sample_neyman_allocation",
+    "stats_spearman_corr",
 ]
 
+# keys whose CONST (16 identical rows) behavior is a documented fixture
+# artifact, not a divergence (EDGE_SWEEP_r7.md classes 6-7): duplicated
+# primary keys violate the tables' key contract (the shingle pair core's
+# i<j => id1<id2 invariant rests on doc_id uniqueness), and zero true
+# variance amplifies 1-ulp cancellation noise astronomically
+CONST_EXEMPT = {
+    "dedup_provenance_split": "class 6: duplicate-doc_id pair blowup",
+    "stats_jarque_bera": "class 7: cancellation-noise amplification",
+}
 
-@pytest.fixture(scope="module", params=["empty", "one"])
+
+@pytest.fixture(scope="module", params=["empty", "one", "const"])
 def degenerate_dir(request):
     d = build_fixture(request.param)
-    yield d
+    yield request.param, d
     shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.fixture(scope="module")
 def degenerate_ddb(degenerate_dir):
+    _, d = degenerate_dir
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{degenerate_dir}/{t}.parquet')"
+            f"read_parquet('{d}/{t}.parquet')"
         )
     return con
 
 
 @pytest.mark.parametrize("key", FIXED_KEYS)
 def test_degenerate_input_parity(key, spark, degenerate_dir, degenerate_ddb):
+    mode, d = degenerate_dir
+    if mode == "const" and key in CONST_EXEMPT:
+        pytest.skip(f"documented const artifact: {CONST_EXEMPT[key]}")
     spec = SPECS[key]
-    pdf = spec.fn(spark, degenerate_dir).toPandas()  # must not raise
+    pdf = spec.fn(spark, d).toPandas()  # must not raise
     if spec.oracle is None:
         return  # rows-only contract: engine totality is the pin
     opdf = degenerate_ddb.execute(spec.oracle).df()

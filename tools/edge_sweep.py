@@ -61,6 +61,12 @@ def build_fixture(mode: str) -> str:
             sliced = tbl.slice(0, 0)
         elif mode == "one":
             sliced = tbl.slice(0, 1)
+        elif mode == "const":
+            # 16 verbatim copies of the first row: n>1 with ZERO variance
+            # everywhere — the sigma==0.0 class, distinct from both the
+            # empty (no row) and one (NULL sample variance) fixtures
+            one = tbl.slice(0, 1)
+            sliced = pa.concat_tables([one] * 16)
         else:
             raise SystemExit(f"unknown mode {mode!r}")
         pq.write_table(sliced, os.path.join(out, f"{t}.parquet"))
