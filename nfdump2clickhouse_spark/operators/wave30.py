@@ -70,7 +70,10 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tied rows' row-numbers IS the fractional rank whatever their
     internal order, computed as one AVG window over (grp, value) —
     a high-cardinality partition key that spreads across the cluster.
-    `corr` is the built-in JVM aggregate on the preserved grouping."""
+    The correlation is the builtin covar_samp/stddev co-moment pair
+    divided with try_divide — the builtin `corr` aggregate THROWS under
+    ANSI when a rank column is constant (all-tied group), where
+    DuckDB's corr returns NULL (r7 edge sweep, const mode)."""
     from ..functions.distributed import grouped_rank
 
     li = table(spark, sf_dir, "lineitem").select(
