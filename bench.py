@@ -144,6 +144,8 @@ def main() -> None:
     # total and `queries` is that same pass's per-query breakdown, so
     # sum(queries.values()) == value still holds (ADVICE r2 invariant)
     # while a single load spike can no longer own the committed number.
+    # Ingest gets the same n-of-PASSES defense as the headline (VERDICT r7
+    # what's-wrong #2): one measurement per pass, committed value = median.
     passes = []
     for _ in range(max(1, PASSES)):
         load_before = round(os.getloadavg()[0], 2)
@@ -153,13 +155,19 @@ def main() -> None:
                 "total": round(sum(per_query.values()), 3),
                 "queries": per_query,
                 "load_1min_before": load_before,
+                "ingest_rows_per_sec": _ingest_throughput(spark),
+                "load_1min_at_ingest": round(os.getloadavg()[0], 2),
             }
         )
-    median_pass = sorted(passes, key=lambda p: p["total"])[len(passes) // 2]
+    # lower-middle index: exact median for odd PASSES, and for even counts
+    # the faster-of-the-middle-two rather than a silent upward bias
+    # (ADVICE r7 #4)
+    mid = (len(passes) - 1) // 2
+    median_pass = sorted(passes, key=lambda p: p["total"])[mid]
+    ingest = sorted(p["ingest_rows_per_sec"] for p in passes)[mid]
     # extras live under their own key (ADVICE r2): sum(queries.values())
     # must keep equaling `value` for any consumer recomputing the headline
     extras = {key: _best_of_3(key) for key in EXTRAS}
-    ingest = _ingest_throughput(spark)
     print(
         json.dumps(
             {
@@ -172,6 +180,12 @@ def main() -> None:
                 "ingest_rows_per_sec": ingest,
                 "pass_totals": [p["total"] for p in passes],
                 "pass_loads_1min": [p["load_1min_before"] for p in passes],
+                "pass_ingest_rows_per_sec": [
+                    p["ingest_rows_per_sec"] for p in passes
+                ],
+                "pass_loads_1min_at_ingest": [
+                    p["load_1min_at_ingest"] for p in passes
+                ],
                 "load_at_start": load_at_start,
                 "load_after_cooldown": load_after_cooldown,
                 "cooldown_sec": cooldown_taken,

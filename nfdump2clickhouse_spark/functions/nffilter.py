@@ -97,9 +97,21 @@ def _tokenize(s: str) -> list[str]:
     return out
 
 
+# kinds whose literals take the k/m/g scale suffix in the published
+# nfdump grammar: volume counters and their derived rates. Ports and
+# durations are NOT scalable ('port 1k' / 'duration > 1k' are grammar
+# errors there, and silently reading 1k ms would be a trap — ADVICE r7 #3).
+_SCALED_KINDS = {"packets", "bytes", "pps", "bps", "bpp"}
+
+
 def _num(tok: str, what: str) -> int:
-    m = re.fullmatch(r"(\d+)([kmg]?)", tok.lower())
+    suffix = "[kmg]?" if what in _SCALED_KINDS else ""
+    m = re.fullmatch(rf"(\d+)({suffix})", tok.lower())
     if not m:
+        if what not in _SCALED_KINDS and re.fullmatch(r"\d+[kmg]", tok.lower()):
+            raise NfFilterError(
+                f"scale suffix not allowed for {what} literal {tok!r}"
+            )
         raise NfFilterError(f"expected a number for {what}, got {tok!r}")
     return int(m.group(1)) * _MULT.get(m.group(2), 1)
 

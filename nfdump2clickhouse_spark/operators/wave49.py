@@ -253,9 +253,10 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  STDDEV_SAMP(d) AS dstd, COUNT(*) AS n
           FROM pairs),
     binned AS (
-      SELECT LEAST(CAST(FLOOR((p.d - m.dmin)
+      SELECT CASE WHEN m.dmax = m.dmin THEN 0
+                  ELSE LEAST(CAST(FLOOR((p.d - m.dmin)
                                / ((m.dmax - m.dmin) / 10)) AS INT), 9)
-               AS bin
+             END AS bin
       FROM pairs p CROSS JOIN m
     )
     SELECT CAST(bin AS INT) AS bin,
@@ -311,15 +312,21 @@ def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "bin int, n_pairs bigint, mean_dist double, rel_spread double"
         )
     width = (m["dmax"] - m["dmin"]) / 10
-    binned = pairs.select(
-        F.least(
-            # try_divide: identical distances (width 0) bin to NULL on
-            # both engines rather than erroring under ANSI
-            F.floor(F.try_divide(F.col("d") - F.lit(m["dmin"]), F.lit(width)))
-            .cast("int"),
-            F.lit(9),
-        ).alias("bin")
-    )
+    if width == 0:
+        # all pairwise distances identical (e.g. duplicate vectors):
+        # one degenerate bin 0, mirrored by the oracle's dmax=dmin CASE.
+        # (try_divide by 0 would NOT be NULL-parity here: Spark's least()
+        # skips NULLs, so floor(NULL) would clamp to 9 — ADVICE r7 #1.)
+        binned = pairs.select(F.lit(0).alias("bin"))
+    else:
+        binned = pairs.select(
+            F.least(
+                F.floor(
+                    F.try_divide(F.col("d") - F.lit(m["dmin"]), F.lit(width))
+                ).cast("int"),
+                F.lit(9),
+            ).alias("bin")
+        )
     rel = (
         m["dstd"] / m["dmean"]
         if m["dstd"] is not None and m["dmean"]

@@ -8,6 +8,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics  # noqa: E402
 from nfdump2clickhouse_spark.pbcompat import ensure_protobuf  # noqa: E402
 from nfdump2clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -43,6 +44,7 @@ def spark():
 @pytest.fixture(scope="session")
 def ddb():
     con = duckdb.connect()
+    pin_float_semantics(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

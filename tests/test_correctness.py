@@ -9,6 +9,8 @@ import sys
 import pandas as pd
 import pytest
 
+from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
+
 from nfdump2clickhouse_spark import registry
 from tests.conftest import CROSS_SF_DIRS
 from tests.oracle_utils import compare_frames
@@ -57,6 +59,7 @@ def ddb_by_sf():
     def get(sfd: str):
         if sfd not in cons:
             con = duckdb.connect()
+            pin_float_semantics(con)
             for t in TABLES:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfd}/{t}.parquet')"
@@ -5504,6 +5507,7 @@ def test_sketch_error_within_advertised_bounds(spark, sf_dir):
         .toPandas().set_index("event_type").sort_index()
     )
     con = _duckdb.connect()
+    pin_float_semantics(con)
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
     )
@@ -7265,6 +7269,7 @@ def test_average_precision_zero_positives_parity(spark, tmp_path):
     spec = SPECS["ml_eval_average_precision"]
     pdf = spec.fn(spark, str(tmp_path)).toPandas()
     con = duckdb.connect()
+    pin_float_semantics(con)
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}')")
     opdf = con.execute(spec.oracle).df()
     assert len(pdf) == 0 and len(opdf) == 0

@@ -21,6 +21,8 @@ from __future__ import annotations
 import shutil
 
 import duckdb
+
+from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
 import pytest
 
 from nfdump2clickhouse_spark import registry
@@ -100,6 +102,7 @@ def degenerate_dir(request):
 def degenerate_ddb(degenerate_dir):
     _, d = degenerate_dir
     con = duckdb.connect()
+    pin_float_semantics(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -119,3 +122,39 @@ def test_degenerate_input_parity(key, spark, degenerate_dir, degenerate_ddb):
         return  # rows-only contract: engine totality is the pin
     opdf = degenerate_ddb.execute(spec.oracle).df()
     compare_frames(pdf, opdf, key)
+
+
+def test_distance_histogram_identical_vectors(spark, tmp_path):
+    """Two identical embeddings with distinct vec_ids: exactly one pair
+    at distance 0, so dmax == dmin and the bin width is 0 — the input
+    class none of the empty/one/const fixtures produce (const clones
+    duplicate vec_id too, tripping the key contract instead). Pins the
+    explicit single-bin-0 guard and its dmax=dmin CASE mirror in the
+    oracle (ADVICE r7 #1: try_divide-by-0 here would NOT be
+    NULL-parity, because Spark's least() skips NULLs and clamps the
+    NULL bin to 9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array([vec, vec], pa.list_(pa.float32())),
+                "label": pa.array([0, 0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    spec = SPECS["emb_distance_histogram"]
+    pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    pin_float_semantics(con)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    opdf = con.execute(spec.oracle).df()
+    compare_frames(pdf, opdf, "emb_distance_histogram[identical-vectors]")
+    assert pdf["bin"].tolist() == [0] and pdf["n_pairs"].tolist() == [1]

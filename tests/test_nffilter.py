@@ -102,6 +102,9 @@ def test_filter_suite_has_selective_cases(flows):
         "flags XYZ",             # bad flag letters
         "packets > fast",        # non-numeric
         "proto 41",              # unmapped IANA number (would match nothing)
+        "port 1k",               # scale suffix only valid on volume kinds
+        "duration > 1k",         # ... '1k ms' would be a silent trap
+        "port in [80 1k]",       # scaled literal inside a port list
     ],
 )
 def test_syntax_errors_raise(bad):

@@ -11,6 +11,8 @@ stays fast; crank `max_examples` for a nightly run.
 from __future__ import annotations
 
 import duckdb
+
+from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
 import pyspark.sql.functions as F
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -34,6 +36,7 @@ GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
 @pytest.fixture(scope="module")
 def ddb_small():
     con = duckdb.connect()
+    pin_float_semantics(con)
     for t in ("lineitem", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"

@@ -11,6 +11,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import duckdb
 
+from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
+
 from nfdump2clickhouse_spark import registry
 from nfdump2clickhouse_spark.session import get_spark
 from tests.oracle_utils import compare_frames
@@ -30,6 +32,7 @@ def main() -> None:
         keys = [k for k in specs if specs[k].fn.__module__.endswith("wave5")]
     spark = get_spark()
     con = duckdb.connect()
+    pin_float_semantics(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

@@ -37,6 +37,8 @@ import traceback
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import duckdb
+
+from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -79,6 +81,7 @@ def main() -> None:
     fixture = build_fixture(mode)
     spark = get_spark(f"edge-sweep-{mode}")
     con = duckdb.connect()
+    pin_float_semantics(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "

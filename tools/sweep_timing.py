@@ -4,6 +4,8 @@ import json, sys, time, traceback
 
 sys.path.insert(0, "/root/repo")
 import duckdb
+
+from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
 import pandas as pd
 
 from nfdump2clickhouse_spark import registry
@@ -16,6 +18,7 @@ def main():
     limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
     spark = get_spark("sweep-timing")
     con = duckdb.connect()
+    pin_float_semantics(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     specs = registry.all_specs()
