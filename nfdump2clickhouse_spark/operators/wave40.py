@@ -329,6 +329,7 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(value * value * value) AS s3,
              SUM(value * value * value * value) AS s4
       FROM events WHERE value IS NOT NULL GROUP BY event_type
+      HAVING MIN(value) <> MAX(value)
     ),
     c AS (
       SELECT event_type, n,
@@ -359,7 +360,15 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments expand binomially from them with the SAME expression both
     engines (the `stats_levene_test` discipline — engine-native skew/
     kurtosis aggregates differ in estimator convention, so neither is
-    used). `+ 0` canonicalizes a symmetric distribution's −0.0 skew."""
+    used). `+ 0` canonicalizes a symmetric distribution's −0.0 skew.
+
+    Constant groups are gated out two-sided with the EXACT predicate
+    `min(value) <> max(value)` (engine filter + oracle HAVING): S and K
+    are undefined at zero variance, and the power-sum m2 there is 1-ulp
+    cancellation residue that skew/kurt amplify astronomically (r7 edge
+    class 7) — an exact constancy test removes the row identically on
+    both engines instead of comparing amplified noise. No-op at real
+    SFs (every event_type group has distinct values)."""
     ev = (
         table(spark, sf_dir, "events")
         .select("event_type", "value")
@@ -373,7 +382,9 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v * v).alias("s2"),
         F.sum(v * v * v).alias("s3"),
         F.sum(v * v * v * v).alias("s4"),
-    )
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    ).filter(F.col("vmin") != F.col("vmax"))
     n, mu = F.col("n"), F.col("mu")
     s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
     c = m.select(

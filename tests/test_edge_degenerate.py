@@ -1,10 +1,11 @@
 """Degenerate-input pins for the r7 edge-divergence campaign.
 
-`tools/edge_sweep.py` runs every registry key against EMPTY and ONE-ROW
-clones of the ten tables — the class of input the sf0.01 gate never
-sees (an empty day partition, a filtered-to-nothing source). Round 7
-fixed every flagged never-swept key; this module pins those fixes so a
-regression cannot ride in silently:
+`tools/edge_sweep.py` runs every registry key against EMPTY / ONE-ROW /
+CONST (16 identical rows) / CONSTK (16 constant rows, unique primary
+keys — r8) clones of the ten tables — the class of input the sf0.01
+gate never sees (an empty day partition, a filtered-to-nothing source,
+a one-class corpus). Round 7 fixed every flagged never-swept key; this
+module pins those fixes so a regression cannot ride in silently:
 
 - hash keys: engine vs DuckDB oracle on BOTH degenerate fixtures (the
   same compare_frames canonicalization as the driver);
@@ -87,11 +88,13 @@ FIXED_KEYS = [
 # variance amplifies 1-ulp cancellation noise astronomically
 CONST_EXEMPT = {
     "dedup_provenance_split": "class 6: duplicate-doc_id pair blowup",
-    "stats_jarque_bera": "class 7: cancellation-noise amplification",
+    # stats_jarque_bera left this list in r8: the exact min<>max
+    # constancy gate (two-sided) removes the zero-variance row on both
+    # engines instead of comparing amplified cancellation noise.
 }
 
 
-@pytest.fixture(scope="module", params=["empty", "one", "const"])
+@pytest.fixture(scope="module", params=["empty", "one", "const", "constk"])
 def degenerate_dir(request):
     d = build_fixture(request.param)
     yield request.param, d

@@ -14,6 +14,11 @@ Modes (``python tools/edge_sweep.py empty|one [keys...]``):
   sf0.001 parquet footers.
 - ``one``: 1-row slices (the first row of each table) — exercises
   n==1 variance/stddev, single-group, self-join-degenerate paths.
+- ``const``: 16 verbatim copies of the first row — sigma==0.0 with
+  n>1 (duplicates primary keys, so class-6 artifacts apply).
+- ``constk``: const with unique primary keys (re-sequenced) — the
+  zero-variance class WITHOUT the duplicate-key artifact, so every
+  flag is a real divergence candidate (r8).
 
 For each hash key: run the Spark query AND the DuckDB oracle on the
 same fixture dir and compare with the driver's canonicalization
@@ -51,6 +56,24 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# Primary-key column per table, for the constk mode: the column whose
+# uniqueness the real tables guarantee and the const mode violates
+# (EDGE_SWEEP_r7.md class 6). lineitem's composite key varies
+# l_linenumber inside the single cloned order, so the orders FK stays
+# intact.
+KEY_COLS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 SRC = os.environ.get("SPARK_GRAFT_EDGE_SRC", "/root/testdata/sf0.001")
 
 
@@ -69,6 +92,23 @@ def build_fixture(mode: str) -> str:
             # empty (no row) and one (NULL sample variance) fixtures
             one = tbl.slice(0, 1)
             sliced = pa.concat_tables([one] * 16)
+        elif mode == "constk":
+            # const with the key contract intact: 16 copies of the first
+            # row, but the table's primary-key column re-sequenced to
+            # orig, orig+1, … orig+15 — zero variance in every VALUE
+            # column while doc_id/vec_id/… stay unique, so class-6
+            # duplicate-key artifacts cannot mask a real zero-variance
+            # divergence (r8 extension of the r7 campaign)
+            one = tbl.slice(0, 1)
+            sliced = pa.concat_tables([one] * 16)
+            kc = KEY_COLS[t]
+            idx = sliced.schema.get_field_index(kc)
+            field = sliced.schema.field(idx)
+            base = sliced.column(idx)[0].as_py()
+            new_keys = pa.array(
+                [base + i for i in range(16)], type=field.type
+            )
+            sliced = sliced.set_column(idx, field, new_keys)
         else:
             raise SystemExit(f"unknown mode {mode!r}")
         pq.write_table(sliced, os.path.join(out, f"{t}.parquet"))
