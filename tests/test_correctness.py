@@ -45,6 +45,8 @@ _REWORKED = [
     "array_cumsum",
     "array_difference",
     "mm_feature_extract",
+    # r8: exact min<>max constancy gate must stay a no-op at every SF
+    "stats_jarque_bera",
 ]
 
 
