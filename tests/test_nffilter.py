@@ -306,3 +306,83 @@ def test_random_filter_roundtrip(flows):
         got = flows.filter(compile_filter(text)).count()
         want = flows.filter(pred(F.col)).count()
         assert got == want, f"{text}: {got} != {want}"
+
+
+# --- extended-schema primaries (r8: groundwork for the r9 demo key) ---
+
+EXT_SCHEMA_CASES = [
+    ("tos 16", lambda c: c("stos") == 16),
+    ("src tos 16", lambda c: c("stos") == 16),
+    ("dst tos > 8", lambda c: c("dtos") > 8),
+    ("as 64512", lambda c: (c("sas") == 64512) | (c("das") == 64512)),
+    ("src as 64512", lambda c: c("sas") == 64512),
+    ("dst as < 64600", lambda c: c("das") < 64600),
+    ("if 5", lambda c: (c("input") == 5) | (c("output") == 5)),
+    ("in if 5", lambda c: c("input") == 5),
+    ("out if > 3", lambda c: c("output") > 3),
+    ("fwdstat 64", lambda c: c("fwd") == 64),
+    (
+        "src as 64512 and out if 2 and tos 0",
+        lambda c: (c("sas") == 64512) & (c("output") == 2) & (c("stos") == 0),
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def flows_ext(flows):
+    """The flows fixture widened with nfdump's public CSV field names
+    (stos/dtos/sas/das/input/output/fwd), derived deterministically so
+    every extended predicate selects a real subset."""
+    return flows.withColumns(
+        {
+            "stos": (F.col("sp") % 32).cast("int"),
+            "dtos": (F.col("dp") % 32).cast("int"),
+            "sas": (F.lit(64512) + F.col("sp") % 16).cast("int"),
+            "das": (F.lit(64512) + F.col("dp") % 128).cast("int"),
+            "input": (F.col("sp") % 8).cast("int"),
+            "output": (F.col("dp") % 8).cast("int"),
+            "fwd": (F.col("ipkt") % 3 * 64).cast("int"),
+        }
+    ).cache()
+
+
+@pytest.mark.parametrize("text,ref", EXT_SCHEMA_CASES, ids=[c[0] for c in EXT_SCHEMA_CASES])
+def test_extended_filter_matches_reference_predicate(flows_ext, text, ref):
+    got = flows_ext.filter(compile_filter(text, extended=True)).count()
+    want = flows_ext.filter(ref(F.col)).count()
+    assert got == want, text
+
+
+def test_extended_suite_has_selective_cases(flows_ext):
+    total = flows_ext.count()
+    nonzero = sum(
+        1
+        for text, _ in EXT_SCHEMA_CASES
+        if 0 < flows_ext.filter(compile_filter(text, extended=True)).count() < total
+    )
+    assert nonzero >= 6
+
+
+@pytest.mark.parametrize(
+    "text", [c[0] for c in EXT_SCHEMA_CASES], ids=[c[0] for c in EXT_SCHEMA_CASES]
+)
+def test_extended_primaries_rejected_on_standard_schema(text):
+    """Without extended=True the primaries must fail at COMPILE time
+    with a clear message, not at execution with a missing column."""
+    with pytest.raises(NfFilterError, match="extended"):
+        compile_filter(text)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "src if 5",        # interfaces take in/out, not src/dst
+        "dst fwdstat 64",  # fwdstat takes no direction
+        "in port 80",      # in/out prefix only valid before 'if'
+        "as 1k",           # AS numbers are not scalable literals
+        "tos",             # missing value
+    ],
+)
+def test_ext_schema_grammar_errors(bad):
+    with pytest.raises(NfFilterError):
+        compile_filter(bad, extended=True)
