@@ -290,8 +290,12 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _table
     from ..functions.similarity import as_double
 
-    e = _table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    e = (
+        _table(spark, sf_dir, "embeddings")
+        # a NULL embedding cannot be quantized (and a NULL seed row
+        # crashed the codebook slicing — r8 nullmix sweep)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("emb"))
     )
     seeds = (
         e.withColumn("h", F.xxhash64(F.col("vec_id").cast("string")))
@@ -426,8 +430,12 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ann import ivf_assign, train_ivf_codebook
 
     THRESH, K, ITERS = 0.45, 8, 3
-    e = _table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    e = (
+        _table(spark, sf_dir, "embeddings")
+        # NULL embeddings are un-clusterable and crashed the Lloyd seed
+        # collect (r8 nullmix sweep)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("emb"))
     )
     from .ann import _nearest_cells
 
@@ -847,7 +855,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS rev_c
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     l AS (
       SELECT day, rev_c,
@@ -876,6 +884,10 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _table
 
     o = _table(spark, sf_dir, "orders")
+    # two-sided gate: dateless orders are not series points, and the
+    # NULL day would sort FIRST in Spark / LAST in DuckDB, shifting
+    # every lag-7 alignment (r8 nullmix sweep)
+    o = o.filter(F.col("o_orderdate").isNotNull())
     d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
@@ -1240,6 +1252,7 @@ def flows_sampling_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
     )
     SELECT grp, CAST(n AS BIGINT) AS n,
            CAST(MIN(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS BIGINT)
@@ -1265,7 +1278,13 @@ def agg_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _table
     from ..functions.distributed import grouped_rank
 
-    li = _table(spark, sf_dir, "lineitem").select(
+    li = _table(spark, sf_dir, "lineitem")
+    # two-sided gate: NULL-flag / NULL-price rows have no place on a
+    # revenue rank curve (r8 nullmix sweep)
+    li = li.filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    li = li.select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         "l_extendedprice",
@@ -1956,6 +1975,10 @@ def maint_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sf_pstats_")
     tbl = _os.path.join(base, "events_parted")
     e = _table(spark, sf_dir, "events")
+    # NULL-ts rows would land in dt=__HIVE_DEFAULT_PARTITION__, whose
+    # partition value cannot cast back to DATE on re-read (r8 nullmix
+    # sweep) — they are not partition-manageable in this report
+    e = e.filter(F.col("ts").isNotNull())
     e.withColumn("dt", F.to_date("ts")).repartition(4).write.partitionBy(
         "dt"
     ).mode("overwrite").parquet(tbl)
@@ -2235,6 +2258,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
       FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
     )
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(cents) AS BIGINT) AS total_c,
@@ -2262,7 +2286,13 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _table
     from ..functions.distributed import grouped_rank
 
-    li = _table(spark, sf_dir, "lineitem").select(
+    li = _table(spark, sf_dir, "lineitem")
+    # two-sided gate: NULL-flag / NULL-price rows have no place on a
+    # revenue rank curve (r8 nullmix sweep)
+    li = li.filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    li = li.select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         "l_extendedprice",
@@ -2310,7 +2340,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
                                 l_linenumber) AS rk,
              COUNT(*) OVER () AS n
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     d AS (
       SELECT CASE WHEN rk <= (n % 10) * ((n + 9) // 10)
@@ -2350,7 +2380,11 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _table
     from ..functions.distributed import exact_ntile
 
-    li = _table(spark, sf_dir, "lineitem").select(
+    li = _table(spark, sf_dir, "lineitem")
+    # two-sided gate: NULL-price rows have no rank on the curve
+    # (r8 nullmix sweep)
+    li = li.filter(F.col("l_extendedprice").isNotNull())
+    li = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         "l_extendedprice",
         "l_orderkey",
@@ -2915,7 +2949,8 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_boilerplate_ngrams",
     oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE text IS NOT NULL),
     g AS (
       SELECT DISTINCT doc_id,
              array_to_string(ws[i:i+4], ' ') AS gram
@@ -2943,7 +2978,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _table(spark, sf_dir, "documents")
     g = (
-        d.select("doc_id", F.split("text", " ").alias("ws"))
+        # two-sided gate: a NULL text has no grams — unguarded, Spark's
+        # concat_ws over the NULL slice fabricates an '' gram per doc
+        # (r8 nullmix sweep)
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("ws"))
         .select(
             "doc_id",
             F.explode(

@@ -350,10 +350,12 @@ def agg_sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.cast("bigint").alias("exact"),
         F.col("approx_05").cast("bigint").alias("approx_rsd05"),
         F.col("approx_01").cast("bigint").alias("approx_rsd01"),
-        (F.abs(F.col("approx_05") - ex) * 10000 / ex)
+        # try_divide: a group whose user_ids are all NULL has exact==0
+        # (count_distinct skips NULLs) — error is undefined, not a crash
+        F.try_divide(F.abs(F.col("approx_05") - ex) * 10000, ex)
         .cast("bigint")
         .alias("err_rsd05_bp"),
-        (F.abs(F.col("approx_01") - ex) * 10000 / ex)
+        F.try_divide(F.abs(F.col("approx_01") - ex) * 10000, ex)
         .cast("bigint")
         .alias("err_rsd01_bp"),
     ).orderBy("event_type")

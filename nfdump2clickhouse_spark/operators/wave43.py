@@ -203,7 +203,10 @@ def flows_billing_95th(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH firsts AS (
       SELECT event_type, user_id,
              MIN(CAST(ts AS DATE)) AS first_d
-      FROM events GROUP BY event_type, user_id
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND ts IS NOT NULL
+      GROUP BY event_type, user_id
     ),
     daily AS (
       SELECT event_type, strftime(first_d, '%Y-%m-%d') AS day,
@@ -240,6 +243,15 @@ def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass)."""
     firsts = (
         table(spark, sf_dir, "events")
+        # two-sided gate: adoption needs an adopter, a feature, and a
+        # date; under mixed NULLs the oracle's JOIN USING(event_type)
+        # silently drops the NULL-type curve row that the engine's
+        # window keeps (r8 nullmix sweep)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .groupBy("event_type", "user_id")
         .agg(F.min(F.col("ts").cast("date")).alias("first_d"))
     )

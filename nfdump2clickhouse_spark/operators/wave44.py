@@ -36,7 +36,8 @@ from ..registry import register
            CAST(SUM(event_id) AS BIGINT) AS id_sum,
            CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT))
                 AS BIGINT) AS cents_sum
-    FROM events WHERE event_id < 5000 GROUP BY event_type
+    FROM events WHERE event_id < 5000 AND event_type IS NOT NULL
+    GROUP BY event_type
     ORDER BY event_type
     """,
 )
@@ -59,7 +60,10 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 5000)
+        # NULL-type records are rejects in a fixed-width export (the
+        # concat'd line would be NULL end-to-end and read back as an
+        # unparseable empty line — r8 nullmix sweep); gate both sides
+        .filter((F.col("event_id") < 5000) & F.col("event_type").isNotNull())
         .select(
             "event_id",
             "event_type",
@@ -231,7 +235,7 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)) AS rev
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     based AS (
       SELECT event_type, day, rev,
@@ -257,6 +261,11 @@ def ts_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     division."""
     daily = (
         table(spark, sf_dir, "events")
+        # two-sided gate: a NULL-ts row has no day to index — and under
+        # mixed NULLs Spark's ASC window puts the NULL day FIRST (it
+        # would become every series' base) where DuckDB puts it last
+        # (r8 nullmix sweep)
+        .filter(F.col("ts").isNotNull())
         .groupBy(
             "event_type",
             F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
@@ -272,7 +281,11 @@ def ts_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return based.select(
         "event_type",
         "day",
-        F.round(100.0 * F.col("rev") / F.col("base"), 4).alias("index_100"),
+        # try_divide: a base day of exactly 0 cents leaves the index
+        # undefined (NULL), matching DuckDB x/0
+        F.round(F.try_divide(100.0 * F.col("rev"), F.col("base")), 4).alias(
+            "index_100"
+        ),
     ).orderBy("event_type", "day")
 
 

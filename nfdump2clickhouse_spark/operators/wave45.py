@@ -316,7 +316,7 @@ def flows_scan_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     t AS (
       SELECT day, rev,
@@ -371,8 +371,14 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbering is 0=Sunday in BOTH engines at this call pattern (the
     `ts_seasonal_decompose` precedent)."""
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum("o_totalprice").alias("rev")
+    # two-sided gate: a dateless order is not a time-series point, and
+    # under mixed NULLs Spark's ASC window sorts the NULL day FIRST
+    # where DuckDB sorts it LAST — the 7-row trend frames would differ
+    # (r8 nullmix sweep)
+    daily = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
     )
     w = Window.orderBy("day").rowsBetween(-3, 3)
     t = daily.select(

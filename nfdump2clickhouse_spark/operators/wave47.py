@@ -202,7 +202,7 @@ def flows_unidirectional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
              SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)) AS rev
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     dows AS (
       SELECT day, rev, dayofweek(day) AS dow FROM daily
@@ -238,6 +238,8 @@ def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame
     `ts_seasonal_decompose` precedent)."""
     daily = (
         table(spark, sf_dir, "events")
+        # two-sided gate: a dateless event has no weekday (r8 nullmix)
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(
             F.sum(
@@ -253,7 +255,9 @@ def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame
     m = adj.withColumn("mu", F.avg("resid").over(wt)).withColumn(
         "sigma", F.stddev_samp("resid").over(wt)
     )
-    z = (F.col("resid") - F.col("mu")) / F.col("sigma")
+    # try_divide: sigma degenerates to 0 on a tiny/uniform day table —
+    # NULL z on both engines (DuckDB x/0 is NULL), not an ANSI crash
+    z = F.try_divide(F.col("resid") - F.col("mu"), F.col("sigma"))
     return m.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         (F.round(z, 4) + F.lit(0)).alias("z"),
@@ -344,7 +348,7 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day,
              count_if(event_type = 'purchase') AS k,
              COUNT(*) AS n
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     idx AS (
       SELECT k, n,
@@ -379,6 +383,10 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sum, so both engines assemble identical doubles."""
     daily = (
         table(spark, sf_dir, "events")
+        # two-sided gate: a dateless event has no dose index — and under
+        # mixed NULLs Spark indexes the NULL day t=0 where DuckDB gives
+        # it the max t, flipping the trend sign (r8 nullmix sweep)
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(
             F.count_if(F.col("event_type") == "purchase").alias("k"),

@@ -222,7 +222,7 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day,
              SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)) AS rev,
              ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS i
-      FROM events GROUP BY CAST(ts AS DATE)
+      FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
     ),
     slopes AS (
       SELECT (b.rev - a.rev) * 1.0 / (b.i - a.i) AS slope
@@ -251,6 +251,8 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     median is an exact percentile over the pair table."""
     daily = (
         table(spark, sf_dir, "events")
+        # two-sided gate: dateless events are not series points (r8 nullmix)
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(
             F.sum(

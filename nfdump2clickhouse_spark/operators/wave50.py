@@ -312,7 +312,7 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)) AS rev
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     m AS (
       SELECT COUNT(*) AS n, AVG(rev) AS mu, STDDEV_SAMP(rev) AS s
@@ -340,6 +340,8 @@ def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded day table."""
     daily = (
         table(spark, sf_dir, "events")
+        # two-sided gate: dateless events are not series points (r8 nullmix)
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
         .agg(
             F.sum(
@@ -382,7 +384,7 @@ _BB_BLOCK = 5
       SELECT CAST(ts AS DATE) AS day,
              SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)) AS rev,
              ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) - 1 AS i
-      FROM events GROUP BY CAST(ts AS DATE)
+      FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
     ),
     n AS (SELECT COUNT(*) AS nd FROM daily),
     reps AS (SELECT UNNEST(generate_series(0, {_BB_REPS - 1})) AS r),
@@ -428,6 +430,8 @@ def stats_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         table(spark, sf_dir, "events")
+        # two-sided gate: dateless events are not series points (r8 nullmix)
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(
             F.sum(

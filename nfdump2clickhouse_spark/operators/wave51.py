@@ -446,6 +446,11 @@ def reshape_unpivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
-    return long.select(
-        "flag", "metric", F.round("val", 4).alias("value")
-    ).orderBy("flag", "metric")
+    # SQL-standard UNPIVOT (and DuckDB's) EXCLUDES NULL cells; Spark's
+    # unpivot keeps them — align by dropping NULL values (r8 nullmix
+    # sweep: an all-NULL metric in a group diverged row counts)
+    return (
+        long.filter(F.col("val").isNotNull())
+        .select("flag", "metric", F.round("val", 4).alias("value"))
+        .orderBy("flag", "metric")
+    )

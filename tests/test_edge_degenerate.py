@@ -161,3 +161,61 @@ def test_distance_histogram_identical_vectors(spark, tmp_path):
     opdf = con.execute(spec.oracle).df()
     compare_frames(pdf, opdf, "emb_distance_histogram[identical-vectors]")
     assert pdf["bin"].tolist() == [0] and pdf["n_pairs"].tolist() == [1]
+
+
+# --- nullmix mode (r8): value columns NULLed on odd rows, keys intact ---
+
+# every key the r8 nullmix sweep flagged that was never driver-swept,
+# now fixed (two-sided isNotNull gates / try_divide / UNPIVOT NULL
+# alignment / None-guards before Python UDFs); certified flags are
+# documented in EDGE_SWEEP_r8.md and scheduled in SURVEY §17.1
+NULLMIX_FIXED_KEYS = [
+    "agg_gini_concentration",
+    "agg_group_quantiles_exact",
+    "agg_lorenz_deciles",
+    "agg_sketch_error_report",
+    "dedup_semantic_cluster",
+    "emb_pq_quantize",
+    "events_adoption_curve",
+    "events_anomaly_deseasonalized",
+    "maint_partition_stats",
+    "reshape_unpivot_multi",
+    "scan_fixed_width",
+    "stats_block_bootstrap",
+    "stats_cochran_armitage",
+    "stats_grubbs",
+    "text_boilerplate_ngrams",
+    "ts_index_rebase",
+    "ts_period_over_period",
+    "ts_seasonality_strength",
+    "ts_theil_sen",
+]
+
+
+@pytest.fixture(scope="module")
+def nullmix_dir():
+    d = build_fixture("nullmix")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def nullmix_ddb(nullmix_dir):
+    con = duckdb.connect()
+    pin_float_semantics(con)
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nullmix_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("key", NULLMIX_FIXED_KEYS)
+def test_nullmix_parity(key, spark, nullmix_dir, nullmix_ddb):
+    spec = SPECS[key]
+    pdf = spec.fn(spark, nullmix_dir).toPandas()  # must not raise
+    if spec.oracle is None:
+        return
+    opdf = nullmix_ddb.execute(spec.oracle).df()
+    compare_frames(pdf, opdf, key)

@@ -19,6 +19,11 @@ Modes (``python tools/edge_sweep.py empty|one [keys...]``):
 - ``constk``: const with unique primary keys (re-sequenced) — the
   zero-variance class WITHOUT the duplicate-key artifact, so every
   flag is a real divergence candidate (r8).
+- ``nullmix``: the first 16 rows with every VALUE column NULLed on odd
+  rows (primary keys and FK join keys preserved) — the bad-exporter-day
+  class: mixed-NULL ordering (Spark NULLS FIRST vs DuckDB NULLS LAST
+  on ASC), NULL propagation through expressions, Arrow batches with
+  None cells reaching Pandas UDFs (r8).
 
 For each hash key: run the Spark query AND the DuckDB oracle on the
 same fixture dir and compare with the driver's canonicalization
@@ -74,6 +79,22 @@ KEY_COLS = {
     "embeddings": "vec_id",
 }
 
+# Columns the nullmix mode must NOT null: primary keys (row identity)
+# and FK join keys (nulling them would make every join degenerate at
+# once, masking the per-expression NULL findings under join emptiness).
+NULLMIX_KEEP = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey", "n_regionkey"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"},
+    "events": {"event_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+
 SRC = os.environ.get("SPARK_GRAFT_EDGE_SRC", "/root/testdata/sf0.001")
 
 
@@ -109,6 +130,20 @@ def build_fixture(mode: str) -> str:
                 [base + i for i in range(16)], type=field.type
             )
             sliced = sliced.set_column(idx, field, new_keys)
+        elif mode == "nullmix":
+            # first 16 rows, value columns NULLed on ODD rows: mixed-NULL
+            # ordering + NULL propagation + None cells in Arrow batches
+            sliced = tbl.slice(0, 16)
+            n = sliced.num_rows
+            mask = pa.array([bool(i % 2) for i in range(n)])
+            keep = NULLMIX_KEEP[t]
+            for ci, f in enumerate(sliced.schema):
+                if f.name in keep:
+                    continue
+                nulled = pa.compute.if_else(
+                    mask, pa.nulls(n, type=f.type), sliced.column(ci)
+                )
+                sliced = sliced.set_column(ci, f, nulled)
         else:
             raise SystemExit(f"unknown mode {mode!r}")
         pq.write_table(sliced, os.path.join(out, f"{t}.parquet"))
