@@ -955,6 +955,31 @@ def test_registry_order_certification_rotation():
             "never-swept queue")
 
 
+def test_evidence_hashes_cover_every_driver_certification():
+    """Round-open enforcement (VERDICT r8 wrong-#1): the driver writes
+    CORRECTNESS_r{N}.json AFTER the builder's window closes, so the
+    EVIDENCE_HASHES.json snapshot is structurally one round behind at
+    round open. The refresh (`tools/refresh_evidence_hashes.py`) must
+    therefore be the round's FIRST commit — this test makes that
+    sequencing enforced rather than remembered: it fails whenever any
+    driver-certified key is missing from the snapshot or recorded at an
+    older round than its latest certification."""
+    detail = registry._evidence_detail()
+    recorded = registry._certified_hashes()
+    specs = registry.all_specs()
+    stale = []
+    for key, (verdict, rnd) in sorted(detail.items()):
+        if verdict != "pass" or key not in specs:
+            continue
+        rec = recorded.get(key)
+        if not isinstance(rec, dict) or rec.get("round", -1) < rnd:
+            stale.append((key, rnd, None if not isinstance(rec, dict) else rec.get("round")))
+    assert not stale, (
+        f"{len(stale)} driver certifications unrecorded in EVIDENCE_HASHES.json "
+        f"(run tools/refresh_evidence_hashes.py as the round's first commit); "
+        f"first few: {stale[:5]}")
+
+
 def test_rows_only_keys_carry_reason():
     """Every rows-only key (QuerySpec.oracle is None) must carry an
     explicit `# rows-only: <why>` comment at its registration site AND
