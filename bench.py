@@ -161,7 +161,13 @@ def main() -> None:
         )
     # lower-middle index: exact median for odd PASSES, and for even counts
     # the faster-of-the-middle-two rather than a silent upward bias
-    # (ADVICE r7 #4)
+    # (ADVICE r7 #4). Ingest is a throughput (higher flatters the
+    # engine), so the SAME lower-middle index is the conservative
+    # slower-of-the-middle-two there — i.e. for even PASSES the two
+    # committed medians are biased in OPPOSITE fairness directions
+    # (time favors the engine, ingest errs against it; ADVICE r8 #2,
+    # documented-not-changed option). Moot at the default odd PASSES=3,
+    # where both indexes are the exact median.
     mid = (len(passes) - 1) // 2
     median_pass = sorted(passes, key=lambda p: p["total"])[mid]
     ingest = sorted(p["ingest_rows_per_sec"] for p in passes)[mid]

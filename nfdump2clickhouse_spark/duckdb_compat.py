@@ -18,10 +18,18 @@ def pin_float_semantics(con) -> None:
     it (>= 1.1; the pinned 1.0.0 predates the setting and already yields
     NULL), then assert the NULL-on-zero-divisor contract so any future
     version bump fails loudly instead of silently re-certifying."""
+    import duckdb
+
     try:
         con.execute("SET ieee_floating_point_ops = false")
-    except Exception:
-        pass  # parameter unknown on DuckDB 1.0.x — contract checked below
+    except duckdb.CatalogException:
+        # parameter unknown on DuckDB 1.0.x (verified: SET of an unknown
+        # parameter raises CatalogException there) — contract checked
+        # below. Narrow catch per ADVICE r8 #4: a closed connection
+        # (ConnectionException) or transaction error raises its real
+        # cause here instead of surfacing later as a confusing
+        # contract-violation message.
+        pass
     row = con.execute("SELECT 1.0/0.0, 0.0/0.0, 1/0").fetchone()
     if row != (None, None, None):
         import duckdb

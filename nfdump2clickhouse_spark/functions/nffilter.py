@@ -353,19 +353,29 @@ class _Parser:
 
         # --- extended-schema primaries (published nfdump grammar over
         # fields the frozen 13-column contract does not carry) ---------
+        # Extended predicates are wrapped `coalesce(pred, False)`: the
+        # filter language is TWO-valued (nfdump records have no NULLs,
+        # nftree.c evaluates plain C comparisons), so a NULL sas/stos/
+        # input/fwd on a widened table must compare to plain False —
+        # otherwise `not as 64512` silently drops NULL-sas rows under
+        # SQL three-valued logic, the same bug class the proto
+        # eqNullSafe fix above cites (ADVICE r8 #1).
+        def two_valued(pred: Column) -> Column:
+            return F.coalesce(pred, F.lit(False))
+
         if tok == "tos":
             self._require_extended("tos", "stos/dtos")
             # nfdump 1.6 semantics: bare 'tos' is the SOURCE ToS byte
             # ('dst tos' selects the destination byte, 1.7 grammar)
             col = F.col("dtos") if direction == "dst" else F.col("stos")
-            return self._cmp(col, "tos")
+            return two_valued(self._cmp(col, "tos"))
 
         if tok == "as":
             self._require_extended("as", "sas/das")
             mark = self.i
-            s = self._cmp(F.col("sas"), "as")
+            s = two_valued(self._cmp(F.col("sas"), "as"))
             self.i, end = mark, self.i
-            d = self._cmp(F.col("das"), "as")
+            d = two_valued(self._cmp(F.col("das"), "as"))
             assert self.i == end
             return sides(s, d)
 
@@ -376,9 +386,9 @@ class _Parser:
                     "'if' takes in/out, not src/dst qualifiers"
                 )
             mark = self.i
-            i_in = self._cmp(F.col("input"), "if")
+            i_in = two_valued(self._cmp(F.col("input"), "if"))
             self.i, end = mark, self.i
-            i_out = self._cmp(F.col("output"), "if")
+            i_out = two_valued(self._cmp(F.col("output"), "if"))
             assert self.i == end
             if iface_dir == "in":
                 return i_in
@@ -390,7 +400,7 @@ class _Parser:
             self._require_extended("fwdstat", "fwd")
             if direction is not None:
                 raise NfFilterError("'fwdstat' takes no src/dst qualifier")
-            return self._cmp(F.col("fwd"), "fwdstat")
+            return two_valued(self._cmp(F.col("fwd"), "fwdstat"))
 
         if tok == "flags":
             letters = self.take()

@@ -364,6 +364,36 @@ def test_extended_suite_has_selective_cases(flows_ext):
 
 
 @pytest.mark.parametrize(
+    "text,null_matches",
+    [
+        # a NULL field never matches a positive predicate...
+        ("as 64512", 0),
+        ("tos 16", 0),
+        ("in if 5", 0),
+        ("fwdstat 64", 0),
+        # ...so its NEGATION matches every NULL row (two-valued algebra:
+        # nfdump records have no NULLs, nftree.c evaluates plain C
+        # comparisons — `not as 64512` must keep NULL-sas rows, ADVICE r8)
+        ("not as 64512", 4),
+        ("not tos 16", 4),
+        ("not in if 5", 4),
+        ("not fwdstat 64", 4),
+        ("not (src as 64512 and tos 0)", 4),
+    ],
+)
+def test_extended_primaries_two_valued_on_null_fields(spark, text, null_matches):
+    """Extended primaries keep the module's two-valued contract on a
+    widened table with NULL fields (a bad exporter day): NULL compares
+    as plain False, so negation matches it — the same class the proto
+    eqNullSafe fix guards (ADVICE r8 #1)."""
+    rows = [(None, None, None, None, None, None, None)] * 4
+    df = spark.createDataFrame(
+        rows, "stos int, dtos int, sas int, das int, input int, output int, fwd int"
+    )
+    assert df.filter(compile_filter(text, extended=True)).count() == null_matches
+
+
+@pytest.mark.parametrize(
     "text", [c[0] for c in EXT_SCHEMA_CASES], ids=[c[0] for c in EXT_SCHEMA_CASES]
 )
 def test_extended_primaries_rejected_on_standard_schema(text):

@@ -50,6 +50,7 @@ import duckdb
 
 from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from nfdump2clickhouse_spark import registry
@@ -140,7 +141,7 @@ def build_fixture(mode: str) -> str:
             for ci, f in enumerate(sliced.schema):
                 if f.name in keep:
                     continue
-                nulled = pa.compute.if_else(
+                nulled = pc.if_else(
                     mask, pa.nulls(n, type=f.type), sliced.column(ci)
                 )
                 sliced = sliced.set_column(ci, f, nulled)
