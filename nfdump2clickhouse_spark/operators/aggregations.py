@@ -304,11 +304,31 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
+    # corr as try_divide(covar, sx*sy): the builtin F.corr THROWS under
+    # ANSI when a column is constant (constk fixture) where DuckDB corr
+    # yields NULL (r9 edge batch; the `stats_spearman_corr` rewrite).
+    # The stddevs condition on the OTHER column being non-null so the
+    # moments run over the same pairwise-complete set DuckDB's corr
+    # uses — identical to the plain stddev when NULLs are absent.
+    sx = F.stddev_samp(
+        F.when(F.col("l_extendedprice").isNotNull(), F.col("l_quantity"))
+    )
+    sy = F.stddev_samp(
+        F.when(F.col("l_quantity").isNotNull(), F.col("l_extendedprice"))
+    )
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
         # "+ 0": corr can round to -0.0 (SURVEY §8 recipe)
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0).alias("corr_qty_price"),
+        (
+            F.round(
+                F.try_divide(
+                    F.covar_samp("l_quantity", "l_extendedprice"), sx * sy
+                ),
+                4,
+            )
+            + 0
+        ).alias("corr_qty_price"),
     )
 
 
@@ -627,36 +647,94 @@ def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_skew_kurt",
     oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n, AVG(value) AS mu,
+             SUM(value) AS s1, SUM(value * value) AS s2,
+             SUM(value * value * value) AS s3,
+             SUM(value * value * value * value) AS s4
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+      HAVING MIN(value) <> MAX(value)
+    ),
+    c AS (
+      SELECT event_type, n,
+             (s2 - s1 * s1 / n) / n AS m2,
+             (s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu) / n
+               AS m3,
+             (s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 4 * mu * mu * mu * s1
+              + n * mu * mu * mu * mu) / n AS m4
+      FROM m
+    )
     SELECT event_type,
-           COUNT(*)              AS n,
-           ROUND(skewness(value), 4) + 0 AS skew,
-           ROUND(kurtosis(value), 4) + 0 AS kurt
-    FROM events GROUP BY event_type
+           CAST(n AS BIGINT) AS n,
+           ROUND((m3 / POW(m2, 1.5))
+                 * sqrt(n * (n - 1.0)) / (n - 2.0), 4) + 0 AS skew,
+           ROUND(((n + 1.0) * (m4 / (m2 * m2) - 3) + 6)
+                 * (n - 1.0) / ((n - 2.0) * (n - 3.0)), 4) + 0 AS kurt
+    FROM c ORDER BY event_type
     """,
 )
 def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution shape per event type (ClickHouse `skewSamp`/
-    `kurtSamp` [P] — burst/heavy-tail detection on traffic counters).
-    Spark's builtins return POPULATION moments (g1 = m3/m2^1.5, excess
-    g2); DuckDB/ClickHouse return bias-corrected SAMPLE statistics, so
-    the exact conversions G1 = g1·√(n(n−1))/(n−2) and
-    G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)) are applied — same partial
-    +final one-pass aggregation, just a scalar transform on top."""
-    e = table(spark, sf_dir, "events")
-    base = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.skewness("value").alias("g1"),
-        F.kurtosis("value").alias("g2"),
+    `kurtSamp` [P] — burst/heavy-tail detection on traffic counters):
+    bias-corrected SAMPLE statistics G1 = g1·√(n(n−1))/(n−2) and
+    G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)) from the population moments.
+
+    Rewritten r9 (SURVEY §17.1, the `stats_jarque_bera` form): raw
+    power sums Σx…Σx⁴ in ONE map-side-combinable pass, central moments
+    expanded binomially with the IDENTICAL expression in both engines —
+    the builtin aggregates were the r8 constk finding (Spark NaN vs
+    DuckDB 1-ulp cancellation residue amplified to garbage at zero
+    variance). Constant groups are gated out two-sided with the EXACT
+    predicate min(value) <> max(value) (S/K undefined there); n ≤ 3
+    zeroes a correction denominator, where DuckDB /0 is NULL and the
+    engine try_divides. Both are no-ops at real SFs."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
     )
-    n = F.col("n").cast("double")
-    G1 = F.col("g1") * F.sqrt(n * (n - 1)) / (n - 2)
-    G2 = ((n + 1) * F.col("g2") + 6) * (n - 1) / ((n - 2) * (n - 3))
-    return base.select(
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("mu"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    ).filter(F.col("vmin") != F.col("vmax"))
+    n, mu = F.col("n"), F.col("mu")
+    s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    c = m.select(
         "event_type",
-        "n",
+        n,
+        ((s2 - s1 * s1 / n) / n).alias("m2"),
+        ((s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu) / n).alias("m3"),
+        (
+            (
+                s4
+                - 4 * mu * s3
+                + 6 * mu * mu * s2
+                - 4 * mu * mu * mu * s1
+                + n * mu * mu * mu * mu
+            )
+            / n
+        ).alias("m4"),
+    )
+    g1 = F.try_divide(F.col("m3"), F.pow(F.col("m2"), 1.5))
+    g2 = F.try_divide(F.col("m4"), F.col("m2") * F.col("m2")) - 3
+    nd = F.col("n")
+    G1 = F.try_divide(g1 * F.sqrt(nd * (nd - 1.0)), nd - 2.0)
+    G2 = F.try_divide(
+        ((nd + 1.0) * g2 + 6) * (nd - 1.0), (nd - 2.0) * (nd - 3.0)
+    )
+    return c.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
         (F.round(G1, 4) + 0).alias("skew"),
         (F.round(G2, 4) + 0).alias("kurt"),
-    )
+    ).orderBy("event_type")
 
 
 @register(
@@ -774,7 +852,9 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT event_type AS a, EXTRACT(hour FROM ts) AS b, COUNT(*) AS n
-      FROM events GROUP BY a, b
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY a, b
     ),
     tot AS (SELECT SUM(n) AS N FROM c),
     r AS (SELECT a, SUM(n) AS rn FROM c GROUP BY a),
@@ -790,7 +870,7 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(sqrt(chi2 / (N * (least(R, C) - 1))), 4) AS cramers_v,
            ROUND(chi2, 4) AS chi2
     FROM chi
-    """,
+    """,  # 1x1 table: N*(least-1)=0 -> DuckDB x/0 NULL, engine try_divide
 )
 def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramér's V association between event type and hour-of-day
@@ -799,8 +879,17 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|types|·24 rows), never the fact table: one partial+final count
     agg over the corpus, then broadcast joins of the tiny marginal
     frames. Cell order in the χ² sum is engine-dependent but the ~120
-    addends are O(1)-magnitude, absorbed by round(4)."""
-    e = table(spark, sf_dir, "events")
+    addends are O(1)-magnitude, absorbed by round(4).
+
+    Degenerate parity (r9 edge batch): a NULL type or NULL hour is not
+    a category — excluded two-sidedly (nullmix mode: the equi-joins
+    drop NULL-keyed cells identically on both engines, but the oracle's
+    marginal COUNT(*) would still count the NULL group where
+    countDistinct ignores it); a 1×1 table (one-row/constk) zeroes the
+    V denominator — DuckDB x/0 is NULL, so try_divide."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
     c = e.groupBy(
         F.col("event_type").alias("a"), F.hour("ts").alias("b")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -822,7 +911,13 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chi.select(
         F.round(
-            F.sqrt(F.col("chi2") / (F.col("n_total") * (F.least("R", "C") - 1))), 4
+            F.sqrt(
+                F.try_divide(
+                    F.col("chi2"),
+                    F.col("n_total") * (F.least("R", "C") - 1),
+                )
+            ),
+            4,
         ).alias("cramers_v"),
         F.round("chi2", 4).alias("chi2"),
     )

@@ -186,10 +186,19 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract vs brute force.
     """
     K, PROBES, ITERS = 8, 3, 3
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    # NULL embeddings are not vectors (r9 edge batch, nullmix mode)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .filter(F.col("emb").isNotNull())
     )
     codebook = train_ivf_codebook(e, K, ITERS)
+    if not codebook:
+        # empty corpus: the trainer's empty-codebook path (r9 edge
+        # batch, class-3 guard) — no cells to probe, schema-stable
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double"
+        )
     assigned = ivf_assign(e, codebook)
     # queries probe their PROBES nearest cells (same zero-shuffle argmin)
     probe_cells = F.transform(
@@ -341,10 +350,20 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ via deterministic hash-seeded residual samples (k-means would
     tighten both; determinism keeps the key reproducible)."""
     K, PROBES, ITERS, M, KS, SUB = 8, 3, 3, 8, 16, 8
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    ).localCheckpoint()  # reused by every Lloyd iteration + both stages
+    # NULL embeddings are not vectors (r9 edge batch, nullmix mode)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .filter(F.col("emb").isNotNull())
+        .localCheckpoint()
+    )  # reused by every Lloyd iteration + both stages
     codebook = train_ivf_codebook(e, K, ITERS)
+    if not codebook:
+        # empty corpus: the trainer's empty-codebook path (r9 edge
+        # batch, class-3 guard) — nothing to index, schema-stable
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double"
+        )
     cb_lit = F.lit([[float(v) for v in c] for c in codebook])  # K x 64
 
     # residual vs assigned cell centroid — row-local
@@ -433,8 +452,12 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             _encode(pq, emit_sub=True),
             "s int, code int, cnt long, sums array<double>",
         ).collect()
-        sums = np.zeros((M, KS, SUB))
-        cnts = np.zeros((M, KS))
+        # pq.shape[1], not KS: a corpus smaller than KS seeds a smaller
+        # codebook, and the partial accumulators must match it (r9 edge
+        # batch — one-row/nullmix fixtures hit the mismatch as a numpy
+        # boolean-index error)
+        sums = np.zeros((M, pq.shape[1], SUB))
+        cnts = np.zeros((M, pq.shape[1]))
         for r in parts:
             sums[r["s"], r["code"]] += np.array(r["sums"])
             cnts[r["s"], r["code"]] += r["cnt"]

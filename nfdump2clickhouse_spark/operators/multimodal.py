@@ -50,6 +50,13 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned parquet write (blob pointers at rest) and read back —
     digest proves byte-exactness end-to-end."""
     blobs = _with_blob(table(spark, sf_dir, "documents"))
+    if blobs.isEmpty():
+        # zero-partition writes cannot re-read (UNABLE_TO_INFER_SCHEMA,
+        # r7 edge class 4; guard applied r9 per SURVEY §17.1) — the
+        # cheap limit-1 probe skips the round-trip, schema-stable
+        return spark.createDataFrame(
+            [], "doc_id long, n_bytes bigint, digest string"
+        )
     out = os.path.join(tempfile.mkdtemp(prefix="mm_blob_"), "blobs")
     blobs.withColumn("bucket", (F.col("doc_id") % 8).cast("int")).write.mode(
         "overwrite"

@@ -255,6 +255,7 @@ def flows_beaconing_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
                     AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS grp
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     ),
     c AS (
       SELECT v, grp,
@@ -293,10 +294,18 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid-partitioned windows), so no task ever sees more than its value
     range. D stays the INTEGER max of |c0·n1 − c1·n0| — no float CDF
     subtraction to drift cross-engine; ks_e6 is the exact round-half-up
-    scaled statistic. n0/n1 fall out of the subtotal pass for free."""
+    scaled statistic. n0/n1 fall out of the subtotal pass for free.
+
+    Degenerate-input parity (r9 edge batch, SURVEY §17.1): a NULL price
+    is not a sample point (two-sided IS NOT NULL — nullmix mode: Spark
+    would otherwise sort the NULL group first where DuckDB cumulates it
+    last); on an empty sample the oracle's cross join with the empty
+    CDF CTE yields zero rows, mirrored by the n0+n1>0 gate; and with
+    one group empty the scaled DIV's denominator is 0, where DuckDB
+    `//` yields NULL — guarded in Python (n0/n1 are driver ints)."""
     li = table(spark, sf_dir, "lineitem")
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
-    s = li.select(
+    s = li.filter(F.col("l_extendedprice").isNotNull()).select(
         F.col("l_extendedprice").alias("v"),
         (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 2).alias(
             "grp"
@@ -314,19 +323,28 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = p.select(F.col("_ps_d0").alias("c0"), F.col("_ps_d1").alias("c1"))
     n0l = F.lit(n0).cast("bigint")
     n1l = F.lit(n1).cast("bigint")
+    # n0/n1 are driver ints, so the degenerate guards are plain Python:
+    # one-group-empty → DuckDB `// 0` is NULL; empty sample → the
+    # oracle's cross join with the empty CDF CTE emits zero rows.
+    ks_e6 = (
+        F.expr(
+            f"CAST((2 * max_diff * 1000000 + {n0}L * {n1}L) DIV"
+            f" (2 * {n0}L * {n1}L) AS BIGINT)"
+        )
+        if n0 * n1 > 0
+        else F.lit(None).cast("bigint")
+    )
     return (
         c.agg(
             F.max(F.abs(F.col("c0") * n1l - F.col("c1") * n0l))
             .cast("bigint")
             .alias("max_diff")
         )
+        .where(F.lit(n0 + n1) > 0)
         .select(
             n0l.alias("n0"),
             n1l.alias("n1"),
             "max_diff",
-            F.expr(
-                f"CAST((2 * max_diff * 1000000 + {n0}L * {n1}L) DIV"
-                f" (2 * {n0}L * {n1}L) AS BIGINT)"
-            ).alias("ks_e6"),
+            ks_e6.alias("ks_e6"),
         )
     )

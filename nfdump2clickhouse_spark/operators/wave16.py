@@ -197,17 +197,20 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data_quality_rules",
     oracle="""
     WITH o AS (
+      -- COALESCE(count_if, 0): DuckDB count_if over zero rows is NULL
+      -- where Spark's is 0 — an empty table truthfully has 0
+      -- violations (r7 class-2 convention, applied r9 per SURVEY §17.1)
       SELECT 'orders_totalprice_positive' AS rule,
              COUNT(*) AS n_checked,
-             count_if(o_totalprice <= 0) AS n_violations
+             COALESCE(count_if(o_totalprice <= 0), 0) AS n_violations
       FROM orders
       UNION ALL
       SELECT 'orders_status_domain', COUNT(*),
-             count_if(o_orderstatus NOT IN ('O', 'F', 'P'))
+             COALESCE(count_if(o_orderstatus NOT IN ('O', 'F', 'P')), 0)
       FROM orders
       UNION ALL
       SELECT 'lineitem_discount_range', COUNT(*),
-             count_if(l_discount < 0 OR l_discount > 1)
+             COALESCE(count_if(l_discount < 0 OR l_discount > 1), 0)
       FROM lineitem
       UNION ALL
       SELECT 'lineitem_pk_unique', COUNT(*),
@@ -215,15 +218,16 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       UNION ALL
       SELECT 'lineitem_fk_orders', COUNT(*),
-             count_if(o.o_orderkey IS NULL)
+             COALESCE(count_if(o.o_orderkey IS NULL), 0)
       FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
       UNION ALL
-      SELECT 'ship_after_order_date', COUNT(*),
-             count_if(l.l_shipdate < o.o_orderdate)
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      SELECT 'ship_after_order_date',
+             COALESCE(count_if(o.o_orderkey IS NOT NULL), 0),
+             COALESCE(count_if(l.l_shipdate < o.o_orderdate), 0)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
       UNION ALL
       SELECT 'orders_fk_customer', COUNT(*),
-             count_if(c.c_custkey IS NULL)
+             COALESCE(count_if(c.c_custkey IS NULL), 0)
       FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
     )
     SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,

@@ -179,7 +179,12 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # a NULL embedding is un-whitenable (r9 edge batch, nullmix mode)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
     dim = 64
 
     def gram_partials(batches):
@@ -209,6 +214,12 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     row = agg.collect()[0]
+    if not row["n"]:
+        # empty corpus (r9 edge batch, class-3 guard): NULL totals —
+        # nothing to whiten, schema-stable empty result
+        return spark.createDataFrame(
+            [], "vec_id long, white string, norm_r double"
+        )
     n_rows, s = row["n"], np.array(row["s"])
     G = np.zeros(dim * dim)
     for r in gsum:

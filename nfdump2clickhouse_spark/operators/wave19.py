@@ -223,15 +223,19 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("stot").cast("double")
         / F.col("nn").cast("double")
     )
-    msb_raw = ssb / (F.col("k") - 1)
-    msw_raw = (F.col("sstot") - F.col("sq_over_n")) / (
-        F.col("nn") - F.col("k")
+    # try_divide (r9 edge batch, SURVEY §17.1): a single-group input
+    # (one-row/constk) zeroes BOTH df denominators (k-1, nn-k) and the
+    # within-group variance, where DuckDB x/0 yields NULL and ANSI
+    # threw; identical operand order keeps real-SF values bit-stable.
+    msb_raw = F.try_divide(ssb, F.col("k") - 1)
+    msw_raw = F.try_divide(
+        F.col("sstot") - F.col("sq_over_n"), F.col("nn") - F.col("k")
     )
     return t.select(
         F.col("k").cast("int").alias("k"),
         F.col("nn").cast("bigint").alias("n"),
-        (F.round(msb_raw / msw_raw, 4) + 0).alias("f_stat"),
-        F.round(10000 * ssb / sst).cast("bigint").alias("eta2_bp"),
+        (F.round(F.try_divide(msb_raw, msw_raw), 4) + 0).alias("f_stat"),
+        F.round(F.try_divide(10000 * ssb, sst)).cast("bigint").alias("eta2_bp"),
     )
 
 

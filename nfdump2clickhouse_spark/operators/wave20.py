@@ -130,26 +130,43 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pre_c").cast(d19) * F.col("post_c").cast(d19)).alias("sxy"),
         F.sum(F.col("post_c").cast(d19) * F.col("post_c").cast(d19)).alias("syy"),
     )
+    # try_divide throughout (r9 edge batch, SURVEY §17.1): the θ
+    # denominator degenerates on a constant pre-period (constk) and nd
+    # is 0 over an empty user table — the broadcast side is ALWAYS
+    # evaluated even when the arm side is empty, so ANSI DIVIDE_BY_ZERO
+    # threw where the DuckDB oracle yields NULL. Division order (… / nd
+    # / nd, sequential) is preserved exactly for float parity.
     nd = F.col("n").cast("double")
-    theta = (
+    theta = F.try_divide(
         nd * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy").cast("double"),
         nd * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
     )
-    cov_xy = (
-        nd * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    ) / nd / nd
-    var_pre = (
-        nd * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
-    ) / nd / nd
-    var_post = (
-        nd * F.col("syy").cast("double")
-        - F.col("sy").cast("double") * F.col("sy").cast("double")
-    ) / nd / nd
+    cov_xy = F.try_divide(
+        F.try_divide(
+            nd * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double"),
+            nd,
+        ),
+        nd,
+    )
+    var_pre = F.try_divide(
+        F.try_divide(
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double"),
+            nd,
+        ),
+        nd,
+    )
+    var_post = F.try_divide(
+        F.try_divide(
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double"),
+            nd,
+        ),
+        nd,
+    )
     th = m.select(
         "n",
         "sx",
@@ -188,9 +205,10 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cuped"),
         (F.round("theta", 4) + 0).alias("theta_r"),
         F.round(
-            10000
-            * (F.col("cov_xy") * F.col("cov_xy"))
-            / (F.col("var_pre") * F.col("var_post"))
+            F.try_divide(
+                10000 * (F.col("cov_xy") * F.col("cov_xy")),
+                F.col("var_pre") * F.col("var_post"),
+            )
         )
         .cast("bigint")
         .alias("var_reduction_bp"),

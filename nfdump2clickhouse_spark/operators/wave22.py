@@ -224,6 +224,7 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
                     AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS grp
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     ),
     dv AS (
       SELECT v,
@@ -280,10 +281,18 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2*below + ties + 1`` keeps every rank sum an exact integer (no
     .5 halves), so U and the tie term are pure integer results; the
     only float is the final one-row z expression, written identically
-    in both engines."""
+    in both engines.
+
+    Degenerate-input parity (r9 edge batch, SURVEY §17.1): a NULL price
+    is not a sample point (two-sided IS NOT NULL, the `stats_ks_test`
+    convention — nullmix mode flips the cumulative ordering otherwise);
+    the z divisions use try_divide (all-tied input zeroes the variance:
+    DuckDB 0/0 is NULL, ANSI threw); and over an EMPTY sample the
+    oracle's aggregate CTEs still cross-join to one all-NULL row, so
+    the n0/n1 literals go NULL rather than 0 when n == 0."""
     li = table(spark, sf_dir, "lineitem")
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
-    s = li.select(
+    s = li.filter(F.col("l_extendedprice").isNotNull()).select(
         F.col("l_extendedprice").alias("v"),
         (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 2).alias(
             "grp"
@@ -325,23 +334,30 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int32 literal product at sf0.1 under ANSI mode (caught by the
     # triple-SF rehearsal; the sf0.01 value squeaks under 2^31)
     u0 = F.col("r0_2x") - F.lit(n0 * (n0 + 1)).cast("bigint")
+    # empty sample: the oracle's aggregate CTEs cross-join to ONE
+    # all-NULL row; n0/n1 are driver ints, so the literal goes NULL
+    null_if_empty = lambda v: (  # noqa: E731
+        F.lit(v).cast("bigint") if n > 0 else F.lit(None).cast("bigint")
+    )
     return r.select(
-        F.lit(n0).cast("bigint").alias("n0"),
-        F.lit(n1).cast("bigint").alias("n1"),
+        null_if_empty(n0).alias("n0"),
+        null_if_empty(n1).alias("n1"),
         u0.cast("bigint").alias("u0_2x"),
         "tie_cubes",
         F.round(
-            (u0.cast("double") - F.lit(float(n0)) * n1)
-            / (
+            F.try_divide(
+                u0.cast("double") - F.lit(float(n0)) * n1,
                 2.0
                 * F.sqrt(
                     (F.lit(float(n0)) * n1 / 12.0)
                     * (
                         F.lit(n + 1)
-                        - F.col("tie_cubes").cast("double")
-                        / (F.lit(float(n)) * (n - 1.0))
+                        - F.try_divide(
+                            F.col("tie_cubes").cast("double"),
+                            F.lit(float(n)) * (n - 1.0),
+                        )
                     )
-                )
+                ),
             ),
             4,
         ).alias("z"),

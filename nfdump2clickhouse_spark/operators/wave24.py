@@ -428,6 +428,7 @@ _HILL_K = 200
                         l_orderkey * 10 + l_linenumber
              ) AS rn
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
     ),
     topk AS (SELECT * FROM v WHERE rn <= {_HILL_K + 1}),
     xk AS (
@@ -455,8 +456,21 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally sorts); the estimator itself is arithmetic on 3x201 rows.
     Logs are taken on INTEGER cents (no float-boundary bucketing);
     the one float sum spans 200 terms and is rounded at 4 (the
-    `agg_welch_ttest` discipline)."""
-    li = table(spark, sf_dir, "lineitem")
+    `agg_welch_ttest` discipline).
+
+    Degenerate parity (r9 edge batch, SURVEY §17.1): a NULL price is
+    not a sample point and a NULL flag is not a group (two-sided IS
+    NOT NULL, nullmix mode — the oracle's inner equi-join would drop
+    the NULL-flag group that the engine's left join keeps); a group
+    with ≤ k rows has no (k+1)-th order statistic, and the oracle's
+    grouped MAX keeps that flag with a NULL x_k — mirrored by the LEFT
+    join (identical to the inner join at real SFs, where every flag has
+    ≥ k+1 rows); an all-tied tail zeroes the log sum, where DuckDB x/0
+    is NULL — try_divide."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
     v = li.select(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
@@ -471,14 +485,16 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         topk.filter(F.col("rn") <= _HILL_K)
-        .join(xk, "flag")
+        .join(xk, "flag", "left")
         .groupBy("flag")
         .agg(
             F.count(F.lit(1)).alias("k"),
             F.max("kth").cast("bigint").alias("xk_cents"),
             F.round(
-                F.count(F.lit(1))
-                / F.sum(F.log(F.col("cents")) - F.log(F.col("kth"))),
+                F.try_divide(
+                    F.count(F.lit(1)),
+                    F.sum(F.log(F.col("cents")) - F.log(F.col("kth"))),
+                ),
                 4,
             ).alias("alpha"),
         )

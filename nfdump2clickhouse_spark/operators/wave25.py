@@ -65,9 +65,19 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # a NULL embedding has no position to cover (r9 edge batch,
+        # nullmix mode: a None center vector cannot become a literal)
+        .filter(F.col("v").isNotNull())
         .localCheckpoint(eager=False)
     )
-    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    seed = emb.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        # empty corpus (r9 edge batch, class-3 guard): no seed to
+        # traverse from — schema-stable empty coreset
+        return spark.createDataFrame(
+            [], "step INT, vec_id BIGINT, radius2_at_selection DOUBLE"
+        )
+    first = seed[0]
     centers = [(1, first["vec_id"], 0.0)]
     cur = emb.withColumn("dmin", F.lit(float("inf")))
     center_vec = first["v"]
@@ -321,13 +331,15 @@ def _p_e6_sql(z: str) -> str:
       SELECT cell, n,
              (mean - gmean) / sqrt(gvar / n) AS zval
       FROM g, gl
-    ),
+    ),  -- zero-variance corpus: /0 is NULL here, try_divide engine-side
     p AS (
       SELECT cell, {_p_e6_sql('zval')} AS p_e6 FROM z
     ),
     ranked AS (
       SELECT cell, p_e6,
-             ROW_NUMBER() OVER (ORDER BY p_e6, cell) AS i,
+             -- NULLS LAST pinned: an undefined p (zero-variance corpus)
+             -- ranks after every real p on BOTH engines
+             ROW_NUMBER() OVER (ORDER BY p_e6 NULLS LAST, cell) AS i,
              COUNT(*) OVER () AS m
       FROM p
     ),
@@ -370,16 +382,20 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = e.agg(
         F.avg("value").alias("gmean"), F.var_samp("value").alias("gvar")
     )
+    # try_divide (r9 edge batch): a zero-variance corpus (constk) makes
+    # the z denominator 0 with a 0 numerator — DuckDB 0/0 is NULL, ANSI
+    # threw; p stays NULL and the pinned NULLS LAST rank keeps the
+    # undefined tests after every real one on both engines.
     z = g.crossJoin(F.broadcast(glob)).select(
         "cell",
-        ((F.col("mean") - F.col("gmean")) / F.sqrt(F.col("gvar") / F.col("n"))).alias(
-            "zval"
-        ),
+        F.try_divide(
+            F.col("mean") - F.col("gmean"), F.sqrt(F.col("gvar") / F.col("n"))
+        ).alias("zval"),
     )
     p = z.select("cell", F.expr(_p_e6_sql("zval")).alias("p_e6"))
     # the test battery is 50 rows by construction (user_id % 50) — an
     # ordered window over it is bounded, not data-sized
-    wrank = Window.orderBy("p_e6", "cell")
+    wrank = Window.orderBy(F.asc_nulls_last("p_e6"), "cell")
     m_df = p.agg(F.count(F.lit(1)).alias("m"))
     # 50-row frame feeding two consumers (crit + final report) —
     # checkpoint so the corpus moment pass runs once, not per branch

@@ -185,11 +185,16 @@ def ml_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("ss_res") / n), 4).alias("rmse"),
         F.round(F.col("sad") / n, 4).alias("mae"),
         # "+ 0" canonicalizes -0.0 → 0.0 (SURVEY §8 recipe): the
-        # mean-baseline r2 rounds to ±0.0 depending on the engine
+        # mean-baseline r2 rounds to ±0.0 depending on the engine.
+        # try_divide (r9 edge batch): a constant test target (constk)
+        # zeroes SS_tot — R² is undefined, DuckDB x/0 is NULL, ANSI threw
         (
             F.round(
                 F.lit(1)
-                - F.col("ss_res") / (F.col("saa") - F.col("sa") * F.col("sa") / n),
+                - F.try_divide(
+                    F.col("ss_res"),
+                    F.col("saa") - F.col("sa") * F.col("sa") / n,
+                ),
                 4,
             )
             + F.lit(0)

@@ -582,6 +582,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterations re-read it instead of re-running the star join
     ee = ee.localCheckpoint()
     n_nodes = n.count()
+    if n_nodes == 0:
+        # empty node table (r9 edge batch, class-3 guard): the teleport
+        # constant 1/n is a Python division — mirror the oracle's empty
+        # result instead of ZeroDivisionError, schema-stable
+        return n.select(
+            F.col("n_nationkey").alias("node"), F.lit(0.0).alias("rank")
+        )
     nodes = n.select(F.col("n_nationkey").alias("node"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(3):
@@ -660,7 +667,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # a NULL embedding is un-projectable (r9 edge batch, nullmix mode:
+    # None cells would break the np.stack in every Arrow batch)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
     dim = 64
 
     def gram_partials(batches):
@@ -692,6 +705,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     row = agg.collect()[0]
+    if not row["n"]:
+        # empty corpus (r9 edge batch, class-3 guard): the global agg's
+        # one row carries NULL totals — no moments to decompose, return
+        # the schema-stable empty projection instead of None arithmetic
+        return spark.createDataFrame(
+            [], "vec_id long, pc1 double, pc2 double, pc3 double, pc4 double"
+        )
     n_rows, s = row["n"], np.array(row["s"])
     G = np.zeros(dim * dim)
     for r in gsum:

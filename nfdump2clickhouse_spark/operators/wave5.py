@@ -47,25 +47,44 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     table's numeric measures — the feature-redundancy screen run before
     training-set assembly.
 
-    ONE scan computes all C(4,2) pairs as parallel `corr` aggregates
+    ONE scan computes all C(4,2) pairs as parallel co-moment aggregates
     (each is a 5-accumulator algebraic agg → map-side partial, one
     1-row exchange); the matrix is then unpivoted driver-free with
     `stack`. At 100 TB this stays a single pass over the corpus —
-    the naive per-pair loop would be 6 scans."""
+    the naive per-pair loop would be 6 scans.
+
+    Each correlation is `try_divide(covar_samp, sx*sy)` rather than the
+    builtin `F.corr`, which THROWS DIVIDE_BY_ZERO under ANSI when a
+    column is constant where DuckDB's corr returns NULL (r7 edge sweep;
+    the exact rewrite certified in `stats_spearman_corr`). The n>0
+    filter mirrors the oracle's GROUP BY over a cross join with the
+    empty fact table, which yields zero groups — a global Spark agg
+    always emits its one row, so on a zero-row scan the stack output
+    is dropped identically."""
     li = table(spark, sf_dir, "lineitem")
     pairs = [
         (x, y) for i, x in enumerate(_CORR_COLS) for y in _CORR_COLS[i + 1 :]
     ]
     agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            (F.round(F.corr(x, y), 4) + F.lit(0)).alias(f"c{i}")
+            (
+                F.round(
+                    F.try_divide(
+                        F.covar_samp(x, y),
+                        F.stddev_samp(x) * F.stddev_samp(y),
+                    ),
+                    4,
+                )
+                + F.lit(0)
+            ).alias(f"c{i}")
             for i, (x, y) in enumerate(pairs)
-        ]
+        ],
     )
     stack = ", ".join(
         f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(pairs)
     )
-    return agg.select(
+    return agg.where(F.col("n") > 0).select(
         F.expr(f"stack({len(pairs)}, {stack}) AS (x, y, r)")
     )
 

@@ -75,9 +75,14 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            ROUND(n_ref * 1.0 / tr, 6) AS p_ref,
            ROUND(n_cur * 1.0 / tc, 6) AS p_cur,
-           ROUND((n_cur * 1.0 / tc - n_ref * 1.0 / tr)
-                 * ln((n_cur * 1.0 / tc) / (n_ref * 1.0 / tr)) * 10000, 4) + 0
-             AS psi_term_e4
+           -- one-sided cell: ln of a zero ratio ERRORS in DuckDB where
+           -- Spark ln(0) is NULL; the PSI term is undefined there, NULL
+           -- on both engines (r9 edge batch)
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE ROUND((n_cur * 1.0 / tc - n_ref * 1.0 / tr)
+                     * ln((n_cur * 1.0 / tc) / (n_ref * 1.0 / tr))
+                     * 10000, 4) + 0
+           END AS psi_term_e4
     FROM c, t
     """,
 )
@@ -119,15 +124,22 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ref").over(wt).alias("tr"),
         F.sum("n_cur").over(wt).alias("tc"),
     )
-    pr = F.col("n_ref") / F.col("tr")
-    pc = F.col("n_cur") / F.col("tc")
+    # degenerate parity (r9 edge batch): try_divide — an empty half
+    # (tr or tc = 0, one-row fixture) threw ANSI DIVIDE_BY_ZERO where
+    # DuckDB yields NULL. For a one-sided CELL, F.log of the zero (or
+    # NULL) ratio is NULL, matching the oracle's explicit CASE around
+    # DuckDB's erroring ln(0); real-SF cells are two-sided, so both are
+    # semantic no-ops.
+    pr = F.try_divide(F.col("n_ref"), F.col("tr"))
+    pc = F.try_divide(F.col("n_cur"), F.col("tc"))
     return c.select(
         "bucket",
         F.round(pr, 6).alias("p_ref"),
         F.round(pc, 6).alias("p_cur"),
-        (F.round((pc - pr) * F.log(pc / pr) * 10_000, 4) + F.lit(0)).alias(
-            "psi_term_e4"
-        ),
+        (
+            F.round((pc - pr) * F.log(F.try_divide(pc, pr)) * 10_000, 4)
+            + F.lit(0)
+        ).alias("psi_term_e4"),
     )
 
 

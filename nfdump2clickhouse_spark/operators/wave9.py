@@ -142,7 +142,10 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observe_metrics",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           CAST(count_if(value > 500) AS BIGINT) AS n_big,
+           -- COALESCE: DuckDB count_if over zero rows is NULL where
+           -- Spark's is 0 — a count of an empty table is truthfully 0
+           -- (r7 class-2 convention, applied r9 per SURVEY §17.1)
+           CAST(COALESCE(count_if(value > 500), 0) AS BIGINT) AS n_big,
            ROUND(SUM(value), 2) AS total_value
     FROM events
     """,

@@ -79,6 +79,35 @@ FIXED_KEYS = [
     # const-mode finds (zero variance with n>1)
     "sample_neyman_allocation",
     "stats_spearman_corr",
+    # --- r9: the SURVEY §17.1 certified-key fix batch (the 22 keys the
+    # r7/r8 sweeps flagged while driver-certified, fixed at the START of
+    # the r9 window as dated; each requeues as tier-1 stale-pass) ---
+    # class-1/2 mechanical (try_divide / COALESCE count_if / power-sum
+    # + min<>max gate / two-sided validity gates)
+    "stats_corr_matrix",
+    "events_cuped_adjust",
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "drift_psi",
+    "agg_cramers_v",
+    "stats_anova_f",
+    "stats_hill_tail_index",
+    "observe_metrics",
+    "data_quality_rules",
+    "agg_stddev_var",
+    "stats_benjamini_hochberg",
+    "ml_eval_regression",
+    "agg_skew_kurt",
+    # class-3/4 guards (None-total early returns, empty-write guard,
+    # empty-codebook seed paths)
+    "emb_pca_project",
+    "emb_whitening",
+    "graph_pagerank",
+    "multimodal_binary",
+    "ann_ivf_probe",
+    "ann_ivfpq_search",
+    "ann_recall_report",
+    "sample_kcenter_coreset",
 ]
 
 # keys whose CONST (16 identical rows) behavior is a documented fixture
@@ -91,6 +120,11 @@ CONST_EXEMPT = {
     # stats_jarque_bera left this list in r8: the exact min<>max
     # constancy gate (two-sided) removes the zero-variance row on both
     # engines instead of comparing amplified cancellation noise.
+    "graph_pagerank": (
+        "class 6: const duplicates n_nationkey, so the oracle's "
+        "GROUP BY collapses to 1 node where the engine's node frame "
+        "keeps 16 — constk (unique keys) is clean"
+    ),
 }
 
 
@@ -125,6 +159,48 @@ def test_degenerate_input_parity(key, spark, degenerate_dir, degenerate_ddb):
         return  # rows-only contract: engine totality is the pin
     opdf = degenerate_ddb.execute(spec.oracle).df()
     compare_frames(pdf, opdf, key)
+
+
+GROUPING_SETS_KEYS = [
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_grouping_id",
+]
+
+
+@pytest.mark.parametrize("key", GROUPING_SETS_KEYS)
+def test_grouping_sets_empty_contract(key, spark, tmp_path):
+    """SURVEY §5.5 #10 (decided r9): over EMPTY input this engine SHIPS
+    Spark-native grouping-sets semantics — ZERO rows — while
+    SQL-standard (and DuckDB) emits the `()` grand-total row. The
+    divergence is a pinned behavior contract, not a silent gap: if
+    either engine changes (a Spark release adopting the standard, a
+    DuckDB release dropping it), this pin fails and the decision is
+    revisited. The oracles stay untouched (no requeue burned on a
+    semantics note)."""
+    d = build_fixture("empty")
+    try:
+        spec = SPECS[key]
+        engine_rows = spec.fn(spark, d).count()
+        con = duckdb.connect()
+        pin_float_semantics(con)
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        oracle_rows = len(con.execute(spec.oracle).df())
+        assert engine_rows == 0, (
+            f"{key}: Spark-native contract is zero rows over empty input"
+        )
+        assert oracle_rows >= 1, (
+            f"{key}: DuckDB stopped emitting the SQL-standard grand-total "
+            "row over empty input — the §5.5 #10 divergence is gone; "
+            "revisit the decision (the oracle-side gap may now close free)"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_distance_histogram_identical_vectors(spark, tmp_path):
@@ -189,6 +265,22 @@ NULLMIX_FIXED_KEYS = [
     "ts_period_over_period",
     "ts_seasonality_strength",
     "ts_theil_sen",
+    # --- r9: §17.1 batch keys that were ALSO nullmix-flagged get both
+    # conventions in the same edit (§17.1(a): one requeue, both fixes)
+    "agg_cramers_v",
+    "agg_skew_kurt",
+    "ann_ivf_probe",
+    "ann_ivfpq_search",
+    "ann_recall_report",
+    "data_quality_rules",
+    "drift_psi",
+    "emb_pca_project",
+    "emb_whitening",
+    "events_cuped_adjust",
+    "sample_kcenter_coreset",
+    "stats_hill_tail_index",
+    "stats_ks_test",
+    "stats_mann_whitney",
 ]
 
 
