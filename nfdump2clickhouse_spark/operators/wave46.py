@@ -197,8 +197,14 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily CROSS JOIN sizes
     ),
     stats AS (
+      -- HUGEINT squares: daily cents grow with corpus volume and the
+      -- BIGINT product overflows ~32x beyond sf0.1 (r9 scale probe);
+      -- exact wide-integer sums, one double conversion at the division
+      -- (the stats_anova_f discipline)
       SELECT sz, chunk, COUNT(*) AS n, AVG(rev) AS mu,
-             SQRT((SUM(rev * rev) - SUM(rev) * SUM(rev) * 1.0 / COUNT(*))
+             SQRT((SUM(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT))
+                   - CAST(SUM(rev) AS HUGEINT) * CAST(SUM(rev) AS HUGEINT)
+                     * 1.0 / COUNT(*))
                   / COUNT(*)) AS s
       FROM chunked GROUP BY sz, chunk
     ),
@@ -256,12 +262,21 @@ def agg_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = daily.crossJoin(F.broadcast(sizes)).select(
         "sz", (F.col("i") / F.col("sz")).cast("int").alias("chunk"), "i", "rev"
     )
+    # decimal(19,0) squares (exact in decimal38): daily cents grow with
+    # corpus volume and the BIGINT product overflows ~32x beyond sf0.1
+    # (r9 scale probe, ARITHMETIC_OVERFLOW under ANSI); exact integer
+    # sums until the one double conversion at the division — the
+    # stats_anova_f discipline, mirrored HUGEINT-side in the oracle
+    r19 = F.col("rev").cast("decimal(19,0)")
     stats = chunked.groupBy("sz", "chunk").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("rev").alias("mu"),
         F.sqrt(
-            (F.sum(F.col("rev") * F.col("rev"))
-             - F.sum("rev") * F.sum("rev") * 1.0 / F.count(F.lit(1)))
+            (F.sum(r19 * r19)
+             - F.sum("rev").cast("decimal(19,0)")
+               * F.sum("rev").cast("decimal(19,0)")
+               * 1.0
+               / F.count(F.lit(1)))
             / F.count(F.lit(1))
         ).alias("s"),
     )

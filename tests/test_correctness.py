@@ -6589,6 +6589,49 @@ def test_hurst_matches_numpy_rs(spark, sf_dir):
     assert 0 < row.hurst < 1.2
 
 
+def test_hurst_survives_large_daily_revenue(spark, tmp_path):
+    """Overflow regression pin (r9 32x probe find): daily revenue cents
+    near 5e9 square past int64 — the original BIGINT power sum raised
+    ARITHMETIC_OVERFLOW on the engine and the oracle's BIGINT product
+    carried the same cliff. The decimal19/HUGEINT rewrite must run AND
+    hash-match at this magnitude (≈ sf3-scale daily volume)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 60 * 400  # 60 days x 400 events/day
+    days = np.repeat(np.arange(60), 400)
+    ts = (np.datetime64("2024-01-01") + days.astype("timedelta64[D]")).astype(
+        "datetime64[us]"
+    ) + np.arange(n).astype("timedelta64[us]")
+    # ~1.2e5 cents/event x 400/day ≈ 5e9 cents/day: rev*rev ≈ 2.5e19 > 2^63
+    value = rng.uniform(1.0e3, 1.4e3, n)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(np.arange(n) % 97, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "ts": pa.array(ts),
+                "value": pa.array(value, pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    spec = SPECS["agg_hurst_exponent"]
+    pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    pin_float_semantics(con)
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    compare_frames(pdf, con.execute(spec.oracle).df(), "hurst[large-rev]")
+    assert pdf.n_days.iloc[0] == 60 and 0 < pdf.hurst.iloc[0] < 1.2
+
+
 def test_overlap_duration_pandas(spark, sf_dir):
     """Pandas replication of the closed-form overlap; overlap_hours is
     bounded by 4h x n_overlapping (two 2h windows)."""
