@@ -297,7 +297,11 @@ def ml_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     m AS (
-      SELECT event_type, COUNT(*) AS nd, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+      -- HUGEINT squares: daily counts grow with corpus volume and the
+      -- BIGINT product crosses int64 near 3e9 events/day — ~100 TB flow
+      -- volume (the r9 agg_hurst_exponent find, same class)
+      SELECT event_type, COUNT(*) AS nd, SUM(cnt) AS s,
+             SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS ss
       FROM daily GROUP BY event_type
     ),
     z AS (
@@ -350,7 +354,14 @@ def ts_cusum_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nd"),
         F.sum("cnt").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        # decimal(19,0) squares (r9, the agg_hurst_exponent class): the
+        # BIGINT product crosses int64 near 3e9 events/day — ~100 TB
+        # flow volume; HUGEINT-mirrored in the oracle, one double
+        # conversion at the subtraction as before
+        F.sum(
+            F.col("cnt").cast("decimal(19,0)")
+            * F.col("cnt").cast("decimal(19,0)")
+        ).alias("ss"),
     )
     nd, s, ss = F.col("nd"), F.col("s"), F.col("ss")
     z = daily.join(F.broadcast(m), "event_type").select(

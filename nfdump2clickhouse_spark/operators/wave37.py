@@ -223,10 +223,21 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.avg("rev").alias("mu"),
-            F.sum(F.col("rev") * F.col("rev")).alias("ss"),
+            # decimal(19,0) squares: daily cents grow with corpus volume
+            # and the BIGINT product crosses int64 near 3e9 cents/day —
+            # ~100 TB flow volume (the r9 agg_hurst_exponent find, same
+            # class); sums stay exact in decimal38, Python receives
+            # Decimal and the float conversion happens once below
+            F.sum(
+                F.col("rev").cast("decimal(19,0)")
+                * F.col("rev").cast("decimal(19,0)")
+            ).alias("ss"),
             F.count(F.lit(1)).alias("n"),
             *[
-                F.sum(F.col("rev") * F.col(f"l{k}")).alias(f"s{k}")
+                F.sum(
+                    F.col("rev").cast("decimal(19,0)")
+                    * F.col(f"l{k}").cast("decimal(19,0)")
+                ).alias(f"s{k}")
                 for k in range(1, 8)
             ],
             *[F.count(F.col(f"l{k}")).alias(f"c{k}") for k in range(1, 8)],
@@ -245,7 +256,9 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair and a constant series has zero variance — PACF undefined,
     # empty result; lags beyond n-1 have no overlap and are not emitted
     max_lag = min(7, (n or 0) - 1)
-    var = (rows["ss"] / n - mu * mu) if n else 0.0
+    # the decimal sums arrive as Decimal — one float conversion here
+    # (the statistic is float from this point on either way)
+    var = (float(rows["ss"]) / n - mu * mu) if n else 0.0
     if max_lag < 1 or var <= 0:
         return spark.createDataFrame(
             [], "lag int, n_days long, acf double, pacf double"
@@ -254,7 +267,7 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, max_lag + 1):
         # standard ACF estimator: 1/n Σ (x_t-μ)(x_{t-k}-μ) / var
         cov = (
-            rows[f"s{k}"] - mu * rows[f"sl{k}"] - mu * rows[f"sr{k}"]
+            float(rows[f"s{k}"]) - mu * rows[f"sl{k}"] - mu * rows[f"sr{k}"]
             + rows[f"c{k}"] * mu * mu
         ) / n
         acf.append(cov / var)

@@ -6632,6 +6632,41 @@ def test_hurst_survives_large_daily_revenue(spark, tmp_path):
     assert pdf.n_days.iloc[0] == 60 and 0 < pdf.hurst.iloc[0] < 1.2
 
 
+def test_pacf_and_cusum_survive_large_daily_volume(spark, tmp_path):
+    """Same int64-square class as the hurst pin (r9 32x probe find):
+    ts_pacf's lag-product sums and ts_cusum_anomaly's count-square sums
+    must survive daily magnitudes whose BIGINT squares cross int64 —
+    values scaled so daily cents ~1e14 (squares ~1e28)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    idx = ev.schema.get_field_index("value")
+    ev = ev.set_column(
+        idx, ev.schema.field("value"),
+        pc.multiply(ev.column("value"), pa.scalar(1e6)),
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    # pacf (rows-only): must run, 7 lags, sane band
+    pdf = SPECS["ts_pacf"].fn(spark, str(tmp_path)).toPandas()
+    assert len(pdf) == 7 and pdf.acf.abs().max() <= 1.0 + 1e-9
+    # cusum (hash): must still hash-match DuckDB at this magnitude
+    con = duckdb.connect()
+    pin_float_semantics(con)
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    spec = SPECS["ts_cusum_anomaly"]
+    compare_frames(
+        spec.fn(spark, str(tmp_path)).toPandas(),
+        con.execute(spec.oracle).df(),
+        "cusum[large-volume]",
+    )
+
+
 def test_overlap_duration_pandas(spark, sf_dir):
     """Pandas replication of the closed-form overlap; overlap_hours is
     bounded by 4h x n_overlapping (two 2h windows)."""
