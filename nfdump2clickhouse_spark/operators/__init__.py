@@ -111,6 +111,9 @@ from . import wave51  # noqa: F401  (r5: average precision, Friedman,
 #   Durbin-Watson, repeat purchase, multi-measure unpivot)
 from . import wave52  # noqa: F401  (r5: Tukey fences, MASE, one-sample t,
 #   embedding anisotropy, lateral aliases)
+from . import wave53  # noqa: F401  (r10: the §17.2 growth key —
+#   nfdump extended filter primaries end-to-end; cheap hash key, so it
+#   rides mid-list ahead of the stream_*/scans expensive tail)
 from . import wave21  # noqa: F401  (r5: nfdump on-disk nffile-v2 decode +
 #   its STREAMING source — hosts a stream_* lifecycle demo, so it rides
 #   the expensive tail; RULE for future waves: any module registering a

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 
 from ..catalog import table
 from ..registry import register
@@ -647,12 +648,17 @@ def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_skew_kurt",
     oracle="""
-    WITH m AS (
-      SELECT event_type, COUNT(*) AS n, AVG(value) AS mu,
-             SUM(value) AS s1, SUM(value * value) AS s2,
-             SUM(value * value * value) AS s3,
-             SUM(value * value * value * value) AS s4
-      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    WITH s AS (
+      SELECT event_type, value,
+             value - MIN(value) OVER (PARTITION BY event_type) AS w
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, AVG(w) AS mu,
+             SUM(w) AS s1, SUM(w * w) AS s2,
+             SUM(w * w * w) AS s3,
+             SUM(w * w * w * w) AS s4
+      FROM s GROUP BY event_type
       HAVING MIN(value) <> MAX(value)
     ),
     c AS (
@@ -687,13 +693,26 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance). Constant groups are gated out two-sided with the EXACT
     predicate min(value) <> max(value) (S/K undefined there); n ≤ 3
     zeroes a correction denominator, where DuckDB /0 is NULL and the
-    engine try_divides. Both are no-ops at real SFs."""
+    engine try_divides. Both are no-ops at real SFs.
+
+    r10 (ADVICE r9 low): the power sums run over values SHIFTED by the
+    per-group min — central moments are shift-invariant, so the result
+    is identical, but the |mu| >> sigma cancellation that loses
+    ~(mu/sigma)^k significant digits in m2..m4 is bounded by the data
+    RANGE instead of its location. Both engines shift via the same
+    partitioned-window MIN, so expressions stay mirrored; Spark's
+    groupBy reuses the window's hash partitioning (one exchange
+    total)."""
     ev = (
         table(spark, sf_dir, "events")
         .select("event_type", "value")
         .filter(F.col("value").isNotNull())
     )
-    v = F.col("value")
+    pivot = F.min("value").over(
+        W.partitionBy("event_type")
+    )
+    ev = ev.withColumn("w", F.col("value") - pivot)
+    v = F.col("w")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(v).alias("mu"),

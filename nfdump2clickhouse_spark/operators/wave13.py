@@ -271,9 +271,12 @@ def flows_beaconing_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT t.n0, t.n1,
-           CAST(MAX(ABS(c0 * t.n1 - c1 * t.n0)) AS BIGINT) AS max_diff,
-           CAST((2 * MAX(ABS(c0 * t.n1 - c1 * t.n0)) * 1000000
-                 + t.n0 * t.n1) // (2 * t.n0 * t.n1) AS BIGINT) AS ks_e6
+           CAST(MAX(ABS(CAST(c0 AS HUGEINT) * t.n1
+                        - CAST(c1 AS HUGEINT) * t.n0)) AS BIGINT) AS max_diff,
+           CAST((2 * MAX(ABS(CAST(c0 AS HUGEINT) * t.n1
+                             - CAST(c1 AS HUGEINT) * t.n0)) * 1000000
+                 + CAST(t.n0 AS HUGEINT) * t.n1)
+                // (2 * CAST(t.n0 AS HUGEINT) * t.n1) AS BIGINT) AS ks_e6
     FROM c, t GROUP BY t.n0, t.n1
     """,
 )
@@ -326,25 +329,37 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n0/n1 are driver ints, so the degenerate guards are plain Python:
     # one-group-empty → DuckDB `// 0` is NULL; empty sample → the
     # oracle's cross join with the empty CDF CTE emits zero rows.
+    # r10 (ADVICE r9 low, the r9 hurst/pacf/cusum convention): the
+    # cumulative products and the 2·D·1e6 scaled numerator run in
+    # decimal(38,0) engine-side / HUGEINT oracle-side — max_diff can
+    # approach n0·n1, so the old BIGINT literal product cliffed at
+    # max_diff ≈ 4.6e12 (~4e6 rows) on BOTH engines. n0·n1 is folded
+    # exactly in Python and interpolated as a BD literal. The final
+    # casts stay BIGINT (ks_e6 ≤ 1e6 by construction; max_diff is
+    # representable while n0·n1 < 2^63, documented bound).
+    prod = n0 * n1  # exact Python int, immune to int64
     ks_e6 = (
         F.expr(
-            f"CAST((2 * max_diff * 1000000 + {n0}L * {n1}L) DIV"
-            f" (2 * {n0}L * {n1}L) AS BIGINT)"
+            f"CAST((2 * max_diff_d * 1000000 + {prod}BD) DIV"
+            f" (2 * {prod}BD) AS BIGINT)"
         )
-        if n0 * n1 > 0
+        if prod > 0
         else F.lit(None).cast("bigint")
     )
     return (
         c.agg(
-            F.max(F.abs(F.col("c0") * n1l - F.col("c1") * n0l))
-            .cast("bigint")
-            .alias("max_diff")
+            F.max(
+                F.abs(
+                    F.col("c0").cast("decimal(38,0)") * n1l
+                    - F.col("c1").cast("decimal(38,0)") * n0l
+                )
+            ).alias("max_diff_d")
         )
         .where(F.lit(n0 + n1) > 0)
         .select(
             n0l.alias("n0"),
             n1l.alias("n1"),
-            "max_diff",
+            F.col("max_diff_d").cast("bigint").alias("max_diff"),
             ks_e6.alias("ks_e6"),
         )
     )

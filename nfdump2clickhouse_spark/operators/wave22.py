@@ -245,24 +245,29 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (  -- 2x-scaled average rank per distinct value:
             -- R2 = 2*(count strictly below) + (tie size) + 1
-      SELECT CAST(SUM(CAST(d0 AS HUGEINT)
-                      * (2 * (c0 + c1 - d0 - d1) + (d0 + d1) + 1))
-                  AS BIGINT)                          AS r0_2x,
-             CAST(SUM(CAST(d0 + d1 AS HUGEINT) * (d0 + d1) * (d0 + d1)
-                      - (d0 + d1)) AS BIGINT)         AS tie_cubes
+      SELECT SUM(CAST(d0 AS HUGEINT)
+                 * (2 * (c0 + c1 - d0 - d1) + (d0 + d1) + 1)) AS r0_2x_h,
+             SUM(CAST(d0 + d1 AS HUGEINT) * (d0 + d1) * (d0 + d1)
+                 - (d0 + d1))                                 AS tie_cubes_h
       FROM c
+    ),
+    u AS (
+      SELECT t.n0, t.n1,
+             r.r0_2x_h - CAST(t.n0 AS HUGEINT) * (t.n0 + 1) AS u0_h,
+             r.tie_cubes_h
+      FROM t, r
     )
-    SELECT t.n0, t.n1,
-           r.r0_2x - t.n0 * (t.n0 + 1)               AS u0_2x,
-           r.tie_cubes,
-           ROUND((CAST(r.r0_2x - t.n0 * (t.n0 + 1) AS DOUBLE)
-                  - CAST(t.n0 AS DOUBLE) * t.n1)
-                 / (2.0 * sqrt((CAST(t.n0 AS DOUBLE) * t.n1 / 12.0)
-                    * ((t.n0 + t.n1 + 1)
-                       - CAST(r.tie_cubes AS DOUBLE)
-                         / (CAST(t.n0 + t.n1 AS DOUBLE)
-                            * (t.n0 + t.n1 - 1.0))))), 4) AS z
-    FROM t, r
+    SELECT n0, n1,
+           CAST(u0_h AS BIGINT)        AS u0_2x,
+           CAST(tie_cubes_h AS BIGINT) AS tie_cubes,
+           ROUND((CAST(u0_h AS DOUBLE)
+                  - CAST(n0 AS DOUBLE) * n1)
+                 / (2.0 * sqrt((CAST(n0 AS DOUBLE) * n1 / 12.0)
+                    * ((n0 + n1 + 1)
+                       - CAST(tie_cubes_h AS DOUBLE)
+                         / (CAST(n0 + n1 AS DOUBLE)
+                            * (n0 + n1 - 1.0))))), 4) AS z
+    FROM u
     """,
 )
 def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,13 +332,19 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("d0") + F.col("d1"))
         ).alias("tterm"),
     ).agg(
-        F.sum("rterm").cast("bigint").alias("r0_2x"),
-        F.sum("tterm").cast("bigint").alias("tie_cubes"),
+        F.sum("rterm").alias("r0_2x_d"),
+        F.sum("tterm").alias("tie_cubes_d"),
     )
     # constants folded in PYTHON (exact bigints): n0*(n0+1) overflows an
     # int32 literal product at sf0.1 under ANSI mode (caught by the
-    # triple-SF rehearsal; the sf0.01 value squeaks under 2^31)
-    u0 = F.col("r0_2x") - F.lit(n0 * (n0 + 1)).cast("bigint")
+    # triple-SF rehearsal; the sf0.01 value squeaks under 2^31).
+    # r10 (ADVICE r9 low, the hurst convention): the rank sums STAY in
+    # decimal(38,0)/HUGEINT through the U subtraction — tie_cubes grows
+    # as N³ with a dominant tie, so the old intermediate BIGINT cast
+    # cliffed near N ≈ 2e6 on both engines; n0(n0+1) interpolates as an
+    # exact BD literal. Final output casts remain BIGINT (documented
+    # representability bound, the `stats_ks_test` contract).
+    u0 = F.col("r0_2x_d") - F.expr(f"{n0 * (n0 + 1)}BD")
     # empty sample: the oracle's aggregate CTEs cross-join to ONE
     # all-NULL row; n0/n1 are driver ints, so the literal goes NULL
     null_if_empty = lambda v: (  # noqa: E731
@@ -343,7 +354,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_if_empty(n0).alias("n0"),
         null_if_empty(n1).alias("n1"),
         u0.cast("bigint").alias("u0_2x"),
-        "tie_cubes",
+        F.col("tie_cubes_d").cast("bigint").alias("tie_cubes"),
         F.round(
             F.try_divide(
                 u0.cast("double") - F.lit(float(n0)) * n1,
@@ -353,7 +364,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (
                         F.lit(n + 1)
                         - F.try_divide(
-                            F.col("tie_cubes").cast("double"),
+                            F.col("tie_cubes_d").cast("double"),
                             F.lit(float(n)) * (n - 1.0),
                         )
                     )

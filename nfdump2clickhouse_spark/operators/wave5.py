@@ -56,30 +56,28 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each correlation is `try_divide(covar_samp, sx*sy)` rather than the
     builtin `F.corr`, which THROWS DIVIDE_BY_ZERO under ANSI when a
     column is constant where DuckDB's corr returns NULL (r7 edge sweep;
-    the exact rewrite certified in `stats_spearman_corr`). The n>0
-    filter mirrors the oracle's GROUP BY over a cross join with the
-    empty fact table, which yields zero groups — a global Spark agg
-    always emits its one row, so on a zero-row scan the stack output
-    is dropped identically."""
+    the exact rewrite certified in `stats_spearman_corr`). Each stddev
+    conditions on the PARTNER column being non-null so all moments run
+    over the same pairwise-complete set DuckDB's corr uses — identical
+    to the plain stddev when NULLs are absent, divergent exactly when
+    x/y NULLs don't coincide (ADVICE r9 medium; the `agg_stddev_var`
+    convention). The n>0 filter mirrors the oracle's GROUP BY over a
+    cross join with the empty fact table, which yields zero groups — a
+    global Spark agg always emits its one row, so on a zero-row scan
+    the stack output is dropped identically."""
     li = table(spark, sf_dir, "lineitem")
     pairs = [
         (x, y) for i, x in enumerate(_CORR_COLS) for y in _CORR_COLS[i + 1 :]
     ]
+
+    def _corr(x: str, y: str):
+        sx = F.stddev_samp(F.when(F.col(y).isNotNull(), F.col(x)))
+        sy = F.stddev_samp(F.when(F.col(x).isNotNull(), F.col(y)))
+        return F.round(F.try_divide(F.covar_samp(x, y), sx * sy), 4) + F.lit(0)
+
     agg = li.agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            (
-                F.round(
-                    F.try_divide(
-                        F.covar_samp(x, y),
-                        F.stddev_samp(x) * F.stddev_samp(y),
-                    ),
-                    4,
-                )
-                + F.lit(0)
-            ).alias(f"c{i}")
-            for i, (x, y) in enumerate(pairs)
-        ],
+        *[_corr(x, y).alias(f"c{i}") for i, (x, y) in enumerate(pairs)],
     )
     stack = ", ".join(
         f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(pairs)

@@ -7624,3 +7624,79 @@ def test_fuzzy_levenshtein_edge_semantics(spark, tmp_path):
         (1, 3, 14),  # exact DP distance survives the rework
         (2, 3, 14),
     ]
+
+
+def test_corr_matrix_pairwise_complete_nulls(spark, tmp_path):
+    """ADVICE r9 medium regression pin: when x and y have NON-coinciding
+    NULLs, DuckDB's corr() computes every moment over the pairwise-
+    complete set (rows where BOTH are non-null). The engine's
+    try_divide(covar, sx*sy) rewrite must condition each stddev on the
+    partner column or it diverges exactly here — the nullmix fixture
+    NULLs all value columns on the same rows, so only this dedicated
+    fixture can catch the gap."""
+    import duckdb
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "l_quantity": None if i % 3 == 0 else float(i % 7 + 1),
+                "l_extendedprice": None if i % 5 == 0 else 100.0 + 13.7 * (i % 11),
+                "l_discount": None if i % 4 == 1 else 0.01 * (i % 9),
+                "l_tax": float(i % 5) * 0.02,
+            }
+        )
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "lineitem.parquet"))
+    spec = SPECS["stats_corr_matrix"]
+    pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    pin_float_semantics(con)
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    compare_frames(pdf, con.execute(spec.oracle).df(), "corr[pairwise-null]")
+
+
+def test_ks_scaled_statistic_survives_large_separated_samples(spark, tmp_path):
+    """ADVICE r9 low regression pin: with the two hash halves fully
+    separated, max_diff == n0*n1, so at 4.6M rows the old BIGINT
+    scaled numerator `2 * max_diff * 1000000` crosses 2^63 (cliff at
+    max_diff ~ 4.61e12) on BOTH engines. The decimal(38,0)/HUGEINT
+    rewrite must run AND hash-match here; `stats_mann_whitney` shares
+    the fixture as a decimal-path parity check (its early cliffs sit
+    at driver-int magnitudes no fixture can reach)."""
+    import duckdb
+
+    n = 4_600_000
+    gen = duckdb.connect()
+    gen.execute(
+        f"""
+        COPY (
+          SELECT i AS l_orderkey,
+                 CAST(1 AS INT) AS l_linenumber,
+                 CAST(1000000.0 * (CAST(('0x' || substr(md5(CAST(i * 10 + 1
+                        AS VARCHAR)), 1, 8)) AS BIGINT) % 2)
+                      + i % 1000 AS DOUBLE) AS l_extendedprice
+          FROM range({n}) t(i)
+        ) TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con = duckdb.connect()
+    pin_float_semantics(con)
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    spec = SPECS["stats_ks_test"]
+    pdf = spec.fn(spark, str(tmp_path)).toPandas()
+    compare_frames(pdf, con.execute(spec.oracle).df(), "ks[large-sep]")
+    # the fixture really does cross the old int64 cliff
+    assert int(pdf.max_diff.iloc[0]) > 4_611_686_018_428  # 2^63 / 2e6
+    mw = SPECS["stats_mann_whitney"]
+    compare_frames(
+        mw.fn(spark, str(tmp_path)).toPandas(),
+        con.execute(mw.oracle).df(),
+        "mw[large-sep]",
+    )

@@ -281,6 +281,13 @@ NULLMIX_FIXED_KEYS = [
     "stats_hill_tail_index",
     "stats_ks_test",
     "stats_mann_whitney",
+    # --- r10: ADVICE r9 medium — pairwise-complete moment conditioning
+    # (the nullmix-class divergence the uniform fixture can't surface;
+    # the dedicated non-coinciding-NULL pin lives in test_correctness)
+    "stats_corr_matrix",
+    # --- r10: the §17.2 growth key ships nullmix-clean from day one
+    # (per-comparison COALESCE mirrored engine/oracle)
+    "filter_nfdump_extended",
 ]
 
 

@@ -418,65 +418,17 @@ def test_ext_schema_grammar_errors(bad):
         compile_filter(bad, extended=True)
 
 
-# --- r10 growth-key dress rehearsal: extended filter end-to-end vs a
-# --- DuckDB oracle on a widened flow table DERIVED from the real
-# --- events parquet (the exact shape `filter_nfdump_extended` will
-# --- register once the §17.2 debt gate opens; SURVEY §20 #2) --------
+# --- extended filter end-to-end vs a DuckDB oracle on the widened
+# --- flow table DERIVED from the real events parquet. Landed r10 as
+# --- the registered key `filter_nfdump_extended` (operators/wave53);
+# --- derivation + case list are imported from the operator module so
+# --- the test and the certified key can never drift apart.
 
-# one widened-flow derivation, written twice: Spark columns and the
-# byte-equivalent DuckDB SQL over the same events parquet
-_EXT_DERIVE_SQL = """
-    SELECT event_id,
-           CAST(64512 + user_id  % 16  AS INT) AS sas,
-           CAST(64512 + event_id % 128 AS INT) AS das,
-           CAST(event_id % 4 * 8 AS INT)       AS stos,
-           CAST(user_id  % 4 * 8 AS INT)       AS dtos,
-           CAST(event_id % 8 AS INT)           AS input,
-           CAST(user_id  % 8 AS INT)           AS output,
-           CAST(event_id % 3 * 64 AS INT)      AS fwd,
-           CASE WHEN event_id % 2 = 0 THEN 'TCP' ELSE 'UDP' END AS pr,
-           CAST(1024 + event_id % 50000 AS INT) AS sp,
-           CAST(CASE event_id % 3 WHEN 0 THEN 443 WHEN 1 THEN 80
-                ELSE 53 END AS INT)             AS dp
-    FROM events
-"""
-
-EXT_E2E_CASES = [
-    # case predicates are chosen CONSISTENT with the derivation's
-    # modular arithmetic (e.g. sas=64512 ⇒ user_id≡0 (mod 16) ⇒
-    # output=0; input is odd ⇔ event_id is odd ⇔ pr='UDP')
-    ("src as 64512 and out if 0", "sas = 64512 AND output = 0"),
-    ("dst tos > 8 or fwdstat 64", "dtos > 8 OR fwd = 64"),
-    ("as 64513", "sas = 64513 OR das = 64513"),
-    ("not as 64513", "NOT (sas = 64513 OR das = 64513)"),
-    ("in if 4 and proto tcp", "input = 4 AND pr = 'TCP'"),
-    ("if 3", "input = 3 OR output = 3"),
-    ("tos 16 and dst port 443", "stos = 16 AND dp = 443"),
-    ("fwdstat > 0 and not out if 7", "fwd > 0 AND NOT output = 7"),
-]
-
-
-def _ext_flows_from_events(spark, sf_dir):
-    from nfdump2clickhouse_spark.catalog import table as _table
-
-    e = _table(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        (F.lit(64512) + F.col("user_id") % 16).cast("int").alias("sas"),
-        (F.lit(64512) + F.col("event_id") % 128).cast("int").alias("das"),
-        (F.col("event_id") % 4 * 8).cast("int").alias("stos"),
-        (F.col("user_id") % 4 * 8).cast("int").alias("dtos"),
-        (F.col("event_id") % 8).cast("int").alias("input"),
-        (F.col("user_id") % 8).cast("int").alias("output"),
-        (F.col("event_id") % 3 * 64).cast("int").alias("fwd"),
-        F.when(F.col("event_id") % 2 == 0, "TCP").otherwise("UDP").alias("pr"),
-        (F.lit(1024) + F.col("event_id") % 50000).cast("int").alias("sp"),
-        F.when(F.col("event_id") % 3 == 0, 443)
-        .when(F.col("event_id") % 3 == 1, 80)
-        .otherwise(53)
-        .cast("int")
-        .alias("dp"),
-    )
+from nfdump2clickhouse_spark.operators.wave53 import (  # noqa: E402
+    EXT_CASES as EXT_E2E_CASES,
+    EXT_DERIVE_SQL as _EXT_DERIVE_SQL,
+    ext_flows_from_events as _ext_flows_from_events,
+)
 
 
 @pytest.mark.parametrize(
