@@ -1684,12 +1684,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (
       SELECT CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n,
-             CAST(SUM(np * (2 * cneg_lt + nn)) AS BIGINT) AS s2  -- 2*P*N*AUC
+             SUM(CAST(np AS HUGEINT) * (2 * cneg_lt + nn)) AS s2  -- 2*P*N*AUC
       FROM c
     )
     SELECT p AS n_pos, n AS n_neg,
-           CAST((2 * 1000000 * s2 + 2 * p * n) // (2 * 2 * p * n) AS BIGINT)
-             AS auc_e6
+           CAST(CASE WHEN p = 0 OR n = 0 THEN NULL ELSE
+             (2 * 1000000 * s2 + 2 * (CAST(p AS HUGEINT) * n))
+             // (2 * 2 * (CAST(p AS HUGEINT) * n)) END AS BIGINT) AS auc_e6
     FROM t
     """,
 )
@@ -1726,18 +1727,26 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.agg(
         F.sum("np").cast("bigint").alias("p"),
         F.sum("nn").cast("bigint").alias("n"),
-        F.sum(F.col("np") * (2 * F.col("cneg_lt") + F.col("nn")))
-        .cast("bigint")
-        .alias("s2"),
+        # decimal(38,0)/HUGEINT rank sum (r10 class audit, the r9 hurst
+        # convention): s2 ≈ 2·P·N, so the old BIGINT sum plus the
+        # 2e6-scaled numerator crossed int64 past P·N ≈ 2.3e12
+        # (~3e6 balanced rows) on both engines; auc_e6 ≤ 1e6 stays
+        # BIGINT at the output
+        F.sum(
+            F.col("np").cast("decimal(38,0)")
+            * (2 * F.col("cneg_lt") + F.col("nn"))
+        ).alias("s2"),
     )
     return t.select(
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
         F.expr(
-            # one-class corpus (P or N zero): AUC undefined -> NULL, the
-            # value DuckDB's `//` yields on a zero divisor (r7 edge sweep)
-            "CAST(CASE WHEN p * n = 0 THEN NULL ELSE"
-            " (2 * 1000000 * s2 + 2 * p * n) DIV (2 * 2 * p * n) END AS BIGINT)"
+            # one-class corpus (P or N zero): AUC undefined -> NULL
+            # (r7 edge sweep); the p=0/n=0 guard avoids forming the
+            # product at all
+            "CAST(CASE WHEN p = 0 OR n = 0 THEN NULL ELSE"
+            " (2 * 1000000 * s2 + 2 * (CAST(p AS DECIMAL(38,0)) * n))"
+            " DIV (2 * 2 * (CAST(p AS DECIMAL(38,0)) * n)) END AS BIGINT)"
         ).alias("auc_e6"),
     )
 

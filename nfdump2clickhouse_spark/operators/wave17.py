@@ -184,7 +184,7 @@ def sample_repeat_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT DISTINCT event_type, user_id,
              (user_id * {_MULT}) % 4294967296 % 2 AS arm
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     m AS (
       SELECT event_type,
@@ -192,9 +192,10 @@ def sample_repeat_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a GROUP BY event_type
     )
     SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-           CAST((na - nb) * (na - nb) * 1000000 // (na + nb) AS BIGINT)
-             AS chi2_e6,
-           (na - nb) * (na - nb) * 1000000 // (na + nb) > 3841459 AS srm_flag
+           CAST(CAST(na - nb AS HUGEINT) * (na - nb) * 1000000 // (na + nb)
+                AS BIGINT) AS chi2_e6,
+           CAST(na - nb AS HUGEINT) * (na - nb) * 1000000 // (na + nb)
+             > 3841459 AS srm_flag
     FROM m
     """,
 )
@@ -211,10 +212,20 @@ def stats_chi2_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag hash-exact.
 
     Scale shape: one distinct + one agg on (event_type, user) — the
-    distinct and the count ride the same exchange."""
+    distinct and the count ride the same exchange. The χ² numerator
+    (na−nb)²·1e6 runs decimal(38,0)/HUGEINT (r10 class audit, the r9
+    hurst convention): a GROSS mismatch — one arm empty, the exact
+    case this gate exists to flag — makes (na−nb)² ≈ n², which crossed
+    int64 past |na−nb| ≈ 3.03e6 users on both engines. chi2_e6 output
+    stays BIGINT (≤ 1e6·n, representable to ~9e12 users)."""
     e = table(spark, sf_dir, "events")
+    # a NULL user has no arm (nullmix fold, §17.1(b)): filtered
+    # two-sided — otherwise the NULL arm's group divides by na+nb=0
+    # (DuckDB `//0` NULL, ANSI threw) and Spark's NULL-equal distinct
+    # counts a "user" DuckDB's count_if never sees
     a = (
-        e.select(
+        e.filter(F.col("user_id").isNotNull())
+        .select(
             "event_type",
             "user_id",
             ((F.col("user_id") * F.lit(_MULT)) % F.lit(4294967296) % 2).alias(
@@ -227,7 +238,9 @@ def stats_chi2_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("arm") == 0).cast("bigint").alias("na"),
         F.count_if(F.col("arm") == 1).cast("bigint").alias("nb"),
     )
-    chi2 = F.expr("(na - nb) * (na - nb) * 1000000 DIV (na + nb)")
+    chi2 = F.expr(
+        "CAST(na - nb AS DECIMAL(38,0)) * (na - nb) * 1000000 DIV (na + nb)"
+    )
     return m.select(
         "event_type",
         "na",

@@ -192,6 +192,7 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH baskets AS (
       SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ),
     nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM baskets),
     singles AS (
@@ -207,8 +208,8 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.n_both AS BIGINT) AS n_both,
            CAST(p.n_both * 1000000 // nu.n_users AS BIGINT) AS support_e6,
            CAST(p.n_both * 1000000 // sa.n AS BIGINT) AS confidence_e6,
-           CAST(p.n_both * nu.n_users * 1000000 // (sa.n * sc.n) AS BIGINT)
-             AS lift_e6
+           CAST(CAST(p.n_both AS HUGEINT) * nu.n_users * 1000000
+                // (CAST(sa.n AS HUGEINT) * sc.n) AS BIGINT) AS lift_e6
     FROM pairs p
     JOIN singles sa ON sa.event_type = p.ante
     JOIN singles sc ON sc.event_type = p.cons
@@ -233,8 +234,18 @@ def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     # three consumers (user total, singles, per-user sets) — checkpoint
     # the basket distinct so it shuffles once
+    # a NULL user owns no basket and a NULL item names nothing
+    # (nullmix fold, §17.1(b)): filtered two-sided — the oracle's
+    # equi-self-join drops NULL users (NULL = NULL is NULL) and its
+    # COUNT(DISTINCT) drops NULL, where Spark's groupBy/distinct keep
+    # a NULL group
     baskets = (
-        e.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+        e.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     nu = baskets.select("user_id").distinct().agg(
         F.count(F.lit(1)).alias("n_users")
@@ -275,8 +286,14 @@ def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_both * 1000000 DIV na AS BIGINT)").alias(
                 "confidence_e6"
             ),
+            # decimal(38,0)/HUGEINT lift numerator (r10 class audit, the
+            # r9 hurst convention): n_both·n_users·1e6 ~ users²·1e6
+            # crossed int64 past ~3e6 users on both engines (and na·nc
+            # past ~3e9); support/confidence terms are 1e6·count —
+            # representable to ~9e12 users, left on the int64 path
             F.expr(
-                "CAST(n_both * n_users * 1000000 DIV (na * nc) AS BIGINT)"
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nc) AS BIGINT)"
             ).alias("lift_e6"),
         )
     )

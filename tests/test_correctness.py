@@ -7700,3 +7700,59 @@ def test_ks_scaled_statistic_survives_large_separated_samples(spark, tmp_path):
         con.execute(mw.oracle).df(),
         "mw[large-sep]",
     )
+
+
+def test_scaled_e6_statistics_survive_multimillion_counts(spark, tmp_path):
+    """r10 class-audit regression pins (the ks/hurst int64 cliff class,
+    VERDICT r9 next-#8): each fixture is sized JUST past the old BIGINT
+    cliff of its key's e6-scaled numerator, and each key must run AND
+    hash-match DuckDB there.
+
+    - ml_eval_auc: s2 ~ 2*P*N with 2e6 scaling cliffs at P*N ~ 2.3e12
+      (balanced halves of ~3.2M scored rows);
+    - stats_chi2_srm: (na-nb)^2 * 1e6 cliffs at |na-nb| ~ 3.03e6 (one
+      event_type fed ONLY arm-0 users — the gross mismatch the gate
+      exists to flag);
+    - events_association_rules: lift numerator n_both*n_users*1e6
+      cliffs at ~3.03e6 users all holding both items."""
+    import duckdb
+
+    gen = duckdb.connect()
+    # one events table serves all three keys: 3.4M arm-0 users (of a
+    # 7M candidate range), each with a 'view' and a 'purchase' row;
+    # purchases score high, views low -> AUC=1, P=N=n_users.
+    mult = 2654435761
+    gen.execute(
+        f"""
+        COPY (
+          WITH u AS (
+            SELECT i AS user_id FROM range(1, 7000000) t(i)
+            WHERE (i * {mult}) % 4294967296 % 2 = 0
+          ),
+          r AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY user_id) AS rn
+                FROM u)
+          SELECT rn * 2 - o.k AS event_id, user_id,
+                 CASE o.k WHEN 0 THEN 'purchase' ELSE 'view' END
+                   AS event_type,
+                 TIMESTAMP '2024-01-01' + INTERVAL (rn % 86400) SECOND AS ts,
+                 CAST(CASE o.k WHEN 0 THEN 500 + rn % 100
+                      ELSE 10 + rn % 100 END AS DOUBLE) AS value
+          FROM r, (VALUES (0), (1)) AS o(k)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con = duckdb.connect()
+    pin_float_semantics(con)
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    n_users = con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert n_users > 3_100_000  # all three cliffs crossed
+    for key in ("ml_eval_auc", "stats_chi2_srm", "events_association_rules"):
+        spec = SPECS[key]
+        compare_frames(
+            spec.fn(spark, str(tmp_path)).toPandas(),
+            con.execute(spec.oracle).df(),
+            f"{key}[multimillion]",
+        )
