@@ -271,6 +271,8 @@ AUDITED: dict[str, str] = {
     "sql_lateral_alias": "alias chain folds into one projection over one partial+final agg",
     # round 6 probe-caught rework
     "dedup_fuzzy_levenshtein": "canopy equi-join; equality fast path + length-band prefilter gate the O(len^2) DP; gated repartition parallelizes the CPU-bound stage",
+    # round 10 growth key
+    "filter_nfdump_extended": "8 compiled predicates as parallel conditional aggregates over ONE pruned 2-column scan; single 1-row Exchange; stack unpivot",
 }
 
 
