@@ -225,10 +225,15 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three shingle sizes ride ONE scan via a broadcast k-grid into
     the array-slice shingling (the word split happens once); the
-    inverted-index pair generation then keys on (k, shingle), so each
-    size's candidates stay in their own buckets of the same shuffle,
-    and posting lists above the PER-K stop-shingle cap drop BEFORE
-    pair generation: k=2 caps at max_df=1000 (bigrams go stopword-like
+    shared shingle set is NOT cached — it is corpus-sized, and the r10
+    32x unique-text probe showed a pinned localCheckpoint of it
+    starving execution memory (checkpoint blocks are un-evictable);
+    instead the distinct's exchange is reused by all four consumers
+    (Catalyst exchange reuse: one shuffle write, four reads), the
+    shape that survives 100 TB. The inverted-index pair generation
+    then keys on (k, shingle), so each size's candidates stay in
+    their own buckets of the same shuffle, and posting lists above
+    the PER-K stop-shingle cap drop BEFORE pair generation: k=2 caps at max_df=1000 (bigrams go stopword-like
     at far lower df — the r5 flat 10k cap left Σ df² ≈ 1e9 bigram pair
     mass on the 8× dup-mass fixture and OOM'd an 8 GB heap; r6
     probe-caught), k∈{3,5} keep max_df=10000, which preserves the k=3
@@ -259,7 +264,16 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
-        .localCheckpoint()  # sizes + both pair sides share one shingling
+        # NO cache: the shingle set is corpus-sized, and checkpoint
+        # blocks are non-evictable AND non-recomputable — the r10 32x
+        # unique-text probe crashed exactly here
+        # (UNABLE_TO_ACQUIRE_MEMORY) when the pinned localCheckpoint
+        # starved execution memory. Measured at sf0.1 the cache bought
+        # nothing (base 9.08 s cached vs 8.93 s uncached; the
+        # distinct's shuffle dominates and its exchange feeds all four
+        # consumers), and an evictable persist(MEMORY_AND_DISK) was
+        # strictly slower (12.2 s). Recompute-from-scan is the shape
+        # that holds at 100 TB.
     )
     sz = sh.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("n"))
     # PER-K max_df stop-shingle cap (the `shingle_pair_counts` rule,

@@ -1530,11 +1530,16 @@ def test_wave50_exchange_budgets(spark, sf_dir):
         "maint_join_cardinality_exact": 5,
         # (lang,char) rollup + checkpointed distro pair join + order
         "text_lang_divergence": 5,
-        # checkpointed k-grid shingling (one scan) + the max_df
-        # stop-shingle agg/join + (k,shingle) pair gen + size joins +
-        # k rollup — every post-checkpoint exchange carries
-        # shingle/pair tables, not the corpus
-        "dedup_shingle_size_curve": 11,
+        # r10: the corpus-sized shingle localCheckpoint is GONE (it
+        # pinned un-evictable blocks and crashed the 32x unique-text
+        # probe; measured zero benefit at sf0.1). The STATIC plan now
+        # repeats the shingling subtree once per consumer (sizes, df
+        # cap, both pair sides) — at runtime AQE collapses them into
+        # ReusedExchange nodes (pinned below in
+        # test_shingle_size_curve_runtime_exchange_reuse), so the
+        # static count is an overstatement of executed work, not a
+        # shuffle regression.
+        "dedup_shingle_size_curve": 23,
         # checkpointed day table + 1-row argmax
         "stats_grubbs": 2,
         # integer block grid + broadcast range join + 200-row CI
@@ -1544,6 +1549,18 @@ def test_wave50_exchange_budgets(spark, sf_dir):
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
         got = plan.count("Exchange")
         assert got <= budget, f"{key}: {got} Exchanges (budget {budget})\n{plan}"
+
+
+def test_shingle_size_curve_runtime_exchange_reuse(spark, sf_dir):
+    """Pins the r10 no-cache rework of `dedup_shingle_size_curve`: the
+    shingling subtree appears once per consumer in the static plan, and
+    AQE must collapse those duplicates into ReusedExchange nodes at
+    runtime (one shuffle write, shared reads) — the property that
+    replaced the crash-prone corpus-sized localCheckpoint."""
+    df = SPECS["dedup_shingle_size_curve"].fn(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 3, final
 
 
 def test_wave51_exchange_budgets(spark, sf_dir):
