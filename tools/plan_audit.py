@@ -254,7 +254,7 @@ AUDITED: dict[str, str] = {
     # wave-50 (round 5)
     "maint_join_cardinality_exact": "two key-frequency rollups joined; join size WITHOUT materializing the join",
     "text_lang_divergence": "(lang,char) rollup; pair join on the checkpointed bounded distribution table",
-    "dedup_shingle_size_curve": "checkpointed k-grid shingling from one scan; (k,shingle)-keyed pair buckets",
+    "dedup_shingle_size_curve": "uncached k-grid shingling, AQE-reused distinct exchange (r10 OOM fix); (k,shingle)-keyed pair buckets",
     "stats_grubbs": "checkpointed day agg + 1-row moments + min_by argmax",
     "stats_block_bootstrap": "integer block grid + broadcast range join on the bounded day table",
     # wave-51 (round 5)

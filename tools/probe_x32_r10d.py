@@ -48,20 +48,21 @@ def build_time_dilated(spark, base: str, out: str, n: int) -> None:
     per-bin density stay at base; only the covered time range grows."""
     os.makedirs(out, exist_ok=True)
     df = spark.read.parquet(f"{base}/events.parquet")
-    row = df.agg(
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    row = df.select(us.alias("us"), "event_id", "user_id").agg(
         F.max("event_id").alias("mi"),
         F.max("user_id").alias("mu"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span"),
+        (F.max("us") - F.min("us")).alias("span"),
     ).collect()[0]
-    step = row.span + 3_600_000_000  # span + 1h, microseconds
+    step_sec = row.span // 1_000_000 + 3600  # span + 1h, whole seconds
     parts = []
     for i in range(n):
         parts.append(
             df.withColumn("event_id", F.col("event_id") + F.lit(i * (row.mi + 1)))
             .withColumn("user_id", F.col("user_id") + F.lit(i * (row.mu + 1)))
-            .withColumn(
-                "ts", F.timestamp_micros(F.unix_micros("ts") + F.lit(i * step))
-            )
+            # INTERVAL addition preserves the fixture's ts type
+            # (TIMESTAMP_NTZ in driver-generated parquet)
+            .withColumn("ts", F.expr(f"ts + INTERVAL {i * step_sec} SECOND"))
         )
     u = parts[0]
     for p in parts[1:]:
