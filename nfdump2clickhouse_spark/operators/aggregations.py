@@ -68,13 +68,15 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 4) AS sum_value,
            COUNT(*)             AS n
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY bucket, event_type
     """,
 )
 def agg_groupby_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical flows dashboard query: traffic per 10-min bucket per
-    type (ClickHouse `toStartOfTenMinutes` [P])."""
-    e = table(spark, sf_dir, "events")
+    type (ClickHouse `toStartOfTenMinutes` [P]). NULL timestamps belong
+    to no bucket — pinned two-sided (EDGE_SWEEP_r10 class C)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(
             F.window("ts", "10 minutes").start.alias("bucket"), "event_type"

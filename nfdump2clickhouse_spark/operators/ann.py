@@ -243,11 +243,16 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on UNIT vectors prepared once per side: cosine degenerates to a
     single dot fold instead of dot + two norm folds per candidate —
     measured 2.4× end-to-end at sf0.1 on the ~27%-of-all-pairs candidate
-    load this loose 0.45-threshold banding admits."""
+    load this loose 0.45-threshold banding admits.
+
+    NULL embeddings are not vectors — gated before the signature UDF
+    (None cells crash the numpy matmul stack; EDGE_SWEEP_r10 class A)."""
     from ..functions.similarity import as_double, dot, l2_norm
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("emb"))
     )
     dim = 64
     n_bits = 64

@@ -320,8 +320,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation needs either 64 `aggregate` traversals of the hash array
     or per-word 64-element array allocations, both measured 3–5× slower
     at sf0.1 (3.0 s vs 0.6 s warm) — exactly the 'builtin ops genuinely
-    can't express it efficiently' case for a pandas UDF."""
-    d = table(spark, sf_dir, "documents").withColumn("ws", words(F.col("text")))
+    can't express it efficiently' case for a pandas UDF.
+
+    A NULL document has no signature — gated before the UDF (None cells
+    crash the numpy bit-vote stack; EDGE_SWEEP_r10 class A)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("ws", words(F.col("text")))
+    )
     # one xxhash64 per word, reused by all 64 bit votes
     d = d.withColumn("hs", F.transform("ws", lambda w: F.xxhash64(w)))
 
@@ -383,18 +390,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+    WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ 0.45 (fixture max is
     ~0.51; real corpora use ~0.95), via the same blocked GEMM as
-    sim_topk_pairs with a threshold instead of top-k."""
+    sim_topk_pairs with a threshold instead of top-k. NULL embeddings
+    are not vectors — gated before the GEMM (mirrored IS NOT NULL in
+    the oracle; EDGE_SWEEP_r10 class A)."""
     from ..functions.similarity import blocked_pair_topk
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("emb"))
     )
     return blocked_pair_topk(e, n_blocks=8, per_block_k=None, threshold=0.45).select(
         "id1", "id2", "cos_sim"

@@ -167,13 +167,16 @@ def flows_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dim AS (
       SELECT 'srcip' AS dim, sa AS key, COUNT(*) AS n_flows,
              CAST(SUM(ipkt) AS BIGINT) AS pkts,
-             CAST(SUM(ibyt) AS BIGINT) AS bytes FROM f GROUP BY sa
+             CAST(SUM(ibyt) AS BIGINT) AS bytes FROM f
+      WHERE sa IS NOT NULL GROUP BY sa
       UNION ALL
       SELECT 'dstport', dp, COUNT(*), CAST(SUM(ipkt) AS BIGINT),
-             CAST(SUM(ibyt) AS BIGINT) FROM f GROUP BY dp
+             CAST(SUM(ibyt) AS BIGINT) FROM f
+      WHERE dp IS NOT NULL GROUP BY dp
       UNION ALL
       SELECT 'proto', pr, COUNT(*), CAST(SUM(ipkt) AS BIGINT),
-             CAST(SUM(ibyt) AS BIGINT) FROM f GROUP BY pr
+             CAST(SUM(ibyt) AS BIGINT) FROM f
+      WHERE pr IS NOT NULL GROUP BY pr
     ),
     ranked AS (
       SELECT dim, key, n_flows, pkts, bytes,
@@ -223,13 +226,18 @@ def flows_stat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     f.createOrReplaceTempView("fsr_flows")
     per_dim = spark.sql(
         """
-        SELECT CASE WHEN sa IS NOT NULL THEN 'srcip'
-                    WHEN dp IS NOT NULL THEN 'dstport'
+        -- dim from grouping_id, NOT key-NULLness: a NULL bucket key
+        -- (NULL user_id => NULL sa) would misroute its group to the
+        -- wrong dim under the NULL-based CASE; NULL keys themselves are
+        -- pinned out two-sided (EDGE_SWEEP_r10 class C)
+        SELECT CASE grouping_id(sa, dp, pr) WHEN 3 THEN 'srcip'
+                    WHEN 5 THEN 'dstport'
                     ELSE 'proto' END AS dim,
                COALESCE(sa, dp, pr) AS key,
                COUNT(*) AS n_flows, SUM(ipkt) AS pkts, SUM(ibyt) AS bytes
         FROM fsr_flows
         GROUP BY GROUPING SETS ((sa), (dp), (pr))
+        HAVING COALESCE(sa, dp, pr) IS NOT NULL
         """
     )
     w = Window.partitionBy("dim").orderBy(F.desc("bytes"), "key")

@@ -71,6 +71,7 @@ def sim_cosine_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
     ORDER BY cos_sim DESC, id1, id2
     LIMIT 20
     """,
@@ -82,11 +83,15 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-20 superset), Spark takes the final top-20. ~40× the naive
     per-pair fold. At 100 TB, block by LSH/IVF cell instead of id%%B.
     Ordering is on the ROUNDED similarity with id tiebreaks so the k-th
-    boundary is stable across engines (SURVEY §5.3)."""
+    boundary is stable across engines (SURVEY §5.3). NULL embeddings are
+    not vectors — gated before the GEMM (mirrored IS NOT NULL in the
+    oracle; EDGE_SWEEP_r10 class A)."""
     from ..functions.similarity import blocked_pair_topk
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("emb"))
     )
     return (
         blocked_pair_topk(e, n_blocks=8, per_block_k=20)
@@ -108,10 +113,25 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import shingles, words
 
+    # NULL/short text → NULL/empty shingle array. A size(sh) > 0 filter
+    # alone is NOT enough: InferFiltersFromConstraints adds
+    # isnotnull(UDF(features)) for the LSH hash UDF and CombineFilters
+    # can order that conjunct BEFORE the size gate, so MinHashLSHModel's
+    # "at least 1 non zero entry" requirement fires on rows the gate
+    # would have dropped (observed under the nullmix fixture). Make the
+    # UDF input valid BY CONSTRUCTION instead: degenerate docs get a
+    # per-doc sentinel shingle (unique ⇒ zero overlap with any other doc
+    # ⇒ Jaccard distance 1 > the 0.7 cut, so no spurious pairs), and the
+    # size gate stays only to prune them early when it does run first
+    # (EDGE_SWEEP_r10 class A).
     d = table(spark, sf_dir, "documents").withColumn(
         "sh", shingles(words(F.col("text")))
     )
-    d = d.filter(F.size("sh") > 0)
+    sentinel = F.array(F.concat(F.lit("\x00empty\x00"), F.col("doc_id").cast("string")))
+    d = d.withColumn(
+        "sh", F.when(F.size("sh") > 0, F.col("sh")).otherwise(sentinel)
+    )
+    d = d.filter(~F.col("sh")[0].startswith("\x00empty\x00"))
     tf = HashingTF(inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18)
     feat = tf.transform(d)
     # 6 tables: OR-amplified candidate recall at the 0.7-distance cut is

@@ -100,7 +100,11 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _with_blob(table(spark, sf_dir, "documents"))
+    # NULL text → NULL blob: not decodable media — gated before the
+    # Python worker (None crashes len()/sum(); EDGE_SWEEP_r10 class A)
+    blobs = _with_blob(table(spark, sf_dir, "documents")).filter(
+        F.col("content").isNotNull()
+    )
     return blobs.mapInPandas(
         decode_batch, "doc_id long, width int, height int, mean_byte double"
     )
@@ -216,7 +220,10 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = _with_blob(table(spark, sf_dir, "documents"))
+    # NULL blob gate, same contract as mm_decode_stub (class A)
+    blobs = _with_blob(table(spark, sf_dir, "documents")).filter(
+        F.col("content").isNotNull()
+    )
     return blobs.mapInPandas(
         resize_batch, "doc_id long, orig_bytes int, thumb binary"
     )

@@ -20,12 +20,16 @@ from ..registry import register
     oracle="""
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
            event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-    FROM events GROUP BY wstart, event_type
+    FROM events WHERE ts IS NOT NULL GROUP BY wstart, event_type
     """,
 )
 def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-min tumbling counts (≡ one nfcapd file per window [P])."""
-    e = table(spark, sf_dir, "events")
+    """5-min tumbling counts (≡ one nfcapd file per window [P]).
+
+    NULL timestamps belong to no window — pinned two-sided (Spark's
+    window() drops them, DuckDB's time_bucket keeps a NULL bucket;
+    EDGE_SWEEP_r10 class C)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return e.groupBy(
         F.window("ts", "5 minutes").start.alias("wstart"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -37,7 +41,8 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # starting at bucket5(t) and bucket5(t) - 5 min. The oracle re-derives
     # that membership; Spark's window() emits it directly.
     oracle="""
-    WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, value FROM events)
+    WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, value
+               FROM events WHERE ts IS NOT NULL)
     SELECT wstart, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value FROM (
       SELECT b5 AS wstart, value FROM b
       UNION ALL
@@ -46,8 +51,9 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-min windows sliding every 5 min (each event in 2 windows)."""
-    e = table(spark, sf_dir, "events")
+    """10-min windows sliding every 5 min (each event in 2 windows).
+    NULL-ts rows are windowless — pinned two-sided (class C)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return e.groupBy(
         F.window("ts", "10 minutes", "5 minutes").start.alias("wstart")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -63,7 +69,7 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), islands AS (
       SELECT user_id, ts, SUM(new_s) OVER
@@ -77,8 +83,9 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows, 30-min inactivity gap, per user (flow/session
-    stitching in batch; the streaming variant is stream_stateful)."""
-    e = table(spark, sf_dir, "events")
+    stitching in batch; the streaming variant is stream_stateful).
+    NULL-ts rows sessionize nowhere — pinned two-sided (class C)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -275,6 +282,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS win_start,
              user_id
       FROM events, UNNEST([0, 1]) AS t(off)
+      WHERE ts IS NOT NULL
     )
     SELECT win_start, COUNT(DISTINCT user_id) AS uniq_users
     FROM b GROUP BY win_start
@@ -287,8 +295,9 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 covering windows scan-side (an Expand, no join); the distinct
     aggregation is then the standard two-phase plan. The oracle
     re-derives window starts arithmetically (each row appears in the
-    bucket it starts and the one 5 minutes earlier)."""
-    e = table(spark, sf_dir, "events")
+    bucket it starts and the one 5 minutes earlier). NULL-ts rows are
+    windowless — pinned two-sided (class C)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), )
         .agg(F.countDistinct("user_id").alias("uniq_users"))

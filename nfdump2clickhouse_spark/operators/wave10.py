@@ -160,8 +160,12 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, not just the top-k. Emits the sketch's size and the
     estimate-vs-true comparison for the 5 event types (probed via a
     second tiny pass; the sketch itself is one aggregate over the
-    corpus)."""
-    e = table(spark, sf_dir, "events")
+    corpus).
+
+    NULL items are not sketch members — gated two-sided (the NULL group
+    key otherwise reaches the driver-side sorted() and Python's `<`
+    chokes on None vs str; EDGE_SWEEP_r10 class A)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     sk_row = e.agg(
         F.count_min_sketch("event_type", F.lit(0.01), F.lit(0.95), F.lit(42)).alias(
             "sk"

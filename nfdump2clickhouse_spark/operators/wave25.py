@@ -285,11 +285,14 @@ def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideal = ideal_run.groupBy("query").agg(
         F.sum(F.when(F.col("ipos") <= _NDCG_AT, igain)).alias("idcg")
     )
+    # try_divide: degenerate input (all-NULL relevance after the value
+    # gate) yields idcg = 0, where ANSI `/` raises DIVIDE_BY_ZERO but
+    # DuckDB yields NULL (EDGE_SWEEP_r10 class B)
     return dcg.join(ideal, "query").select(
         "query",
         F.round("dcg", 4).alias("dcg_at10"),
         F.round("idcg", 4).alias("idcg_at10"),
-        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg_at10"),
+        F.round(F.try_divide(F.col("dcg"), F.col("idcg")), 4).alias("ndcg_at10"),
     )
 
 

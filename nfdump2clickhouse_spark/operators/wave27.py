@@ -37,7 +37,7 @@ from ..registry import register
     oracle="""
     WITH v AS (
       SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     b AS (  -- rows with bit_length(cents) <= j  <=>  cents < 2^j
       SELECT length(printf('%b', cents)) AS bl, COUNT(*) AS n
@@ -73,8 +73,14 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the loop re-queries the same single column O(log range) times —
     # checkpoint it once so each iteration counts a materialized
     # column, not a fresh parquet decode (the Lloyd-iteration lesson)
+    # NULL prices are gated two-sided: a NULL never satisfies `cents < p`,
+    # so counting NULL rows in `n` makes the 90% guard unreachable and
+    # the doubling loop overflows long (nullmix ARITHMETIC_OVERFLOW at
+    # `SET p = p * 2`; EDGE_SWEEP_r10 class B — mirrored WHERE in the
+    # oracle's `v`)
     cents = (
         table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
         .select(
             F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
         )

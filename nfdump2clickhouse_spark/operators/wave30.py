@@ -46,6 +46,8 @@ from ..registry import register
                + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
                AS rp
       FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_extendedprice IS NOT NULL
     )
     SELECT grp,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -76,8 +78,18 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's corr returns NULL (r7 edge sweep, const mode)."""
     from ..functions.distributed import grouped_rank
 
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("grp"), "l_quantity", "l_extendedprice"
+    # NULL group keys and NULL measurements have no rank: Spark and
+    # DuckDB place NULLs at opposite ends of an ASC rank ordering, so
+    # every downstream fractional rank would shift — pinned out
+    # two-sided (EDGE_SWEEP_r10 class C)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(F.col("l_returnflag").alias("grp"), "l_quantity", "l_extendedprice")
     )
     r1 = grouped_rank(li, ["grp"], ["l_quantity"], "rn_q")
     r2 = grouped_rank(r1, ["grp"], ["l_extendedprice"], "rn_p")

@@ -505,7 +505,13 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((len(ws), toks, unk))
         return pd.DataFrame(rows, columns=["n_words", "n_tokens", "n_unk_words"])
 
-    docs = table(spark, sf_dir, "documents").select("source", "text")
+    # NULL docs have no words to encode — gated before the UDF (None
+    # crashes .lower(); EDGE_SWEEP_r10 class A)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", "text")
+    )
     st = docs.select("source", wp_stats("text").alias("s"))
     return (
         st.groupBy("source")

@@ -445,7 +445,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT source,
              string_agg(text, chr(10) ORDER BY doc_id) AS content
-      FROM documents GROUP BY source
+      FROM documents WHERE source IS NOT NULL GROUP BY source
     )
     SELECT source || '.txt' AS file_name,
            CAST(length(content) AS BIGINT) AS n_chars,
@@ -468,8 +468,16 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     record cannot split); `binaryFile` + `mapInPandas` decode
     (`multimodal_binary`) is the documented escape hatch for larger
     blobs. The per-source concat is one collect of 20 small strings
-    here; the read-back is a distributed whole-file scan."""
-    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    here; the read-back is a distributed whole-file scan.
+
+    A NULL source names no file — pinned two-sided (the engine would
+    otherwise stringify it into a 'None.txt' the oracle's NULL || '.txt'
+    never produces; EDGE_SWEEP_r10 class C)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("source", "doc_id", "text")
+    )
     agg = (
         docs.groupBy("source")
         .agg(

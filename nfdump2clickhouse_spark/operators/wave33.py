@@ -274,17 +274,24 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              count_if(event_type = 'click') AS clicks,
              count_if(event_type = 'purchase') AS purchases
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     w AS (
       SELECT day,
              COUNT(*) OVER win AS n_days,
-             corr(clicks, purchases) OVER win AS c
+             SUM(clicks) OVER win AS sx,
+             SUM(purchases) OVER win AS sy,
+             SUM(clicks * purchases) OVER win AS sxy,
+             SUM(clicks * clicks) OVER win AS sxx,
+             SUM(purchases * purchases) OVER win AS syy
       FROM daily
       WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT day, CAST(n_days AS BIGINT) AS n_days,
-           ROUND(c, 4) + 0 AS rolling_corr
+           ROUND((n_days * sxy - sx * sy)
+                 / NULLIF(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                               * (n_days * syy - sy * sy)), 0), 4) + 0
+             AS rolling_corr
     FROM w WHERE n_days = 7 ORDER BY day
     """,
 )
@@ -295,13 +302,20 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppressed (corr over 2-3 points is noise).
 
     The daily pivot is ONE conditional-count aggregate (no pivot
-    shuffle); `corr` runs as a built-in WINDOW aggregate over a 7-row
-    frame on the days table — bounded (one row per day), so the
-    unpartitioned frame is fine at any corpus size. Integer daily
-    counts make the moment sums engine-exact; `+ 0` canonicalizes the
-    −0.0 a flat week can round to."""
+    shuffle); the correlation runs as window SUMs of the integer moment
+    products over a 7-row frame on the days table — bounded (one row
+    per day), so the unpartitioned frame is fine at any corpus size.
+    Moments are computed explicitly (not via the built-in `corr`):
+    ANSI-mode corr raises DIVIDE_BY_ZERO on a zero-variance window
+    where DuckDB yields NULL, and exact int64 moment sums + one
+    try_divide give the IDENTICAL double on both engines with NULL on
+    the degenerate window (EDGE_SWEEP_r10 class B). NULL timestamps
+    have no day — gated two-sided (NULL-day trailing windows would
+    otherwise pick up Spark-NULLS-FIRST vs DuckDB-NULLS-LAST frame
+    contents). `+ 0` canonicalizes the −0.0 a flat week can round to."""
     daily = (
         table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
         .agg(
             F.count_if(F.col("event_type") == "click").alias("clicks"),
@@ -312,14 +326,23 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = daily.select(
         "day",
         F.count(F.lit(1)).over(win).alias("n_days"),
-        F.corr("clicks", "purchases").over(win).alias("c"),
+        F.sum("clicks").over(win).alias("sx"),
+        F.sum("purchases").over(win).alias("sy"),
+        F.sum(F.col("clicks") * F.col("purchases")).over(win).alias("sxy"),
+        F.sum(F.col("clicks") * F.col("clicks")).over(win).alias("sxx"),
+        F.sum(F.col("purchases") * F.col("purchases")).over(win).alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return (
         w.filter(F.col("n_days") == 7)
         .select(
             "day",
             F.col("n_days").cast("bigint").alias("n_days"),
-            (F.round("c", 4) + F.lit(0)).alias("rolling_corr"),
+            (F.round(F.try_divide(num, den), 4) + F.lit(0)).alias("rolling_corr"),
         )
         .orderBy("day")
     )
@@ -456,7 +479,13 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(len(raw) / max(len(comp), 1))
         return pd.Series(out)
 
-    docs = table(spark, sf_dir, "documents").select("source", "text")
+    # NULL docs have no bytes to compress — gated before the UDF (None
+    # crashes .encode(); EDGE_SWEEP_r10 class A)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", "text")
+    )
     scored = docs.select("source", comp_ratio("text").alias("ratio"))
     return (
         scored.groupBy("source")

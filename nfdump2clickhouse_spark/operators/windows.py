@@ -193,15 +193,21 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
            ROUND(CUME_DIST() OVER w, 4) AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank / cume_dist) per
     nation, ordered by balance with the unique-key tiebreaker the
-    determinism rules require (SURVEY §5.3)."""
+    determinism rules require (SURVEY §5.3). The balance ordering is
+    pinned NULLS LAST two-sided — Spark defaults ASC NULLS FIRST,
+    DuckDB ASC NULLS LAST, which shifts every rank in a mixed-NULL
+    partition (EDGE_SWEEP_r10 class D)."""
     c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",
@@ -257,7 +263,7 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              list(value) OVER (PARTITION BY user_id ORDER BY event_id
                                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT user_id, event_id,
            ROUND(list_aggregate(
@@ -276,7 +282,12 @@ def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic — the frame is ordered by the unique event_id), then
     one aggregate HOF with positional weights. State per row is 16
     doubles — constant, so the window scales like any other ROWS frame;
-    one shuffle on user_id."""
+    one shuffle on user_id.
+
+    NULL readings are pinned out two-sided: Spark's collect_list drops
+    NULL elements while DuckDB's list() keeps them, so a mixed-NULL
+    frame otherwise disagrees on both the weights (len(l)) and the row
+    set (EDGE_SWEEP_r10 class D)."""
     from pyspark.sql import Window
 
     w = (
@@ -284,7 +295,7 @@ def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .rowsBetween(-15, Window.currentRow)
     )
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     l = F.collect_list("value").over(w)
     d = e.select("user_id", "event_id", l.alias("l"))
     ema = F.aggregate(
