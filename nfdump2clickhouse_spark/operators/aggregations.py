@@ -282,13 +282,17 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result deterministic and hashable on both engines.
     oracle="""
     SELECT user_id,
-           array_to_string(list(DISTINCT event_type ORDER BY event_type), ',')
-             AS types
+           COALESCE(array_to_string(
+             list(DISTINCT event_type ORDER BY event_type)
+               FILTER (WHERE event_type IS NOT NULL), ','), '') AS types
     FROM events GROUP BY user_id
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """List aggregation, canonicalized by sort (SURVEY §5.3)."""
+    """List aggregation, canonicalized by sort (SURVEY §5.3). NULL
+    types are ignored on both engines (Spark's collect_set drops NULLs
+    natively; the oracle mirrors with FILTER + COALESCE so an all-NULL
+    group renders '' like Spark's empty set; EDGE_SWEEP_r10 class D)."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types")

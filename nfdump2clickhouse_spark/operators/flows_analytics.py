@@ -230,14 +230,15 @@ def flows_stat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- (NULL user_id => NULL sa) would misroute its group to the
         -- wrong dim under the NULL-based CASE; NULL keys themselves are
         -- pinned out two-sided (EDGE_SWEEP_r10 class C)
-        SELECT CASE grouping_id(sa, dp, pr) WHEN 3 THEN 'srcip'
-                    WHEN 5 THEN 'dstport'
-                    ELSE 'proto' END AS dim,
-               COALESCE(sa, dp, pr) AS key,
-               COUNT(*) AS n_flows, SUM(ipkt) AS pkts, SUM(ibyt) AS bytes
-        FROM fsr_flows
-        GROUP BY GROUPING SETS ((sa), (dp), (pr))
-        HAVING COALESCE(sa, dp, pr) IS NOT NULL
+        SELECT * FROM (
+          SELECT CASE grouping_id(sa, dp, pr) WHEN 3 THEN 'srcip'
+                      WHEN 5 THEN 'dstport'
+                      ELSE 'proto' END AS dim,
+                 COALESCE(sa, dp, pr) AS key,
+                 COUNT(*) AS n_flows, SUM(ipkt) AS pkts, SUM(ibyt) AS bytes
+          FROM fsr_flows
+          GROUP BY GROUPING SETS ((sa), (dp), (pr))
+        ) WHERE key IS NOT NULL
         """
     )
     w = Window.partitionBy("dim").orderBy(F.desc("bytes"), "key")

@@ -21,7 +21,7 @@ from ..registry import register
            lower(p_name)                                   AS name_lc,
            upper(p_brand)                                  AS brand_uc,
            substr(p_name, 1, 8)                            AS name_pre,
-           concat(p_brand, ':', p_type)                    AS brand_type,
+           p_brand || ':' || p_type                        AS brand_type,
            length(p_name)                                  AS name_len,
            trim(p_name)                                    AS name_trim,
            lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_pad,
@@ -32,13 +32,16 @@ from ..registry import register
     """,
 )
 def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # brand_type uses NULL-propagating concat on BOTH engines (Spark
+    # concat / SQL ||): concat_ws vs DuckDB concat disagree on how a
+    # NULL operand folds into the separator (EDGE_SWEEP_r10 class D)
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.lower("p_name").alias("name_lc"),
         F.upper("p_brand").alias("brand_uc"),
         F.substring("p_name", 1, 8).alias("name_pre"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.length("p_name").alias("name_len"),
         F.trim("p_name").alias("name_trim"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
@@ -281,13 +284,15 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
          + CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_num
     FROM (SELECT DISTINCT user_id,
                  '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.7' AS ip
-          FROM events)
+          FROM events WHERE user_id IS NOT NULL)
     """,
 )
 def ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse IPv4StringToNum [P] — fixtures lack IPs, so synthesize
-    per SURVEY §2.8 and parse with the engine's ip library."""
-    e = table(spark, sf_dir, "events")
+    per SURVEY §2.8 and parse with the engine's ip library. NULL users
+    synthesize no address — pinned two-sided (the oracle's octet split
+    otherwise feeds '' into an INT64 cast; EDGE_SWEEP_r10 class D)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     ip = F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".7"))
     return (
         e.select("user_id", ip.alias("ip"))
@@ -302,7 +307,7 @@ def ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, ip FROM (
       SELECT DISTINCT user_id,
              '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.7' AS ip
-      FROM events)
+      FROM events WHERE user_id IS NOT NULL)
     WHERE CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
         + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
         + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
@@ -313,8 +318,9 @@ def ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CIDR membership 10.0.0.0/20 compiled to a [lo, hi] range on the
     numeric address — pushdown-capable (SURVEY §4.3.2), unlike any
-    string-prefix formulation."""
-    e = table(spark, sf_dir, "events")
+    string-prefix formulation. NULL users synthesize no address —
+    pinned two-sided (class D, same contract as ip_funcs)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     ip = F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".7"))
     df = e.select("user_id", ip.alias("ip")).distinct()
     return df.filter(ip_in_cidr(ipv4_to_num(F.col("ip")), "10.0.0.0/20"))
@@ -327,7 +333,7 @@ def filter_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((8193 - 32768) * 281474976710656 + 3512 * 4294967296 AS BIGINT) AS hi6,
            CAST(user_id - 9223372036854775807 - 1 AS BIGINT) AS lo6,
            user_id < 128 AS in_dbnet
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
     """,
 )
 def ip6_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +348,10 @@ def ip6_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the hi half at the scan."""
     from ..functions.ip import ip6_in_cidr, ipv6_to_nums
 
-    e = table(spark, sf_dir, "events")
+    # NULL users synthesize no address; the oracle's arithmetic hi6 is
+    # a non-NULL constant while the engine's parsed hi6 is NULL, so the
+    # NULL row cannot agree — pinned two-sided (class D)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     addr = F.concat(F.lit("2001:db8::"), F.lower(F.hex("user_id")))
     hi, lo = ipv6_to_nums(addr)
     return e.select(
@@ -422,7 +431,7 @@ def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT doc_id,
              list_distinct(string_split(text, ' ')) AS ws
-      FROM documents WHERE doc_id <= 50
+      FROM documents WHERE doc_id <= 50 AND text IS NOT NULL
     ),
     p AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, a.ws AS w1, b.ws AS w2
@@ -437,8 +446,12 @@ def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (`array_intersect` / `array_union`) between
     adjacent documents' vocabularies — counts only, so element order
-    differences between engines cannot leak into the hash."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    differences between engines cannot leak into the hash. A NULL doc
+    has no vocabulary — pinned two-sided (Spark size/array ops and
+    DuckDB list ops disagree on NULL-array folding; class D)."""
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") <= 50) & F.col("text").isNotNull()
+    )
     w = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
@@ -483,7 +496,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              'https://cdn' || CAST(user_id % 4 AS VARCHAR) ||
              '.example.org/assets/u' || CAST(user_id AS VARCHAR) ||
              '/item?ref=' || event_type AS url
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     )
     SELECT event_id,
            split_part(split_part(url, '://', 2), '/', 1) AS host,
@@ -500,8 +513,11 @@ def str_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces with split/regexp arithmetic, so the hash check validates the
     parser against first principles, not another parser. Fixtures carry
     no URLs; a deterministic one is synthesized per event (same recipe
-    as `ip_funcs`/`text_pii_scrub`). Zero shuffle, pure codegen."""
-    e = table(spark, sf_dir, "events")
+    as `ip_funcs`/`text_pii_scrub`). Zero shuffle, pure codegen. NULL
+    users/types synthesize no URL — pinned two-sided (class D)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     url = F.concat(
         F.lit("https://cdn"),
         (F.col("user_id") % 4).cast("string"),

@@ -157,7 +157,11 @@ def sample_repeat_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch_idx"),
     )
-    emitted = replicated.groupBy("source").agg(
+    # the reconciliation join is NULL-SAFE on source: groupBy keeps a
+    # NULL-source group on both engines, but an equi-join key of NULL
+    # never matches itself, silently zeroing that group's n_emitted
+    # (EDGE_SWEEP_r10 class D)
+    emitted = replicated.groupBy(F.col("source").alias("_esrc")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
         F.sum("epoch_idx").cast("bigint").alias("epoch_sum"),
     )
@@ -165,7 +169,10 @@ def sample_repeat_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     return (
-        per_src.join(emitted, "source", "left")
+        per_src.join(
+            emitted, per_src["source"].eqNullSafe(emitted["_esrc"]), "left"
+        )
+        .drop("_esrc")
         .select(
             "source",
             "n_docs",

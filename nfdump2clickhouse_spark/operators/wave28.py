@@ -47,7 +47,7 @@ _LTTB_BUCKETS = 20
       SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
                   AS BIGINT) AS x,
              CAST(COUNT(*) AS BIGINT) AS y
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     idx AS (
       SELECT x, y,
@@ -111,8 +111,11 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket is deterministic with an x tie-break and prunes via
     WindowGroupLimit. Corpus-sized work is the ONE daily aggregation;
     everything after runs on <=365 rows with two broadcast anchor
-    joins."""
-    e = table(spark, sf_dir, "events")
+    joins. NULL timestamps have no x — pinned out two-sided (the NULL
+    day otherwise lands at opposite ends of the ROW_NUMBER ordering on
+    the two engines, swapping the endpoint picks; EDGE_SWEEP_r10
+    class D)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy(
         (F.unix_timestamp(F.to_date("ts").cast("timestamp")) / 86400)
         .cast("bigint")
@@ -318,14 +321,19 @@ def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lab GROUP BY bin
     ),
     t AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM b)
+    -- NULLIF guards mirror the engine's try_divide/log NULL chain: an
+    -- empty-class bin (n_pos = 0 under the nullmix fixture) makes the
+    -- odds ratio 0, where Spark's log() yields NULL but a bare DuckDB
+    -- ln(0) raises; a zero neg share likewise NULLs the divisor the
+    -- way try_divide does (EDGE_SWEEP_r10 class D)
     SELECT bin, n_pos, n_neg,
-           CAST(FLOOR(ln((CAST(n_pos AS DOUBLE) / tp)
-                         / (CAST(n_neg AS DOUBLE) / tn)) * 1000000)
+           CAST(FLOOR(ln(NULLIF((CAST(n_pos AS DOUBLE) / tp)
+                         / NULLIF(CAST(n_neg AS DOUBLE) / tn, 0), 0)) * 1000000)
                 AS BIGINT) AS woe_e6,
            CAST(FLOOR((CAST(n_pos AS DOUBLE) / tp
                        - CAST(n_neg AS DOUBLE) / tn)
-                      * ln((CAST(n_pos AS DOUBLE) / tp)
-                           / (CAST(n_neg AS DOUBLE) / tn)) * 1000000)
+                      * ln(NULLIF((CAST(n_pos AS DOUBLE) / tp)
+                           / NULLIF(CAST(n_neg AS DOUBLE) / tn, 0), 0)) * 1000000)
                 AS BIGINT) AS iv_term_e6
     FROM b, t
     """,

@@ -233,13 +233,20 @@ def dedup_shingle_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that survives 100 TB. The inverted-index pair generation
     then keys on (k, shingle), so each size's candidates stay in
     their own buckets of the same shuffle, and posting lists above
-    the PER-K stop-shingle cap drop BEFORE pair generation: k=2 caps at max_df=1000 (bigrams go stopword-like
-    at far lower df — the r5 flat 10k cap left Σ df² ≈ 1e9 bigram pair
-    mass on the 8× dup-mass fixture and OOM'd an 8 GB heap; r6
-    probe-caught), k∈{3,5} keep max_df=10000, which preserves the k=3
-    reconciliation with `dedup_ngram_jaccard` exactly (pinned in
-    tests). Integer cross-multiplied threshold
-    (`dedup_threshold_curve` discipline)."""
+    the PER-K stop-shingle cap drop BEFORE pair generation: k=2 caps
+    at max_df=1000 (bigrams go stopword-like at far lower df — the r5
+    flat 10k cap left Σ df² ≈ 1e9 bigram pair mass on the 8× dup-mass
+    fixture and OOM'd an 8 GB heap; r6 probe-caught), k∈{3,5} keep
+    max_df=10000, which preserves the k=3 reconciliation with
+    `dedup_ngram_jaccard` exactly (pinned in tests). Integer
+    cross-multiplied threshold (`dedup_threshold_curve` discipline).
+
+    The no-cache shape depends on `spark.sql.exchangeReuseEnabled`
+    (default true): with reuse OFF the four consumers would recompute
+    the scan + word split + distinct 4×. The runtime pin
+    (tests/test_plans.py::test_shingle_size_curve_runtime_exchange_reuse)
+    asserts the conf AND the executed-plan reuse, so a foreign session
+    that disables it fails loudly instead of silently 4×-scanning."""
     from ..functions.text import words as _words
 
     w = table(spark, sf_dir, "documents").select(

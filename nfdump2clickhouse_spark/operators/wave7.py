@@ -184,7 +184,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT doc_id, n_chars,
              ntile(4) OVER (ORDER BY n_chars, doc_id) AS phase
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT phase, COUNT(*) AS n_docs,
            ROUND(AVG(n_chars), 4) AS avg_chars,
@@ -205,10 +205,13 @@ def curriculum_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form ntile arithmetic — so no task ever sorts more than its
     range slice. Approx-quantile range cuts remain the still-cheaper
     swap when exact equal counts aren't required. The unique
-    (score, doc_id) tiebreak makes both engines' tiles identical."""
+    (score, doc_id) tiebreak makes both engines' tiles identical.
+    A NULL difficulty score cannot be ranked — pinned out two-sided
+    (Spark and DuckDB sort NULLs to opposite ends, which would shift
+    every tile boundary; EDGE_SWEEP_r10 class D)."""
     from ..functions.distributed import exact_ntile
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     b = exact_ntile(
         d.select("doc_id", "n_chars"), 4, [F.asc("n_chars"), F.asc("doc_id")],
         "phase",

@@ -1556,11 +1556,25 @@ def test_shingle_size_curve_runtime_exchange_reuse(spark, sf_dir):
     shingling subtree appears once per consumer in the static plan, and
     AQE must collapse those duplicates into ReusedExchange nodes at
     runtime (one shuffle write, shared reads) — the property that
-    replaced the crash-prone corpus-sized localCheckpoint."""
+    replaced the crash-prone corpus-sized localCheckpoint.
+
+    Three-sided pin (ADVICE r10): the reuse count alone would pass even
+    if extra EXECUTED shuffles crept in under the loosened 23-Exchange
+    static budget, so the distinct materialized ShuffleQueryStage count
+    is capped at the audited 9; and the no-cache shape silently becomes
+    a 4x-scan cliff if a foreign session disables exchange reuse, so
+    the conf must not be off."""
+    import re
+
+    assert (
+        spark.conf.get("spark.sql.exchangeReuseEnabled", "true") != "false"
+    ), "exchange reuse disabled: the no-cache plan would 4x-scan"
     df = SPECS["dedup_shingle_size_curve"].fn(spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") >= 3, final
+    executed = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+    assert len(executed) <= 9, (sorted(executed), final)
 
 
 def test_wave51_exchange_budgets(spark, sf_dir):

@@ -27,7 +27,8 @@ from nfdump2clickhouse_spark import registry
 from nfdump2clickhouse_spark.duckdb_compat import pin_float_semantics
 from tests.oracle_utils import compare_frames
 
-SF = "/root/testdata/sf0.01"
+# env-configurable like the session CPU/memory knobs (ADVICE r10)
+SF = os.environ.get("SPARK_GRAFT_PREVALIDATE_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
