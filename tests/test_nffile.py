@@ -68,10 +68,80 @@ def test_exporter_override_beats_router_element(tmp_path):
 # --- structural errors (operator-actionable, never silent zero rows) ---------
 
 
-def test_layout_v1_raises_with_decode_cmd_pointer():
+def test_layout_v1_truncated_header_raises():
+    """A v1 magic with fewer bytes than the 140-byte v1 header is a
+    structural error (r11: v1 now DECODES natively; only the
+    impossible-to-parse stub raises)."""
     content = struct.pack("<HH", nf.MAGIC, nf.LAYOUT_V1) + b"\x00" * 60
-    with pytest.raises(ValueError, match="decode_cmd"):
+    with pytest.raises(ValueError, match="v1 file header"):
         nf.decode_nffile(content)
+
+
+# --- layout v1 (nfdump 1.6) golden roundtrips (VERDICT r10 missing-#3) -------
+
+
+@pytest.mark.parametrize(
+    "flags", [0x0, 0x1, 0x8], ids=["none", "lzo", "bz2"]
+)
+def test_v1_roundtrip_exact_per_codec(tmp_path, flags):
+    """1.6-layout writer → reader is EXACT for every v1 codec this
+    environment can open (the flags word names the codec: bit 0 LZO,
+    bit 3 bz2)."""
+    d = str(tmp_path / f"v1f{flags}")
+    expected = nf.write_nffile_v1(d, n_files=2, records_per_file=24,
+                                  flags=flags)
+    assert _decode_dir(d) == expected
+
+
+def test_v1_roundtrip_covers_v6_widths_and_skips(tmp_path):
+    """The v1 fixture carries the hard cases: a type-1 (v0-layout)
+    block and a sampler block skipped WHOLE, an extension-map record
+    (type 2) skipped by size inside a flow block, mixed 32/64-bit
+    packet/byte counter widths, trailing extension-map data after the
+    counters (skip-by-size), and an IPv6 tail quarter."""
+    d = str(tmp_path / "v1mix")
+    expected = nf.write_nffile_v1(d, n_files=1, records_per_file=24)
+    got = _decode_dir(d)
+    assert got == expected
+    assert sum(":" in t[3] for t in got) == 6  # the v6 tail quarter
+    # no router element in 1.6 records: ra is the exporter placeholder
+    assert {t[11] for t in got} == {"exp-0"}
+
+
+def test_v1_exporter_override(tmp_path):
+    d = str(tmp_path / "v1exp")
+    expected = nf.write_nffile_v1(d, n_files=1, records_per_file=8,
+                                  flags=0x0, exporter="203.0.113.9")
+    got = _decode_dir(d, exporter="203.0.113.9")
+    assert got == expected
+    assert {t[11] for t in got} == {"203.0.113.9"}
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.data())
+def test_v1_truncation_decodes_a_prefix(v1_fixture_file, data):
+    """Same totality contract as v2: any cut past the v1 header decodes
+    an exact prefix, never raises."""
+    content, expected = v1_fixture_file
+    cut = data.draw(st.integers(min_value=nf._FILE_HEADER_V1_LEN,
+                                max_value=len(content)))
+    got = nf.decode_nffile(content[:cut])
+    assert got == expected[: len(got)]
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.data())
+def test_v1_corruption_is_total(v1_fixture_file, data):
+    """Byte flips after the v1 header never raise; decoded rows stay
+    well-formed."""
+    content, _ = v1_fixture_file
+    b = bytearray(content)
+    for _ in range(data.draw(st.integers(1, 8))):
+        pos = data.draw(st.integers(nf._FILE_HEADER_V1_LEN, len(b) - 1))
+        b[pos] = data.draw(st.integers(0, 255))
+    for t in nf.decode_nffile(bytes(b)):
+        assert len(t) == 12
+        assert isinstance(t[0], int) and isinstance(t[10], int)
 
 
 def test_raw_export_packets_point_at_v9_source():
@@ -281,6 +351,14 @@ def test_unavailable_codec_error_names_decode_cmd_seam():
 def fixture_file(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("nffuzz"))
     expected = nf.write_nffile(d, n_files=1, records_per_file=24)
+    with open(os.path.join(d, sorted(os.listdir(d))[0]), "rb") as fh:
+        return fh.read(), expected
+
+
+@pytest.fixture(scope="module")
+def v1_fixture_file(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nffuzz16"))
+    expected = nf.write_nffile_v1(d, n_files=1, records_per_file=24)
     with open(os.path.join(d, sorted(os.listdir(d))[0]), "rb") as fh:
         return fh.read(), expected
 
