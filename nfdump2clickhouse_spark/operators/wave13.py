@@ -330,18 +330,24 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-group-empty → DuckDB `// 0` is NULL; empty sample → the
     # oracle's cross join with the empty CDF CTE emits zero rows.
     # r10 (ADVICE r9 low, the r9 hurst/pacf/cusum convention): the
-    # cumulative products and the 2·D·1e6 scaled numerator run in
-    # decimal(38,0) engine-side / HUGEINT oracle-side — max_diff can
-    # approach n0·n1, so the old BIGINT literal product cliffed at
-    # max_diff ≈ 4.6e12 (~4e6 rows) on BOTH engines. n0·n1 is folded
-    # exactly in Python and interpolated as a BD literal. The final
-    # casts stay BIGINT (ks_e6 ≤ 1e6 by construction; max_diff is
-    # representable while n0·n1 < 2^63, documented bound).
+    # cumulative products and the 2·D·1e6 scaled numerator can exceed
+    # int64 — max_diff approaches n0·n1, so the scaled numerator
+    # 2·D·1e6 + n0·n1 cliffs once n0·n1 > (2^63−1)/(2e6+1) ≈ 4.6e12
+    # (~4e6 rows). r11 (VERDICT r10 next-#6): n0·n1 is a DRIVER int, so
+    # the width is a plan-time Python branch — int64 below the cliff
+    # (the common case, no decimal tax), decimal(38,0) above it. Both
+    # paths are exact integer arithmetic producing identical values,
+    # so the HUGEINT oracle needs no fork. The final casts stay BIGINT
+    # (ks_e6 ≤ 1e6 by construction; max_diff representable while
+    # n0·n1 < 2^63, documented bound).
     prod = n0 * n1  # exact Python int, immune to int64
+    int64_safe = prod <= ((1 << 63) - 1) // 2_000_001
+    cum_t = "bigint" if int64_safe else "decimal(38,0)"
+    lit_sfx = "L" if int64_safe else "BD"
     ks_e6 = (
         F.expr(
-            f"CAST((2 * max_diff_d * 1000000 + {prod}BD) DIV"
-            f" (2 * {prod}BD) AS BIGINT)"
+            f"CAST((2 * max_diff_d * 1000000 + {prod}{lit_sfx}) DIV"
+            f" (2 * {prod}{lit_sfx}) AS BIGINT)"
         )
         if prod > 0
         else F.lit(None).cast("bigint")
@@ -350,8 +356,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.agg(
             F.max(
                 F.abs(
-                    F.col("c0").cast("decimal(38,0)") * n1l
-                    - F.col("c1").cast("decimal(38,0)") * n0l
+                    F.col("c0").cast(cum_t) * n1l
+                    - F.col("c1").cast(cum_t) * n0l
                 )
             ).alias("max_diff_d")
         )
