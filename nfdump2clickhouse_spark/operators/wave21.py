@@ -33,14 +33,20 @@ def flows_nffile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate per exporter — the `nfdump -r` replacement running
     as ordinary distributed Spark.
 
-    The demo writes one bz2-compressed and one uncompressed capture
-    set (both codecs always available here), decodes them through
-    ``sources.flows.read_nffile_directory``, and reports the per-ra
-    rollup every nfsen-style dashboard starts from. Plan shape: the
-    only shuffle is the final small groupBy; decode is embarrassingly
-    parallel over files."""
+    The demo writes one bz2-compressed and one uncompressed LAYOUT-V2
+    capture set plus one LZO LAYOUT-V1 set (an nfdump 1.6 archive —
+    r11: v1 decodes natively, so a mixed-era directory is one read),
+    decodes them through ``sources.flows.read_nffile_directory``, and
+    reports the per-ra rollup every nfsen-style dashboard starts from.
+    Plan shape: the only shuffle is the final small groupBy; decode is
+    embarrassingly parallel over files."""
     from ..sources.flows import read_nffile_directory
-    from ..sources.nffile import COMPRESSION_BZ2, COMPRESSION_NONE, write_nffile
+    from ..sources.nffile import (
+        COMPRESSION_BZ2,
+        COMPRESSION_NONE,
+        write_nffile,
+        write_nffile_v1,
+    )
 
     base = tempfile.mkdtemp(prefix="sf_nffile_")
     write_nffile(base, n_files=2, records_per_file=24,
@@ -48,9 +54,15 @@ def flows_nffile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     base2 = tempfile.mkdtemp(prefix="sf_nffile_raw_")
     write_nffile(base2, n_files=1, records_per_file=24,
                  compression=COMPRESSION_NONE, exporter="203.0.113.7")
-    flows = read_nffile_directory(spark, base, flowsrc="edge-a").unionByName(
-        read_nffile_directory(spark, base2, flowsrc="edge-b",
-                              exporter="203.0.113.7")
+    base3 = tempfile.mkdtemp(prefix="sf_nffile_16_")
+    write_nffile_v1(base3, n_files=1, records_per_file=24)  # v1, bz2 flags
+    flows = (
+        read_nffile_directory(spark, base, flowsrc="edge-a")
+        .unionByName(
+            read_nffile_directory(spark, base2, flowsrc="edge-b",
+                                  exporter="203.0.113.7")
+        )
+        .unionByName(read_nffile_directory(spark, base3, flowsrc="legacy-16"))
     )
     return flows.groupBy("flowsrc", "ra").agg(
         F.count(F.lit(1)).alias("n_flows"),

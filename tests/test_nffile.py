@@ -498,8 +498,14 @@ def test_registry_key_runs(spark, sf_dir):
     spec = all_specs()["flows_nffile_decode"]
     df = spec.fn(spark, sf_dir)
     rows = df.collect()
-    assert len(rows) == 3  # edge-a × 2 routers + edge-b × 1 exporter
-    assert rows[-1].ra == "203.0.113.7" and rows[-1].n_flows == 24
+    # edge-a × 2 routers + edge-b × 1 exporter + the 1.6 legacy set
+    assert len(rows) == 4
+    by_src = {r.flowsrc: r for r in rows}
+    assert by_src["edge-b"].ra == "203.0.113.7"
+    assert by_src["edge-b"].n_flows == 24
+    # the nfdump 1.6 archive rides the same read (r11 layout-v1 decode)
+    assert by_src["legacy-16"].ra == "exp-0"
+    assert by_src["legacy-16"].n_flows == 24
     assert all(r.n_tcp > 0 and r.pkts > 0 for r in rows)
     assert df.columns == ["flowsrc", "ra", "n_flows", "pkts", "bytes",
                           "n_tcp", "n_v6", "first_ts", "last_ts", "sum_td"]
