@@ -94,3 +94,56 @@ def stream_nffile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_nffile_stream_source
 
     return run_nffile_stream_source(spark)
+
+
+@register("flows_nffile_stat")  # rows-only: binary fixture synthesized
+# locally; the summary-vs-stat-record reconciliation is pinned in
+# tests/test_nffile.py (nfdump -I parity two ways)
+def flows_nffile_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`nfdump -I` parity: the per-capture-file statistics report
+    (total + per-class tcp/udp/icmp/other flow/byte/packet triples,
+    first/last seen) over a MIXED-ERA directory — one bz2 layout-v2
+    set and one layout-v1 (nfdump 1.6) set — computed by decoding the
+    flows, which works identically for both layouts and for real
+    archives (no appendix parsing needed). For v1 files nfdump also
+    embeds the same summary as the on-disk ``stat_record_t``; the
+    golden tests reconcile both copies field-for-field.
+
+    Scale shape: one capture file = one summary row = one whole-file
+    decode on an executor (`binaryFile` + Arrow `mapInPandas`, the
+    `flows_nffile_decode` unit); zero shuffles before the final
+    file-name ORDER BY of a rows-per-file-count output."""
+    from ..sources.nffile import (
+        COMPRESSION_BZ2,
+        STAT_COLUMNS,
+        write_nffile,
+        write_nffile_v1,
+    )
+
+    base = tempfile.mkdtemp(prefix="sf_nfstat_")
+    write_nffile(base, n_files=2, records_per_file=24,
+                 compression=COMPRESSION_BZ2)
+    write_nffile_v1(base, n_files=1, records_per_file=24)
+
+    def summarize(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from nfdump2clickhouse_spark.sources.nffile import nffile_summary
+
+        for pdf in batches:
+            rows = [
+                (_os.path.basename(path), *nffile_summary(bytes(content)))
+                for path, content in zip(pdf["path"], pdf["content"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=["file", *STAT_COLUMNS])
+
+    schema = "file string, " + ", ".join(f"{c} long" for c in STAT_COLUMNS)
+    raw = spark.read.format("binaryFile").load(base)
+    return (
+        raw.select("path", "content")
+        .mapInPandas(summarize, schema)
+        .orderBy("file")
+    )

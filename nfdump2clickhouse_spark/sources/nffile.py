@@ -131,9 +131,12 @@ COMPRESSION_ZSTD = 4
 _FILE_HEADER_V1 = "<HHII128s"
 _FILE_HEADER_V1_LEN = struct.calcsize(_FILE_HEADER_V1)  # 140
 
-#: stat_record_t — 15 u64 totals, first/last seen u32, msec u16 pair,
-#: sequence_failure u32; follows the v1 header UNCOMPRESSED
-_STAT_RECORD_V1_LEN = 15 * 8 + 4 + 4 + 2 + 2 + 4  # 136
+#: stat_record_t — numflows/numbytes/numpackets totals + the four
+#: per-class (tcp/udp/icmp/other) triples (15 u64), first/last seen
+#: u32 seconds, msec u16 pair, sequence_failure u32; follows the v1
+#: header UNCOMPRESSED. This is the summary `nfdump -I` prints.
+_STAT_RECORD_V1 = "<15QIIHHI"
+_STAT_RECORD_V1_LEN = struct.calcsize(_STAT_RECORD_V1)  # 136
 
 # v1 header flags word (nffile.h 1.6.x)
 _V1_FLAG_LZO = 0x1
@@ -506,6 +509,66 @@ def decode_nffile(content: bytes, exporter: str | None = None) -> list[tuple]:
     return flows
 
 
+# --- nfdump -I parity: per-file stat summary ---------------------------------
+
+#: the `nfdump -I` report shape, computed from the decoded flows (works
+#: for BOTH layouts and real archives — no appendix constants needed)
+STAT_COLUMNS = [
+    "n_flows", "n_bytes", "n_packets",
+    "flows_tcp", "flows_udp", "flows_icmp", "flows_other",
+    "bytes_tcp", "bytes_udp", "bytes_icmp", "bytes_other",
+    "packets_tcp", "packets_udp", "packets_icmp", "packets_other",
+    "first_ms", "last_ms",
+]
+
+
+def nffile_summary(content: bytes, exporter: str | None = None) -> tuple:
+    """The `nfdump -I`-style file summary, computed by decoding the
+    flows (layout v1 or v2): totals + per-class (tcp/udp/icmp/other)
+    flow/byte/packet triples + first/last seen in epoch-ms. Matches
+    the on-disk v1 stat_record_t semantics field-for-field — the v1
+    roundtrip test reconciles this against ``decode_nffile_v1_stat``
+    — without trusting the (writer-controlled) header copy."""
+    flows = decode_nffile(content, exporter=exporter)
+    cls = {"TCP": "tcp", "UDP": "udp", "ICMP": "icmp"}
+    agg = {c: 0 for c in STAT_COLUMNS}
+    agg["first_ms"] = None
+    agg["last_ms"] = None
+    for t in flows:
+        ts, te, _td, _sa, _da, _sp, _dp, pr, _flg, ipkt, ibyt, _ra = t
+        k = cls.get(pr, "other")
+        agg["n_flows"] += 1
+        agg["n_bytes"] += ibyt
+        agg["n_packets"] += ipkt
+        agg[f"flows_{k}"] += 1
+        agg[f"bytes_{k}"] += ibyt
+        agg[f"packets_{k}"] += ipkt
+        agg["first_ms"] = ts if agg["first_ms"] is None else min(agg["first_ms"], ts)
+        agg["last_ms"] = te if agg["last_ms"] is None else max(agg["last_ms"], te)
+    if agg["first_ms"] is None:
+        agg["first_ms"] = agg["last_ms"] = 0
+    return tuple(agg[c] for c in STAT_COLUMNS)
+
+
+def decode_nffile_v1_stat(content: bytes) -> tuple | None:
+    """The on-disk ``stat_record_t`` of a LAYOUT-V1 file, in
+    STAT_COLUMNS order (first/last folded to epoch-ms). None for v2
+    files (their summary lives in the appendix) or a truncated v1
+    header — callers fall back to ``nffile_summary``."""
+    if len(content) < _FILE_HEADER_V1_LEN + _STAT_RECORD_V1_LEN:
+        return None
+    magic, version = struct.unpack_from("<HH", content, 0)
+    if magic != MAGIC or version != LAYOUT_V1:
+        return None
+    vals = struct.unpack_from(_STAT_RECORD_V1, content, _FILE_HEADER_V1_LEN)
+    (nf_, nb, np_, ft, fu, fi, fo, bt, bu, bi, bo, pt, pu, pi, po,
+     first_s, last_s, msec_first, msec_last, _seqfail) = vals
+    return (
+        nf_, nb, np_, ft, fu, fi, fo, bt, bu, bi, bo, pt, pu, pi, po,
+        first_s * 1000 + msec_first, last_s * 1000 + msec_last,
+    )
+
+
 # --- deterministic generator (the test ground truth) -------------------------
 
 
@@ -754,7 +817,36 @@ def write_nffile_v1(
             _FILE_HEADER_V1, MAGIC, LAYOUT_V1, flags, 4,
             b"golden-16".ljust(128, b"\x00"),
         )
-        stat = b"\x00" * _STAT_RECORD_V1_LEN
+        # REAL stat_record_t totals (nfdump writes them at rotation
+        # close; the reader's nffile_summary is reconciled against
+        # this copy in tests — `nfdump -I` parity two ways)
+        file_exp = [
+            _gen_expected_v1(f, r, v6=r >= v6_from, exporter=exporter)
+            for r in range(records_per_file)
+        ]
+        cls = {"TCP": "tcp", "UDP": "udp", "ICMP": "icmp"}
+        st = {k: 0 for k in (
+            "tcp_f", "udp_f", "icmp_f", "other_f",
+            "tcp_b", "udp_b", "icmp_b", "other_b",
+            "tcp_p", "udp_p", "icmp_p", "other_p",
+        )}
+        for t in file_exp:
+            k = cls.get(t[7], "other")
+            st[f"{k}_f"] += 1
+            st[f"{k}_b"] += t[10]
+            st[f"{k}_p"] += t[9]
+        first = min(t[0] for t in file_exp)
+        last = max(t[1] for t in file_exp)
+        stat = struct.pack(
+            _STAT_RECORD_V1,
+            len(file_exp),
+            sum(t[10] for t in file_exp),
+            sum(t[9] for t in file_exp),
+            st["tcp_f"], st["udp_f"], st["icmp_f"], st["other_f"],
+            st["tcp_b"], st["udp_b"], st["icmp_b"], st["other_b"],
+            st["tcp_p"], st["udp_p"], st["icmp_p"], st["other_p"],
+            first // 1000, last // 1000, first % 1000, last % 1000, 0,
+        )
         with open(os.path.join(path, f"nfcapd.16.{f:04d}"), "wb") as fh:
             fh.write(header + stat + body)
     return expected

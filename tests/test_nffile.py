@@ -526,3 +526,53 @@ def test_stream_nffile_source_exactly_once(spark, sf_dir):
     assert pdf.set_index("capture").n_flows.to_dict() == {
         "nfcapd.nf.0000": 10, "nfcapd.nf.0001": 10, "nfcapd.nf.0002": 6
     }
+
+
+# --- nfdump -I parity: per-file stat summary (r11 growth key) ----------------
+
+
+def test_v1_stat_record_reconciles_with_flow_summary(tmp_path):
+    """The v1 writer embeds REAL stat_record_t totals; the reader's
+    flow-derived nffile_summary must reconcile field-for-field with the
+    decoded on-disk copy — `nfdump -I` parity proven two independent
+    ways (decode path vs header path)."""
+    d = str(tmp_path / "v1stat")
+    nf.write_nffile_v1(d, n_files=2, records_per_file=24)
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name), "rb") as fh:
+            content = fh.read()
+        assert nf.decode_nffile_v1_stat(content) == nf.nffile_summary(content)
+
+
+def test_v1_stat_decoder_returns_none_for_v2(tmp_path):
+    d = str(tmp_path / "v2stat")
+    nf.write_nffile(d, n_files=1, records_per_file=8,
+                    compression=nf.COMPRESSION_NONE)
+    with open(os.path.join(d, sorted(os.listdir(d))[0]), "rb") as fh:
+        assert nf.decode_nffile_v1_stat(fh.read()) is None
+
+
+def test_flows_nffile_stat_registry_key(spark, sf_dir):
+    """flows_nffile_stat: one summary row per capture file over the
+    mixed-era directory, totals consistent with the decode rollup."""
+    from nfdump2clickhouse_spark.registry import all_specs
+
+    spec = all_specs()["flows_nffile_stat"]
+    df = spec.fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 3  # two v2 files + one v1 file
+    assert [r.file for r in rows] == sorted(r.file for r in rows)
+    for r in rows:
+        assert r.n_flows == 24
+        assert r.flows_tcp + r.flows_udp + r.flows_icmp + r.flows_other == 24
+        assert r.bytes_tcp + r.bytes_udp + r.bytes_icmp + r.bytes_other == r.n_bytes
+        assert (
+            r.packets_tcp + r.packets_udp + r.packets_icmp + r.packets_other
+            == r.n_packets
+        )
+        assert r.first_ms <= r.last_ms
+    # the 1.6 file and the first v2 file carry the same generator
+    # stream → identical totals through two different decode layouts
+    v1 = next(r for r in rows if r.file.startswith("nfcapd.16."))
+    v2 = next(r for r in rows if r.file == "nfcapd.nf.0000")
+    assert tuple(v1)[1:] == tuple(v2)[1:]
