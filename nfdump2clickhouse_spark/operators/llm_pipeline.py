@@ -185,7 +185,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # r11: tf rows are already distinct per (doc_id, word) — a plain
+    # count equals the distinct count and skips the two-phase distinct
+    # aggregation (one Expand+Exchange less in the plan)
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # driver-side scalar: parquet footer count, O(files)
     scored = tf.join(df, "word").select(
         "doc_id",

@@ -185,11 +185,20 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     r = d.select("doc_id", "source", rk.alias("rk"))
+    # r11 (guide §2.4): group by source ALONE so the final agg reuses the
+    # rank window's hashpartitioning(source) — n_s/k_s are functionally
+    # dependent on source (they ride in from the broadcast quota join),
+    # so first() recovers them without widening the grouping key into a
+    # fresh exchange
     return (
         r.join(F.broadcast(q), "source")
         .filter(F.col("rk") <= F.col("k_s"))
-        .groupBy("source", "n_s", "k_s")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_s"),
+            F.first("k_s").alias("k_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
         .select(
             "source",
             F.col("n_s").cast("bigint").alias("n_in"),
@@ -954,64 +963,107 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolations never bit-agree; integer cents + round-half-up means
     keep the hash gate exact.
 
-    Scale shape: l_returnflag has THREE values, so the oracle's
-    per-group rank window would funnel a third of the corpus through
-    one task — the engine instead uses
-    ``functions.distributed.grouped_rank`` (range-partition on
-    (group, value), P·G-row offset collect, broadcast rejoin), so no
-    task ranks more than its slice; the cut lookup is a G-row broadcast
-    join and the final agg is one partial+final pass."""
+    Scale shape (r11 optimization, guide §2.3/§2.4): the oracle ranks
+    ROWS, but every output reads only the CENTS VALUE at ranks
+    k_lo/k_hi — and cents = round(price·100) is monotone in the rank
+    order's leading key, so the value at row-rank k is exactly the k-th
+    smallest element of the cents MULTISET, independent of the
+    (orderkey, linenumber) tiebreakers. That turns the corpus-sized
+    grouped rank (r3–r10: ``grouped_rank``'s localCheckpoint + boundary
+    sample + P·G offset collect + window over every row) into a
+    VALUE-HISTOGRAM selection: one partial-aggregated shuffle to
+    (grp, cents) counts, a per-group running count over the histogram,
+    and two G-row broadcast rejoins. Per-task window work is bounded by
+    the PRICE DOMAIN (≤ ~1.1e7 distinct cents), not corpus rows — at
+    100 TB the histogram is the same size as at sf0.1, so the
+    partitionBy(grp) window is a fixed-cost scan, not a corpus funnel
+    (the hazard that motivated grouped_rank does not exist for
+    domain-bounded inputs). Zero driver collects, zero checkpoints,
+    one executed exchange (AQE reuses the histogram exchange across
+    the totals / cuts / final-mean consumers).
+
+    Value-at-rank-k keeps NULL semantics identical to the rank
+    formulation: the qualifying histogram row (cum−cnt < k ≤ cum) is
+    unique, and its cents may be NULL (nulls-first cum order, matching
+    grouped_rank's ASC NULLS FIRST), so lo_c/hi_c still propagate NULL
+    on the all-NULL-price edge fixtures."""
+    from pyspark.sql import Window
+
     from ..catalog import table as _table
-    from ..functions.distributed import grouped_rank
 
     li = _table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
     )
-    v = grouped_rank(
-        li,
-        ["grp"],
-        ["l_extendedprice", "l_orderkey", "l_linenumber"],
-        rank_col="rk",
-    ).select("grp", "cents", "rk")
-    sizes = v.groupBy("grp").agg(F.max("rk").alias("n"))
-    cuts = (
-        v.join(F.broadcast(sizes), "grp")
+    # the oracle's final JOIN ... USING (grp) never matches a NULL group
+    # key — mirror that drop here (the fused plan has no join left to do
+    # it implicitly); per-group results don't depend on other groups, so
+    # the gate pushes to the scan
+    li = li.filter(F.col("grp").isNotNull())
+    hist = li.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # whole-partition frame shares w_run's exchange AND its sort — no
+    # second pass for the group totals
+    w_all = Window.partitionBy("grp")
+    cumn = (
+        hist.withColumn("cum", F.sum("cnt").over(w_run))
+        .withColumn("n", F.sum("cnt").over(w_all))
         .withColumn("k_lo", F.expr("(n + 19) DIV 20"))
         .withColumn("k_hi", F.expr("n + 1 - (n + 19) DIV 20"))
-        .groupBy("grp", "n")
-        .agg(
-            F.min(F.when(F.col("rk") == F.col("k_lo"), F.col("cents"))).alias(
-                "lo_c"
-            ),
-            F.min(F.when(F.col("rk") == F.col("k_hi"), F.col("cents"))).alias(
-                "hi_c"
-            ),
-        )
     )
-    return (
-        v.join(F.broadcast(cuts), "grp")
-        .groupBy("grp", "n", "lo_c", "hi_c")
-        .agg(
-            F.expr(
-                "CAST((2 * SUM(LEAST(GREATEST(cents, lo_c), hi_c)) + n)"
-                " DIV (2 * n) AS BIGINT)"
-            ).alias("wins_mean_c"),
-            F.expr(
-                "CAST((2 * SUM(cents) + n) DIV (2 * n) AS BIGINT)"
-            ).alias("raw_mean_c"),
-        )
-        .select(
-            "grp",
-            F.col("n").cast("bigint").alias("n"),
-            F.col("lo_c").cast("bigint").alias("lo_c"),
-            F.col("hi_c").cast("bigint").alias("hi_c"),
-            "wins_mean_c",
-            "raw_mean_c",
-        )
+    # ONE aggregation computes cuts AND means via the rank-overlap
+    # decomposition: winsorized_sum = (k_lo-1)·lo_c + (n-k_hi)·hi_c +
+    # Σ cents·|[cum-cnt+1, cum] ∩ [k_lo, k_hi]| — every term is a pure
+    # function of this row's (cents, cnt, cum, n), so no second scan
+    # with broadcast cuts is needed. lo_c/hi_c are the value-at-rank-k
+    # picks (unique row with cum-cnt < k <= cum; min() over the one
+    # qualifying row preserves a NULL pick on all-NULL edge fixtures,
+    # where the boundary terms then NULL-propagate exactly like the
+    # clip formulation: 0·NULL is NULL in Spark and DuckDB alike).
+    agg = cumn.groupBy("grp", "n").agg(
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("cnt") < F.col("k_lo"))
+                & (F.col("k_lo") <= F.col("cum")),
+                F.col("cents"),
+            )
+        ).alias("lo_c"),
+        F.min(
+            F.when(
+                (F.col("cum") - F.col("cnt") < F.col("k_hi"))
+                & (F.col("k_hi") <= F.col("cum")),
+                F.col("cents"),
+            )
+        ).alias("hi_c"),
+        F.sum(
+            F.col("cents")
+            * F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.col("cum"), F.col("k_hi"))
+                - F.greatest(F.col("cum") - F.col("cnt") + 1, F.col("k_lo"))
+                + 1,
+            )
+        ).alias("mid_sum"),
+        F.sum(F.col("cents") * F.col("cnt")).alias("raw_sum"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("lo_c").cast("bigint").alias("lo_c"),
+        F.col("hi_c").cast("bigint").alias("hi_c"),
+        # n - k_hi = k_lo - 1 by the symmetric-cut construction, so both
+        # boundary terms carry the same (k_lo - 1) multiplicity
+        F.expr(
+            "CAST((2 * (mid_sum + ((n + 19) DIV 20 - 1) * (lo_c + hi_c)) + n)"
+            " DIV (2 * n) AS BIGINT)"
+        ).alias("wins_mean_c"),
+        F.expr("CAST((2 * raw_sum + n) DIV (2 * n) AS BIGINT)").alias(
+            "raw_mean_c"
+        ),
     )
 
 
@@ -1270,13 +1322,19 @@ def agg_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     never bit-agree across engines, exact ranks do). The dashboard
     staple percentile_approx approximates; this is the audited form.
 
-    Scale shape: same skewed-3-group hazard as `agg_winsorized_mean`,
-    same fix — ``functions.distributed.grouped_rank`` ranks each range
-    slice instead of funneling a third of the corpus through one window
-    task; quartile extraction is then a rank-equality filter folded
-    into ONE partial+final agg."""
+    Scale shape (r11 optimization, same proof as `agg_winsorized_mean`):
+    every output reads only the cents VALUE at a rank, and cents is
+    monotone in the rank order's leading key, so the value at row-rank
+    k is the k-th smallest element of the cents MULTISET — tiebreakers
+    cancel. Quartiles therefore come from a (grp, cents) VALUE
+    HISTOGRAM (one partial-aggregated shuffle, per-task work bounded by
+    the price domain, not corpus rows) instead of the corpus-sized
+    ``grouped_rank`` (localCheckpoint + boundary sample + offset
+    collect + full-row window). Zero driver collects; the histogram
+    exchange is AQE-reused across the cumulative and total passes."""
+    from pyspark.sql import Window
+
     from ..catalog import table as _table
-    from ..functions.distributed import grouped_rank
 
     li = _table(spark, sf_dir, "lineitem")
     # two-sided gate: NULL-flag / NULL-price rows have no place on a
@@ -1287,38 +1345,41 @@ def agg_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
     )
-    v = grouped_rank(
-        li,
-        ["grp"],
-        ["l_extendedprice", "l_orderkey", "l_linenumber"],
-        rank_col="rk",
-    ).select("grp", "cents", "rk")
-    sizes = v.groupBy("grp").agg(F.max("rk").alias("n"))
-    return (
-        v.join(F.broadcast(sizes), "grp")
-        .groupBy("grp", "n")
-        .agg(
-            F.min(
-                F.when(F.col("rk") == F.expr("(n + 3) DIV 4"), F.col("cents"))
-            )
-            .cast("bigint")
-            .alias("p25_c"),
-            F.min(
-                F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("cents"))
-            )
-            .cast("bigint")
-            .alias("p50_c"),
+    hist = li.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # whole-partition frame shares w_run's exchange and sort — the group
+    # total rides the same window pass instead of a join with a second
+    # aggregation of the histogram
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_run)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+
+    def at_rank(k_expr: str, name: str):
+        # value at row-rank k = the unique histogram row with
+        # cum - cnt < k <= cum
+        k = F.expr(k_expr)
+        return (
             F.min(
                 F.when(
-                    F.col("rk") == F.expr("(3 * n + 3) DIV 4"), F.col("cents")
+                    (F.col("cum") - F.col("cnt") < k) & (k <= F.col("cum")),
+                    F.col("cents"),
                 )
             )
             .cast("bigint")
-            .alias("p75_c"),
+            .alias(name)
+        )
+
+    return (
+        cum.groupBy("grp", "n")
+        .agg(
+            at_rank("(n + 3) DIV 4", "p25_c"),
+            at_rank("(n + 1) DIV 2", "p50_c"),
+            at_rank("(3 * n + 3) DIV 4", "p75_c"),
         )
         .select(
             "grp", F.col("n").cast("bigint").alias("n"), "p25_c", "p50_c", "p75_c"

@@ -720,8 +720,14 @@ def curation_manifest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words(F.col("text"))).alias("tokens"),
         l2_norm(as_double("embedding")).alias("nrm"),
     )
-    q = j.filter(F.col("tokens") >= 10)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # r11 (guide §2.3 — shuffle keys, not payloads): hash the text to its
+    # 32-byte fingerprint BEFORE the dedup shuffle and drop the text
+    # column; nothing downstream reads it, so the window's exchange
+    # carries fingerprints instead of whole documents
+    q = j.filter(F.col("tokens") >= 10).select(
+        "doc_id", "lang", "source", "tokens", "nrm", F.md5("text").alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
     dd = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     bucket = (
         F.conv(

@@ -540,8 +540,13 @@ def test_round3_late_shuffle_budgets(spark, sf_dir):
         "ts_period_over_period": 2,
         "text_sentiment_lexicon": 3,
         "dedup_substring_spans": 6,
-        "agg_group_quantiles_exact": 7,
-        "agg_winsorized_mean": 10,
+        # r11 optimization: both moved from grouped_rank (corpus-sized
+        # rank + checkpoint + offset collects) to the domain-bounded
+        # (grp, cents) value-histogram selection — one histogram
+        # exchange + one grp window exchange, plus their static
+        # duplicates pre-AQE
+        "agg_group_quantiles_exact": 4,
+        "agg_winsorized_mean": 4,
     }
     for key, budget in budgets.items():
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
