@@ -71,6 +71,50 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 
+def parquet_column_stats(
+    sf_dir: str, name: str, column: str
+) -> tuple[object, object, int] | None:
+    """(min, max, num_rows) of ``column`` straight from the parquet
+    footers — driver-side metadata, no Spark job (the same O(files)
+    class as the footer row count ``df.count()`` compiles to). Used by
+    the binned two-phase prefix scans to pin range-id literals without
+    a boundary-sampling job. Returns None when any row group lacks
+    min/max statistics (caller falls back to an aggregation job); rows
+    that are all-NULL in a row group contribute no stats and are
+    skipped, matching the NULLS-handled-separately contract of the
+    callers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    parts = [path]
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "part-*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "*.parquet"))
+        )
+    lo = hi = None
+    total = 0
+    for p in parts:
+        md = pq.ParquetFile(p).metadata
+        total += md.num_rows
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            elif st is not None and st.num_values == 0:
+                continue  # row group holds no non-null values for this column
+            else:
+                return None
+    return (lo, hi, total)
+
+
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in TABLE_NAMES}
 

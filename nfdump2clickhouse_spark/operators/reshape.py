@@ -11,7 +11,7 @@ salting is the proactive variant and must stay result-identical).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import register_views, table
 from ..registry import register
@@ -307,20 +307,80 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     The primitive is a GLOBAL exclusive prefix sum, and the naive
     formulation — a window with ORDER BY and no PARTITION BY — funnels
     the whole corpus through one task, the classic 100 TB deadlock.
-    ``functions.distributed.prefix_sums`` (the one home of the two-phase
-    scan since VERDICT r3 wrong-#3: literal-boundary range ids, one
-    O(P) subtotal collect, pid-partitioned windows) supplies the
-    doc_id-ordered exclusive token prefix; bin assignment depends only
-    on that prefix, so the result is independent of the physical
-    split."""
-    from ..functions.distributed import prefix_sums
+    r11 (guide §1.2/§2.4): the ``prefix_sums`` mechanism ran four
+    serial driver jobs (localCheckpoint, boundary sample, subtotal
+    collect, final); the two-phase scan is now fully IN-PLAN — range
+    ids are equi-width-bin literals over the doc_id [min,max] read from
+    the parquet footers (driver metadata, no job; stats-less files fall
+    back to one min/max aggregation over just the doc_id column), the
+    per-bin start offsets come from a bounded nbins-row window +
+    broadcast join (allowlisted unpartitioned window: one row per bin,
+    bins scale with the cluster, never the data), and the binning
+    exchange is shared by the offsets arm and the in-bin window, so
+    tokenization runs ONCE and the whole pack is one executed job.
+    Monotone bin ids preserve the doc_id global order exactly; bin
+    balance only affects parallelism, never the prefix values, so the
+    result stays independent of the physical split."""
+    from ..catalog import parquet_column_stats
     from ..functions.text import words
 
     budget = 2048
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(words(F.col("text"))).alias("n_tok")
     )
-    p, _tot = prefix_sums(d, ["doc_id"], ["n_tok"], exclusive=True)
+    stats = parquet_column_stats(sf_dir, "documents", "doc_id")
+    if stats is None:
+        row = (
+            table(spark, sf_dir, "documents")
+            .agg(F.min("doc_id"), F.max("doc_id"))
+            .collect()[0]
+        )
+        lo, hi = row[0], row[1]
+    else:
+        lo, hi = stats[0], stats[1]
+    nbins = max(spark.sparkContext.defaultParallelism, 2) * 8
+    if lo is None or hi is None or hi == lo:
+        pid = F.lit(0)
+    else:
+        width = (float(hi) - float(lo)) / nbins
+        # NULL doc_id sorts first (Spark ASC NULLS FIRST) → bin 0
+        pid = F.when(F.col("doc_id").isNull(), 0).otherwise(
+            F.least(
+                F.floor((F.col("doc_id").cast("double") - float(lo)) / width),
+                F.lit(nbins - 1),
+            )
+        ).cast("int")
+    sp = d.withColumn("_pid", pid).repartition("_pid")
+    # one window pass yields BOTH the in-bin exclusive prefix and the
+    # bin total (full-frame second spec, same sort, no new exchange);
+    # the tiny offsets arm then branches ABOVE the window, so its
+    # pruned copy shares the binning exchange byte-for-byte with the
+    # main arm (ReusedExchange at runtime — tokenization runs once)
+    w_run = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the bin-total frame carries the SAME orderBy as the running frame
+    # (value-identical: the frame is unbounded) so both arms demand the
+    # same columns below the exchange — required for the reuse match
+    w_bin = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wout = sp.select(
+        "doc_id",
+        "n_tok",
+        "_pid",
+        F.coalesce(F.sum("n_tok").over(w_run), F.lit(0)).alias("lc"),
+        F.coalesce(F.sum("n_tok").over(w_bin), F.lit(0)).alias("bt"),
+    )
+    offw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        wout.select("_pid", "bt")
+        .distinct()
+        .select("_pid", F.coalesce(F.sum("bt").over(offw), F.lit(0)).alias("off"))
+    )
+    p = wout.join(F.broadcast(offs), "_pid").withColumn(
+        "_ps_n_tok", (F.col("off") + F.col("lc")).cast("bigint")
+    )
     return (
         p.withColumn("bin_id", F.floor(F.col("_ps_n_tok") / budget))
         .groupBy("bin_id")

@@ -289,23 +289,37 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact formulation, fully distributed (VERDICT r2 next-#2 closed —
     the r2 version ran a corpus-sized unpartitioned window): D only
-    changes at distinct values of v, so first aggregate to per-distinct-
-    value group counts (one shuffle; ties collapse here, which the RANGE
-    frame handled in the oracle), then compute BOTH cumulative counts
-    with ``functions.distributed.prefix_sums`` (the shared two-phase
-    scan: literal-boundary range ids, one O(P) subtotal collect,
-    pid-partitioned windows), so no task ever sees more than its value
-    range. D stays the INTEGER max of |c0·n1 − c1·n0| — no float CDF
-    subtraction to drift cross-engine; ks_e6 is the exact round-half-up
-    scaled statistic. n0/n1 fall out of the subtotal pass for free.
+    changes at distinct values of v, so ties collapse to per-distinct-
+    value group counts before the scan. r11 (guide §1.2/§2.4): the
+    prefix_sums mechanism here ran FOUR serial driver jobs
+    (localCheckpoint, boundary sample, O(P) subtotal collect, final) —
+    at sf0.1 that serial chain, not compute, owned the wall clock. The
+    two-phase scan is now fully IN-PLAN, ONE executed job: the range id
+    is an equi-width-bin literal over the [min,max] read from the
+    PARQUET FOOTERS (driver metadata, no job; stats-less files fall
+    back to one min/max aggregation). Monotonicity of the bin id in v
+    is all the prefix decomposition needs — bin BALANCE only affects
+    parallelism, never correctness, and the window input is
+    distinct-VALUE rows, so a value-mass hot spot still collapses to
+    one row per price. Per-bin start offsets AND the n0/n1 grand
+    totals come from one bounded nbins-row window + broadcast join
+    instead of driver collects. The binning exchange is shared by the
+    tie-collapse agg, the offsets arm and the in-bin window
+    (hashpartitioning(_pid) clusters every downstream key), so the
+    whole statistic is one corpus scan over one corpus shuffle. nbins
+    derives from defaultParallelism — scale-adaptive, not a local
+    constant. D stays the INTEGER max of |c0·n1 − c1·n0|; ks_e6 is the
+    exact round-half-up scaled statistic.
 
     Degenerate-input parity (r9 edge batch, SURVEY §17.1): a NULL price
     is not a sample point (two-sided IS NOT NULL — nullmix mode: Spark
     would otherwise sort the NULL group first where DuckDB cumulates it
-    last); on an empty sample the oracle's cross join with the empty
-    CDF CTE yields zero rows, mirrored by the n0+n1>0 gate; and with
-    one group empty the scaled DIV's denominator is 0, where DuckDB
-    `//` yields NULL — guarded in Python (n0/n1 are driver ints)."""
+    last); on an empty sample GROUP BY(n0, n1) over zero cumulative
+    rows emits zero rows, exactly the oracle's empty cross join; and
+    with one group empty the scaled DIV's denominator is 0, where
+    DuckDB `//` yields NULL — the CASE gate reproduces that NULL."""
+    from ..catalog import parquet_column_stats
+
     li = table(spark, sf_dir, "lineitem")
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
     s = li.filter(F.col("l_extendedprice").isNotNull()).select(
@@ -314,57 +328,112 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp"
         ),
     )
-    # ties collapse: per-distinct-value counts per group
-    dv = s.groupBy("v").agg(
+    # value-domain bounds from the parquet footers (driver metadata, no
+    # job); a stats-less file falls back to one min/max aggregation job
+    stats = parquet_column_stats(sf_dir, "lineitem", "l_extendedprice")
+    if stats is None:
+        row = s.agg(F.min("v"), F.max("v"), F.count(F.lit(1))).collect()[0]
+        lo, hi, nrows = row[0], row[1], int(row[2])
+    else:
+        lo, hi, nrows = stats
+    # ~8 bin keys per shuffle partition so the hash spreads evenly
+    # (guide §2.5); floor 16 keeps the tiny-cluster edge sane
+    nbins = max(spark.sparkContext.defaultParallelism, 2) * 8
+    if lo is None or hi is None or hi == lo:
+        pid = F.lit(0)
+    else:
+        width = (float(hi) - float(lo)) / nbins
+        pid = F.least(
+            F.floor((F.col("v").cast("double") - float(lo)) / width),
+            F.lit(nbins - 1),
+        ).cast("int")
+    sp = s.withColumn("_pid", pid).repartition("_pid")
+    # ties collapse: per-distinct-value counts per group (no exchange —
+    # _pid is a function of v, so the repartition already clusters v)
+    dv = sp.groupBy("_pid", "v").agg(
         F.count_if(F.col("grp") == 0).alias("d0"),
         F.count_if(F.col("grp") == 1).alias("d1"),
     )
-    from ..functions.distributed import prefix_sums
-
-    p, tot = prefix_sums(dv, ["v"], ["d0", "d1"])
-    n0, n1 = tot["d0"], tot["d1"]  # group sizes, free from the subtotal pass
-    c = p.select(F.col("_ps_d0").alias("c0"), F.col("_ps_d1").alias("c1"))
-    n0l = F.lit(n0).cast("bigint")
-    n1l = F.lit(n1).cast("bigint")
-    # n0/n1 are driver ints, so the degenerate guards are plain Python:
-    # one-group-empty → DuckDB `// 0` is NULL; empty sample → the
-    # oracle's cross join with the empty CDF CTE emits zero rows.
+    # one window pass over dv yields the in-bin running counts AND the
+    # per-bin totals (full-frame second spec, same sort, no new
+    # exchange); the tiny offsets arm branches ABOVE the window, so its
+    # pruned copy shares the binning exchange + tie-collapse agg
+    # byte-for-byte with the main arm (ReusedExchange at runtime — the
+    # md5 scan and shuffle run once)
+    w_run = Window.partitionBy("_pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_bin = Window.partitionBy("_pid")
+    wout = dv.select(
+        "_pid",
+        F.sum("d0").over(w_run).alias("lc0"),
+        F.sum("d1").over(w_run).alias("lc1"),
+        F.coalesce(F.sum("d0").over(w_bin), F.lit(0)).alias("t0"),
+        F.coalesce(F.sum("d1").over(w_bin), F.lit(0)).alias("t1"),
+    )
+    # bounded nbins-row offsets scan (allowlisted unpartitioned window:
+    # one row per bin, never corpus-sized). The same sorted single
+    # partition yields the exclusive start offsets AND the n0/n1 grand
+    # totals — no driver collect, no extra exchange.
+    offw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    totw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = (
+        wout.select("_pid", "t0", "t1")
+        .distinct()
+        .select(
+            "_pid",
+            F.coalesce(F.sum("t0").over(offw), F.lit(0)).alias("off0"),
+            F.coalesce(F.sum("t1").over(offw), F.lit(0)).alias("off1"),
+            F.sum("t0").over(totw).alias("n0c"),
+            F.sum("t1").over(totw).alias("n1c"),
+        )
+    )
+    c = (
+        wout.join(F.broadcast(offs), "_pid")
+        .select(
+            (F.col("off0") + F.col("lc0")).cast("bigint").alias("c0"),
+            (F.col("off1") + F.col("lc1")).cast("bigint").alias("c1"),
+            F.col("n0c").alias("n0"),
+            F.col("n1c").alias("n1"),
+        )
+    )
     # r10 (ADVICE r9 low, the r9 hurst/pacf/cusum convention): the
     # cumulative products and the 2·D·1e6 scaled numerator can exceed
     # int64 — max_diff approaches n0·n1, so the scaled numerator
     # 2·D·1e6 + n0·n1 cliffs once n0·n1 > (2^63−1)/(2e6+1) ≈ 4.6e12
-    # (~4e6 rows). r11 (VERDICT r10 next-#6): n0·n1 is a DRIVER int, so
-    # the width is a plan-time Python branch — int64 below the cliff
-    # (the common case, no decimal tax), decimal(38,0) above it. Both
-    # paths are exact integer arithmetic producing identical values,
-    # so the HUGEINT oracle needs no fork. The final casts stay BIGINT
-    # (ks_e6 ≤ 1e6 by construction; max_diff representable while
-    # n0·n1 < 2^63, documented bound).
-    prod = n0 * n1  # exact Python int, immune to int64
-    int64_safe = prod <= ((1 << 63) - 1) // 2_000_001
+    # (~4e6 rows). r11: the width stays a plan-time branch, but the
+    # bound is now the FOOTER row count (n0·n1 ≤ nrows²/4, exact and
+    # collect-free) — int64 below the cliff (the common case, no
+    # decimal tax), decimal(38,0) above it; both paths are exact
+    # integer arithmetic producing identical values, so the HUGEINT
+    # oracle needs no fork. The final casts stay BIGINT (ks_e6 ≤ 1e6
+    # by construction; max_diff representable while n0·n1 < 2^63,
+    # documented bound). Degenerate guards moved from Python to SQL
+    # with n0/n1 now columns: one-group-empty → CASE yields the NULL
+    # DuckDB `// 0` produces; empty sample → GROUP BY over zero rows
+    # emits zero rows, exactly the oracle's empty cross join.
+    int64_safe = nrows * nrows <= 4 * (((1 << 63) - 1) // 2_000_001)
     cum_t = "bigint" if int64_safe else "decimal(38,0)"
-    lit_sfx = "L" if int64_safe else "BD"
-    ks_e6 = (
-        F.expr(
-            f"CAST((2 * max_diff_d * 1000000 + {prod}{lit_sfx}) DIV"
-            f" (2 * {prod}{lit_sfx}) AS BIGINT)"
-        )
-        if prod > 0
-        else F.lit(None).cast("bigint")
+    ks_e6 = F.expr(
+        "CASE WHEN n0 = 0 OR n1 = 0 THEN CAST(NULL AS BIGINT) ELSE "
+        f"CAST((2 * max_diff_d * 1000000 + CAST(n0 AS {cum_t}) * CAST(n1 AS {cum_t})) DIV"
+        f" (2 * CAST(n0 AS {cum_t}) * CAST(n1 AS {cum_t})) AS BIGINT) END"
     )
     return (
-        c.agg(
+        c.groupBy("n0", "n1")
+        .agg(
             F.max(
                 F.abs(
-                    F.col("c0").cast(cum_t) * n1l
-                    - F.col("c1").cast(cum_t) * n0l
+                    F.col("c0").cast(cum_t) * F.col("n1").cast(cum_t)
+                    - F.col("c1").cast(cum_t) * F.col("n0").cast(cum_t)
                 )
             ).alias("max_diff_d")
         )
-        .where(F.lit(n0 + n1) > 0)
         .select(
-            n0l.alias("n0"),
-            n1l.alias("n1"),
+            F.col("n0").cast("bigint").alias("n0"),
+            F.col("n1").cast("bigint").alias("n1"),
             F.col("max_diff_d").cast("bigint").alias("max_diff"),
             ks_e6.alias("ks_e6"),
         )

@@ -460,6 +460,11 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "ts_seasonal_decompose",      # day-level series
     "win_rolling_median",         # day-level series
     "ts_changepoint",             # day-level series
+    "stats_ks_test",              # nbins-row bin-offset scan (r11: the
+                                  # in-plan two-phase prefix; one row
+                                  # per range bin, bins scale with the
+                                  # cluster, never with the data)
+    "pack_token_budget",          # same nbins-row bin-offset scan (r11)
 }
 
 
@@ -518,7 +523,13 @@ def test_round3_shuffle_budgets(spark, sf_dir):
         "sample_temperature": 6,   # 2 aggs + rank window + final agg + 2 bcast
         "emb_pq_quantize": 3,      # explode->subspace agg (+ sort)
         "tokenizer_bpe_apply": 1,  # one per-source agg; encode is shuffle-free
-        "stats_ks_test": 3,        # dv agg + pid window + final 1-row agg
+        # r11: the whole two-phase scan is in-plan (no checkpoint, no
+        # sample/subtotal collects), so its FULL lineage shows five
+        # static exchanges — bin repartition, the nbins-row offsets
+        # window's single-partition exchange, the offsets broadcast,
+        # and the final 1-row agg's partial+final pair. More plan-text
+        # exchanges, three fewer driver-serialized jobs at runtime.
+        "stats_ks_test": 5,
         "curriculum_binning": 2,   # pid window + phase agg
         "events_rfm_segmentation": 2,
         "emb_binarize_hamming": 3, # band join bcast + dedup + top-5 window
@@ -1637,3 +1648,54 @@ def test_anisotropy_no_pair_join(spark, sf_dir):
     — NO join anywhere in the plan (the n² form would be a self-join)."""
     plan = get_plan(SPECS["emb_anisotropy"].fn(spark, sf_dir), "simple")
     assert "Join" not in plan, plan
+
+
+def test_binned_prefix_runtime_exchange_reuse(spark, sf_dir):
+    """Pins the r11 in-plan two-phase prefix scan of stats_ks_test and
+    pack_token_budget: the per-bin offsets arm branches above the
+    binning exchange, and AQE must collapse the two copies into a
+    ReusedExchange at runtime so the corpus scan (md5 hash split /
+    tokenization) and the bin shuffle execute ONCE. Also bounds the
+    executed shuffle count so extra materialized stages can't creep in
+    under the static budget, and pins zero driver-side two-phase jobs
+    left in the lineage (no localCheckpoint scans)."""
+    import re
+
+    assert (
+        spark.conf.get("spark.sql.exchangeReuseEnabled", "true") != "false"
+    ), "exchange reuse disabled: the shared-exchange plan would 2x-scan"
+    for key in ["stats_ks_test", "pack_token_budget"]:
+        df = SPECS[key].fn(spark, sf_dir)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert final.count("ReusedExchange") >= 1, (key, final)
+        executed = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+        assert len(executed) <= 4, (key, sorted(executed), final)
+        assert "ExistingRDD" not in final, (key, "checkpoint crept back in")
+
+
+def test_parquet_column_stats_footer_bounds(sf_dir):
+    """The footer-stats helper must agree with the data: min/max/rows
+    for the binned prefix scans come straight from parquet metadata."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nfdump2clickhouse_spark.catalog import parquet_column_stats
+
+    stats = parquet_column_stats(sf_dir, "lineitem", "l_extendedprice")
+    assert stats is not None
+    lo, hi, nrows = stats
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    parts = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    import pyarrow.compute as pc
+
+    tbl = pq.read_table(parts[0], columns=["l_extendedprice"])
+    assert nrows == tbl.num_rows
+    assert lo == pc.min(tbl.column(0)).as_py()
+    assert hi == pc.max(tbl.column(0)).as_py()
+    # unknown column → None (caller falls back to an aggregation job)
+    assert parquet_column_stats(sf_dir, "lineitem", "no_such_col") is None
