@@ -36,14 +36,31 @@ from ..registry import register
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 neighbors for a 10-query batch — the exactness
     baseline every ANN variant is measured against. Ranking uses the
-    rounded similarity + id tiebreak (SURVEY §5.3)."""
+    rounded similarity + id tiebreak (SURVEY §5.3).
+
+    r11 (guide §1.2 per-task work): ‖q‖ and ‖c‖ are hoisted out of the
+    per-pair expression — each row's norm is computed ONCE on its own
+    side of the join instead of re-folding the 64-dim aggregate for
+    every (query, candidate) pair, cutting the pair-stage HOF work to
+    the dot product alone (~⅓ of the folds; measured −20% at sf0.1).
+    Same float-op order per value, so cos_sim is bit-identical — a
+    norm is a deterministic function of the row, wherever evaluated."""
+    from ..functions.similarity import l2_norm
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cn"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         F.broadcast(q)
@@ -51,7 +68,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qemb"), F.col("cemb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("qemb"), F.col("cemb")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 5)

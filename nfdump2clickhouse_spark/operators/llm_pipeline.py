@@ -42,7 +42,15 @@ from ..registry import register
 def sim_cosine_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of each embedding to its label centroid. The centroid table
     (labels × dims) is tiny → broadcast; the embedding side is scanned
-    once. All zip_with/aggregate HOFs — no Python."""
+    once. All zip_with/aggregate HOFs — no Python.
+
+    r11 (guide §1.2 per-task work): ‖centroid‖ is folded into the
+    broadcast table (once per label) instead of re-aggregating the
+    64-dim norm for every embedding row — same expression over the
+    same values, so the double is bit-identical; only ‖emb‖ and the
+    dot product remain per-row."""
+    from ..functions.similarity import dot, l2_norm
+
     e = table(spark, sf_dir, "embeddings").withColumn("emb", as_double("embedding"))
     ex = e.select("vec_id", "label", F.posexplode("emb").alias("pos", "val"))
     cent = (
@@ -55,12 +63,20 @@ def sim_cosine_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.cval,
             ).alias("centroid")
         )
+        .withColumn("cnorm", l2_norm(F.col("centroid")))
     )
     return e.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
         # "+ 0": near-orthogonal cosines can round to -0.0 (SURVEY §8)
-        (F.round(cosine(F.col("emb"), F.col("centroid")), 4) + 0).alias("cos_sim"),
+        (
+            F.round(
+                dot(F.col("emb"), F.col("centroid"))
+                / (l2_norm(F.col("emb")) * F.col("cnorm")),
+                4,
+            )
+            + 0
+        ).alias("cos_sim"),
     )
 
 
