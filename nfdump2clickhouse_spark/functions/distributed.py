@@ -35,6 +35,23 @@ closed form — bit-identical to the single-task window, not an
 approximation (the approx-quantile range-cut documented on
 ``curriculum_binning`` remains the cheaper alternative when exact tile
 counts are not required).
+
+r12: a third, fully IN-PLAN mechanism (``binned_prefix_sums`` /
+``binned_grouped_rank``), generalizing the r11 ``stats_ks_test`` /
+``pack_token_budget`` rework (guide §1.2/§2.4). The serial driver
+chain of the samplers above (localCheckpoint job + boundary-sample
+collect + O(P) subtotal collect + the real job) collapses to ONE
+executed job: the range id is an equi-width-bin LITERAL over caller-
+supplied [lo, hi] bounds of the leading order column (parquet-footer
+min/max when the column is physical — driver metadata, no job — or
+one min/max aggregation for derived columns), the per-bin start
+offsets come from a bounded nbins-row window + broadcast join, and
+grand totals ride the same broadcast as columns instead of driver
+values. Monotonicity of the bin id in the leading key is the only
+correctness requirement — bin BALANCE affects parallelism, never
+values — so inexact bounds (truncated footer stats, stale min/max)
+still give exact results: values below lo get negative bin ids,
+values above hi clamp into the top bin, both order-preserving.
 """
 
 from __future__ import annotations
@@ -285,3 +302,382 @@ def grouped_rank(
         .withColumn(rank_col, (F.col("_goff") + F.row_number().over(w)).cast("bigint"))
         .drop("_pid", "_goff")
     )
+
+
+def _with_bin_pid(df: DataFrame, col: str, lo, hi, nbins: int) -> DataFrame:
+    """``df`` + a ``_pid`` equi-width-bin column over ``col`` (callers
+    repartition on it themselves). ``lo``/``hi`` as Python literals
+    keep the bin id a pure plan literal (zero jobs); ``lo=None``/
+    ``hi=None`` derives the bounds IN-PLAN from a broadcast one-row
+    min/max aggregate over ``df`` itself (for DERIVED leading columns
+    with no parquet footer to read — still zero driver jobs and
+    deterministic on re-execution, unlike a rand() boundary sample:
+    min/max are pure functions of the input, so retried tasks
+    recompute identical bin ids). The broadcast arm re-plans ``df``'s
+    lineage; callers whose input hangs below an aggregation get that
+    subtree's exchange back via ReusedExchange, so the upstream scan
+    still runs once."""
+    if lo is not None and hi is not None:
+        return df.withColumn("_pid", _bin_pid(df, col, lo, hi, nbins))
+    v = F.col(col)
+    if str(df.schema[col].dataType).startswith("Timestamp"):
+        v = F.unix_micros(v)
+    b = df.agg(
+        F.min(v).cast("double").alias("_blo"), F.max(v).cast("double").alias("_bhi")
+    )
+    null_pid = F.lit(-(1 << 62)).cast("bigint")
+    pid = F.when(v.isNull(), null_pid).otherwise(
+        F.when(
+            F.col("_blo").isNull() | (F.col("_bhi") == F.col("_blo")),
+            F.lit(0).cast("bigint"),
+        ).otherwise(
+            F.least(
+                F.floor(
+                    (v.cast("double") - F.col("_blo"))
+                    / ((F.col("_bhi") - F.col("_blo")) / nbins)
+                ),
+                F.lit(nbins - 1).cast("bigint"),
+            )
+        )
+    )
+    return df.join(F.broadcast(b)).withColumn("_pid", pid).drop("_blo", "_bhi")
+
+
+def _bin_pid(df: DataFrame, col: str, lo, hi, nbins: int) -> Column:
+    """Equi-width bin literal over ``col`` (bigint, monotone in the
+    column's ASC NULLS FIRST order): NULLs take a sentinel below every
+    finite bin, values under ``lo`` floor negative, values over ``hi``
+    clamp into the top bin — all order-preserving, so stale/truncated
+    bounds only unbalance the bins, never reorder them. Timestamp
+    columns bin on their microsecond count."""
+    v = F.col(col)
+    if str(df.schema[col].dataType).startswith("Timestamp"):
+        v = F.unix_micros(v)
+        if lo is not None:
+            import datetime
+
+            if isinstance(lo, datetime.datetime):
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=datetime.timezone.utc
+                )
+                lo_ts = lo if lo.tzinfo else lo.replace(tzinfo=datetime.timezone.utc)
+                hi_ts = hi if hi.tzinfo else hi.replace(tzinfo=datetime.timezone.utc)
+                lo = (lo_ts - epoch) / datetime.timedelta(microseconds=1)
+                hi = (hi_ts - epoch) / datetime.timedelta(microseconds=1)
+    null_pid = F.lit(-(1 << 62)).cast("bigint")
+    if lo is None or hi is None or float(hi) == float(lo):
+        return F.when(v.isNull(), null_pid).otherwise(F.lit(0).cast("bigint"))
+    width = (float(hi) - float(lo)) / nbins
+    return F.when(v.isNull(), null_pid).otherwise(
+        F.least(
+            F.floor((v.cast("double") - float(lo)) / width),
+            F.lit(nbins - 1).cast("bigint"),
+        )
+    )
+
+
+def binned_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    lo=None,
+    hi=None,
+    exclusive: bool = False,
+    prefix: str = "_ps_",
+    nbins: int | None = None,
+    totals: list[str] | None = None,
+) -> DataFrame:
+    """In-plan two-phase running totals over the global ``order_cols``
+    ordering (asc, nulls first) — the :func:`prefix_sums` contract with
+    ZERO driver jobs (module docstring, r12 mechanism; the proven
+    ``stats_ks_test``/``pack_token_budget`` shape shared).
+
+    ``lo``/``hi`` bound the leading order column's non-null domain
+    (parquet footer stats, or one min/max agg for derived columns);
+    only monotonicity of the derived bin id matters, so inexact bounds
+    are safe. Adds one ``prefix + col`` bigint column per sum col, and,
+    for every col in ``totals``, a ``prefix + "tot_" + col`` bigint
+    grand-total column (the in-plan replacement for the driver-side
+    totals dict — NULL-free: empty bins contribute 0, an empty input
+    yields an empty frame). Plan shape: one hash exchange on the bin
+    id shared by the main window and the offsets arm (ReusedExchange
+    at runtime), a bounded nbins-row unpartitioned window on the
+    offsets arm (one row per bin — bins scale with the cluster, never
+    the data; callers must be allowlisted in
+    test_no_unpartitioned_windows_full_registry), and one broadcast
+    join."""
+    spark = df.sparkSession
+    nbins = nbins or max(spark.sparkContext.defaultParallelism, 2) * 8
+    p = _with_bin_pid(df, order_cols[0], lo, hi, nbins).repartition("_pid")
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    # full-frame spec carries the SAME orderBy (value-identical on an
+    # unbounded frame) so both arms demand identical columns below the
+    # exchange — required for the runtime ReusedExchange match
+    w_bin = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wout = p
+    for c in sum_cols:
+        wout = wout.withColumn(
+            f"_lc_{c}", F.coalesce(F.sum(c).over(w_run), F.lit(0))
+        ).withColumn(f"_bt_{c}", F.coalesce(F.sum(c).over(w_bin), F.lit(0)))
+    offw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    totw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.coalesce(F.sum(f"_bt_{c}").over(offw), F.lit(0)).alias(f"_off_{c}")
+        for c in sum_cols
+    ]
+    tot_cols = [
+        F.coalesce(F.sum(f"_bt_{c}").over(totw), F.lit(0))
+        .cast("bigint")
+        .alias(f"{prefix}tot_{c}")
+        for c in (totals or [])
+    ]
+    offs = (
+        wout.select("_pid", *[f"_bt_{c}" for c in sum_cols])
+        .distinct()
+        .select("_pid", *off_cols, *tot_cols)
+    )
+    out = wout.join(F.broadcast(offs), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            prefix + c,
+            (F.col(f"_off_{c}") + F.col(f"_lc_{c}")).cast("bigint"),
+        )
+    drop = (
+        ["_pid"]
+        + [f"_lc_{c}" for c in sum_cols]
+        + [f"_bt_{c}" for c in sum_cols]
+        + [f"_off_{c}" for c in sum_cols]
+    )
+    return out.drop(*drop)
+
+
+def binned_grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    lo=None,
+    hi=None,
+    rank_col: str = "_grank",
+    nbins: int | None = None,
+) -> DataFrame:
+    """In-plan exact 1-based rank WITHIN each group over ``order_cols``
+    (asc, nulls first) — the :func:`grouped_rank` contract with ZERO
+    driver jobs (module docstring, r12 mechanism). ``lo``/``hi`` bound
+    the LEADING ORDER column (groups share the bins). The offsets arm
+    here is a window PARTITIONED BY the group columns over one row per
+    (bin, group) — bounded by nbins x |groups| and, being partitioned,
+    needs no unpartitioned-window allowlisting."""
+    spark = df.sparkSession
+    nbins = nbins or max(spark.sparkContext.defaultParallelism, 2) * 8
+    p = _with_bin_pid(df, order_cols[0], lo, hi, nbins).repartition(
+        "_pid", *group_cols
+    )
+    w_rn = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    w_cnt = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wout = p.withColumn("_rn", F.row_number().over(w_rn)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w_cnt)
+    )
+    offw = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        wout.select("_pid", *group_cols, "_cnt")
+        .distinct()
+        .select(
+            "_pid",
+            *group_cols,
+            F.coalesce(F.sum("_cnt").over(offw), F.lit(0)).alias("_goff"),
+        )
+    )
+    return (
+        wout.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(rank_col, (F.col("_goff") + F.col("_rn")).cast("bigint"))
+        .drop("_pid", "_rn", "_cnt", "_goff")
+    )
+
+
+def _with_bin_pid_dir(
+    df: DataFrame, col: str, lo, hi, nbins: int, desc: bool
+) -> DataFrame:
+    """Directional form of :func:`_with_bin_pid`: for ``desc=True`` the
+    bin id is monotone in the DESC NULLS LAST order (Spark's default
+    for ``F.desc``) — values negate, bounds swap-negate, and the NULL
+    sentinel moves ABOVE every finite bin. ``lo``/``hi`` are always the
+    RAW column's bounds; ``None`` derives them in-plan (broadcast
+    min/max arm, see :func:`_with_bin_pid`)."""
+    if not desc:
+        return _with_bin_pid(df, col, lo, hi, nbins)
+    v = -F.col(col)
+    if lo is not None and hi is not None:
+        nlo, nhi = -float(hi), -float(lo)
+        null_pid = F.lit(1 << 62).cast("bigint")
+        if float(nhi) == float(nlo):
+            pid = F.when(F.col(col).isNull(), null_pid).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        else:
+            width = (float(nhi) - float(nlo)) / nbins
+            pid = F.when(F.col(col).isNull(), null_pid).otherwise(
+                F.least(
+                    F.floor((v.cast("double") - float(nlo)) / width),
+                    F.lit(nbins - 1).cast("bigint"),
+                )
+            )
+        return df.withColumn("_pid", pid)
+    b = df.agg(
+        F.min(v).cast("double").alias("_blo"), F.max(v).cast("double").alias("_bhi")
+    )
+    null_pid = F.lit(1 << 62).cast("bigint")
+    pid = F.when(F.col(col).isNull(), null_pid).otherwise(
+        F.when(
+            F.col("_blo").isNull() | (F.col("_bhi") == F.col("_blo")),
+            F.lit(0).cast("bigint"),
+        ).otherwise(
+            F.least(
+                F.floor(
+                    (v.cast("double") - F.col("_blo"))
+                    / ((F.col("_bhi") - F.col("_blo")) / nbins)
+                ),
+                F.lit(nbins - 1).cast("bigint"),
+            )
+        )
+    )
+    return df.join(F.broadcast(b)).withColumn("_pid", pid).drop("_blo", "_bhi")
+
+
+def binned_global_rank(
+    df: DataFrame,
+    lead: str,
+    tiebreaks: list[str],
+    rank_col: str = "_grank",
+    lo=None,
+    hi=None,
+    desc: bool = False,
+    total_col: str | None = None,
+    nbins: int | None = None,
+) -> DataFrame:
+    """In-plan exact 1-based global row number over
+    ``(lead [asc|desc], *tiebreaks asc)`` — the :func:`global_rank`
+    contract with ZERO driver jobs (module docstring, r12 mechanism:
+    `global_rank` ran repartitionByRange-sample + localCheckpoint +
+    O(P) count collect before the real job). ``lo``/``hi`` bound the
+    RAW lead column (parquet footer stats; ``None`` = in-plan broadcast
+    min/max arm). ``total_col`` names an optional per-row grand-total
+    column (the in-plan replacement for the returned driver count).
+
+    Plan shape: one hash exchange on the bin id; the bounded nbins-row
+    offsets arm (callers must be allowlisted in
+    test_no_unpartitioned_windows_full_registry) carries the SAME
+    orderBy as the ranking window so both arms demand identical order
+    columns below the exchange — runtime ReusedExchange collapses them
+    whenever the caller carries no extra payload columns (extra columns
+    are pruned from the offsets arm, which then re-plans the lineage as
+    a NARROW column scan: still one executed job, documented tradeoff)."""
+    spark = df.sparkSession
+    nbins = nbins or max(spark.sparkContext.defaultParallelism, 2) * 8
+    order = [F.desc(lead) if desc else F.asc(lead)] + [F.asc(c) for c in tiebreaks]
+    p = _with_bin_pid_dir(df, lead, lo, hi, nbins, desc).repartition("_pid")
+    w_rn = Window.partitionBy("_pid").orderBy(*order)
+    w_cnt = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wout = p.withColumn("_rn", F.row_number().over(w_rn)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w_cnt)
+    )
+    offw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    totw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = (
+        [F.sum("_cnt").over(totw).cast("bigint").alias("_gtot")]
+        if total_col
+        else []
+    )
+    offs = (
+        wout.select("_pid", "_cnt")
+        .distinct()
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(offw), F.lit(0)).alias("_goff"),
+            *tot,
+        )
+    )
+    out = (
+        wout.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, (F.col("_goff") + F.col("_rn")).cast("bigint"))
+        .drop("_pid", "_rn", "_cnt", "_goff")
+    )
+    if total_col:
+        out = out.withColumnRenamed("_gtot", total_col)
+    return out
+
+
+def binned_exact_ntile(
+    df: DataFrame,
+    k: int,
+    lead: str,
+    tiebreaks: list[str],
+    out_col: str,
+    lo=None,
+    hi=None,
+    desc: bool = False,
+    nbins: int | None = None,
+) -> DataFrame:
+    """SQL ``ntile(k) OVER (ORDER BY lead [asc|desc], tiebreaks)``
+    computed from :func:`binned_global_rank` with the tile arithmetic
+    entirely in-plan (the :func:`exact_ntile` contract — first
+    ``n mod k`` tiles take ``ceil(n/k)`` rows — with ZERO driver jobs;
+    n rides the offsets broadcast instead of a collect)."""
+    rank_col = f"_grank_{out_col}"
+    r = binned_global_rank(
+        df, lead, tiebreaks, rank_col, lo, hi, desc, total_col="_ntot", nbins=nbins
+    )
+    q = F.expr(f"_ntot DIV {k}L")
+    rr = F.expr(f"_ntot % {k}L")
+    boundary = rr * (q + 1)
+    rk = F.col(rank_col)
+    # all-integer DIV (no float division to round across a tile edge);
+    # GREATEST(q,1) guards n < k exactly like the Python max(q, 1)
+    tile = F.when(
+        rk <= boundary,
+        F.expr(f"({rank_col} - 1L) DIV (_ntot DIV {k}L + 1L)"),
+    ).otherwise(
+        rr
+        + F.expr(
+            f"({rank_col} - 1L - (_ntot % {k}L) * (_ntot DIV {k}L + 1L))"
+            f" DIV GREATEST(_ntot DIV {k}L, 1L)"
+        )
+    )
+    return r.withColumn(out_col, (tile + 1).cast("int")).drop(rank_col, "_ntot")
+
+
+def binned_pid(
+    df: DataFrame, col: str, lo=None, hi=None, nbins: int | None = None
+) -> DataFrame:
+    """Public entry to the bin-id mechanism for operators that build
+    their own two-phase scan on top of it (e.g. last/first-value
+    boundary carries): ``df`` + a ``_pid`` column monotone in ``col``'s
+    ASC NULLS FIRST order, bounds from literals or the in-plan
+    broadcast min/max arm (see :func:`_with_bin_pid`). Callers
+    repartition on ``_pid`` themselves."""
+    spark = df.sparkSession
+    nbins = nbins or max(spark.sparkContext.defaultParallelism, 2) * 8
+    return _with_bin_pid(df, col, lo, hi, nbins)

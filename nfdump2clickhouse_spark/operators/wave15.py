@@ -1766,13 +1766,20 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the same distinct-value + two-phase prefix-sum
     machinery as `stats_ks_test` — one (score → pos/neg counts) agg
     collapses ties, the strictly-below negative cumulative comes from
-    ``functions.distributed.prefix_sums`` (shared since VERDICT r3
-    wrong-#3; ``exclusive=True`` IS the strictly-below form), P·N
-    totals fall out of the final agg. NULL scores are excluded in both
-    engine and oracle (ADVICE r3: Spark windows order NULLS FIRST,
-    DuckDB NULLS LAST — and a null score has no rank to contribute)."""
+    ``functions.distributed.binned_prefix_sums`` (r12, VERDICT r11
+    next-#4: the ``prefix_sums`` sampler ran FOUR serial driver jobs —
+    localCheckpoint, boundary sample, O(P) subtotal collect, final;
+    the in-plan binned scan is ONE executed job, with range-id
+    literals over the parquet-footer [min,max] of `value` and the
+    per-bin offsets from a bounded nbins-row window + broadcast join
+    — the proven `stats_ks_test` shape; ``exclusive=True`` IS the
+    strictly-below form), P·N totals fall out of the final agg. NULL
+    scores are excluded in both engine and oracle (ADVICE r3: Spark
+    windows order NULLS FIRST, DuckDB NULLS LAST — and a null score
+    has no rank to contribute)."""
+    from ..catalog import parquet_column_stats
     from ..catalog import table as _table
-    from ..functions.distributed import prefix_sums
+    from ..functions.distributed import binned_prefix_sums
 
     e = _table(spark, sf_dir, "events")
     s = e.filter(F.col("value").isNotNull()).select(
@@ -1783,7 +1790,15 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("np"),
         (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("nn"),
     )
-    p, _tot = prefix_sums(dv, ["v"], ["nn"], exclusive=True)
+    stats = parquet_column_stats(sf_dir, "events", "value")
+    lo = hi = None  # stats-less footer: in-plan broadcast bounds
+    if stats is not None and stats[0] is not None and stats[1] is not None:
+        lo, hi = stats[0], stats[1]
+    # np rides sum_cols (its running sum is unused) so BOTH arms of the
+    # binned scan demand identical columns below the bin exchange —
+    # demand asymmetry (offsets arm pruning np) breaks the runtime
+    # ReusedExchange match and re-runs the distinct-value agg twice
+    p = binned_prefix_sums(dv, ["v"], ["nn", "np"], lo, hi, exclusive=True)
     c = p.select("np", "nn", F.col("_ps_nn").alias("cneg_lt"))
     t = c.agg(
         F.sum("np").cast("bigint").alias("p"),
@@ -2350,11 +2365,17 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled to e6 with one floor division: integer-exact cross-engine.
 
     Scale shape: the within-group rank comes from
-    ``functions.distributed.grouped_rank`` (the skewed-3-group fix, no
-    per-group window funnel); everything after is ONE partial+final
+    ``functions.distributed.binned_grouped_rank`` (the skewed-3-group
+    fix, no per-group window funnel; r12, VERDICT r11 next-#4: the
+    sampler `grouped_rank` ran a localCheckpoint + boundary sample +
+    P·G offset collect before the real job — the in-plan binned form
+    is ONE executed job, bin-id literals from the parquet-footer
+    [min,max] of l_extendedprice, per-(bin,grp) offsets from a bounded
+    window + broadcast join); everything after is ONE partial+final
     agg."""
+    from ..catalog import parquet_column_stats
     from ..catalog import table as _table
-    from ..functions.distributed import grouped_rank
+    from ..functions.distributed import binned_grouped_rank
 
     li = _table(spark, sf_dir, "lineitem")
     # two-sided gate: NULL-flag / NULL-price rows have no place on a
@@ -2362,19 +2383,33 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.filter(
         F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
+    # cents derives from the rank's own leading key, so it is computed
+    # AFTER the rank join — both arms of the binned scan then demand
+    # identical columns below the bin exchange (carrying cents through
+    # the rank made the offsets arm prune it, breaking the runtime
+    # ReusedExchange match and scanning lineitem twice)
     li = li.select(
         F.col("l_returnflag").alias("grp"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         "l_extendedprice",
         "l_orderkey",
         "l_linenumber",
     )
-    v = grouped_rank(
+    stats = parquet_column_stats(sf_dir, "lineitem", "l_extendedprice")
+    lo = hi = None  # stats-less footer: in-plan broadcast bounds
+    if stats is not None and stats[0] is not None and stats[1] is not None:
+        lo, hi = stats[0], stats[1]
+    v = binned_grouped_rank(
         li,
         ["grp"],
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        lo,
+        hi,
         rank_col="rk",
-    ).select("grp", "cents", "rk")
+    ).select(
+        "grp",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "rk",
+    )
     dec = "decimal(38,0)"
     return (
         v.groupBy("grp")
@@ -2441,30 +2476,43 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     then spikes).
 
     Scale shape: the corpus-wide exact decile assignment is
-    ``functions.distributed.exact_ntile`` — NO single-task global sort
-    (the oracle's plain window formulation spells out the same ntile
-    arithmetic the helper computes); the cumulative share is a window
-    over 10 rows. All integer cents / basis points."""
+    ``functions.distributed.binned_exact_ntile`` — NO single-task
+    global sort (the oracle's plain window formulation spells out the
+    same ntile arithmetic the helper computes), and r12 (VERDICT r11
+    next-#4) the sampler machinery's serial driver chain
+    (repartitionByRange sample + localCheckpoint + count collect)
+    collapses to ONE executed job: bin-id literals from the parquet-
+    footer [min,max] of l_extendedprice, per-bin offsets and n from
+    the bounded nbins-row window + broadcast join. cents derives from
+    the rank's own leading key AFTER the ntile join so both arms of
+    the binned scan demand identical columns (runtime ReusedExchange —
+    the gini/auc lesson). The cumulative share is a window over 10
+    rows. All integer cents / basis points."""
     from pyspark.sql import Window
 
+    from ..catalog import parquet_column_stats
     from ..catalog import table as _table
-    from ..functions.distributed import exact_ntile
+    from ..functions.distributed import binned_exact_ntile
 
     li = _table(spark, sf_dir, "lineitem")
     # two-sided gate: NULL-price rows have no rank on the curve
     # (r8 nullmix sweep)
     li = li.filter(F.col("l_extendedprice").isNotNull())
-    li = li.select(
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
-    )
-    d = exact_ntile(
+    li = li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    stats = parquet_column_stats(sf_dir, "lineitem", "l_extendedprice")
+    lo = hi = None  # stats-less footer: in-plan broadcast bounds
+    if stats is not None and stats[0] is not None and stats[1] is not None:
+        lo, hi = stats[0], stats[1]
+    d = binned_exact_ntile(
         li,
         10,
-        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
         "decile",
+        lo,
+        hi,
+    ).withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
     )
     g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -2934,12 +2982,18 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (t, delta) agg (unique keys also make ROWS ≡ RANGE framing —
     no cross-engine tie ambiguity; ends sort before starts at the same
     instant, giving half-open [start, end) semantics), then
-    ``functions.distributed.prefix_sums`` (the shared two-phase scan,
-    VERDICT r3 wrong-#3). Max is taken over opening boundaries only
-    (+1 rows commute within a tie run, so the inclusive-tie sum is
-    deterministic)."""
+    ``functions.distributed.binned_prefix_sums`` (r12, VERDICT r11
+    next-#4: the sampler `prefix_sums` ran FOUR serial driver jobs;
+    the in-plan binned scan is ONE executed job — bin-id literals over
+    the parquet-footer [min(ts), max(ts)+1h] window of the boundary
+    domain, offsets from a bounded nbins-row window + broadcast join).
+    Max is taken over opening boundaries only (+1 rows commute within
+    a tie run, so the inclusive-tie sum is deterministic)."""
+    import datetime
+
+    from ..catalog import parquet_column_stats
     from ..catalog import table as _table
-    from ..functions.distributed import prefix_sums
+    from ..functions.distributed import binned_prefix_sums
 
     e = _table(spark, sf_dir, "events")
     b = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionAll(
@@ -2949,7 +3003,11 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = b.groupBy("t", "delta").agg(F.sum("delta").cast("bigint").alias("d"))
-    p, _tot = prefix_sums(g, ["t", "delta"], ["d"])
+    stats = parquet_column_stats(sf_dir, "events", "ts")
+    lo = hi = None  # stats-less/odd-typed footer: in-plan broadcast bounds
+    if stats is not None and isinstance(stats[0], datetime.datetime):
+        lo, hi = stats[0], stats[1] + datetime.timedelta(hours=1)
+    p = binned_prefix_sums(g, ["t", "delta"], ["d"], lo, hi)
     c = p.select("t", "delta", F.col("_ps_d").alias("conc"))
     return (
         c.filter(F.col("delta") == 1)

@@ -293,8 +293,9 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention — nullmix mode flips the cumulative ordering otherwise);
     the z divisions use try_divide (all-tied input zeroes the variance:
     DuckDB 0/0 is NULL, ANSI threw); and over an EMPTY sample the
-    oracle's aggregate CTEs still cross-join to one all-NULL row, so
-    the n0/n1 literals go NULL rather than 0 when n == 0."""
+    oracle's aggregate CTEs still cross-join to one all-NULL row — n0/
+    n1 are MAX aggregates over the totals columns (r12), so zero rows
+    make them NULL rather than 0 the same way."""
     li = table(spark, sf_dir, "lineitem")
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
     s = li.filter(F.col("l_extendedprice").isNotNull()).select(
@@ -307,11 +308,23 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("grp") == 0).alias("d0"),
         F.count_if(F.col("grp") == 1).alias("d1"),
     )
-    from ..functions.distributed import prefix_sums
+    from ..catalog import parquet_column_stats
+    from ..functions.distributed import binned_prefix_sums
 
-    p, tot = prefix_sums(dv, ["v"], ["d0", "d1"])
-    n0, n1 = tot["d0"], tot["d1"]
-    n = n0 + n1
+    # r12 (VERDICT r11 next-#4): the sampler `prefix_sums` ran FOUR
+    # serial driver jobs; the in-plan binned scan is ONE executed job —
+    # bin-id literals from the parquet-footer [min,max] of
+    # l_extendedprice, offsets from a bounded nbins-row window +
+    # broadcast join, n0/n1 riding the same broadcast as COLUMNS (the
+    # empty-sample NULL literal falls out for free: MAX over zero rows
+    # is exactly the oracle's all-NULL cross-join row)
+    stats = parquet_column_stats(sf_dir, "lineitem", "l_extendedprice")
+    lo = hi = None  # stats-less footer: in-plan broadcast bounds
+    if stats is not None and stats[0] is not None and stats[1] is not None:
+        lo, hi = stats[0], stats[1]
+    p = binned_prefix_sums(
+        dv, ["v"], ["d0", "d1"], lo, hi, totals=["d0", "d1"]
+    )
     # decimal(38,0) accumulators: d0 * R2 products near N² overflow
     # nothing here, but the SUM over ~N distinct values approaches
     # n0*2N ~ 1e12 at sf0.1 — bigint-safe; decimal guards the 100×
@@ -331,41 +344,45 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("d0") + F.col("d1"))
             - (F.col("d0") + F.col("d1"))
         ).alias("tterm"),
+        "_ps_tot_d0",
+        "_ps_tot_d1",
     ).agg(
         F.sum("rterm").alias("r0_2x_d"),
         F.sum("tterm").alias("tie_cubes_d"),
+        F.max("_ps_tot_d0").alias("n0c"),
+        F.max("_ps_tot_d1").alias("n1c"),
     )
-    # constants folded in PYTHON (exact bigints): n0*(n0+1) overflows an
-    # int32 literal product at sf0.1 under ANSI mode (caught by the
-    # triple-SF rehearsal; the sf0.01 value squeaks under 2^31).
     # r10 (ADVICE r9 low, the hurst convention): the rank sums STAY in
     # decimal(38,0)/HUGEINT through the U subtraction — tie_cubes grows
     # as N³ with a dominant tie, so the old intermediate BIGINT cast
-    # cliffed near N ≈ 2e6 on both engines; n0(n0+1) interpolates as an
-    # exact BD literal. Final output casts remain BIGINT (documented
-    # representability bound, the `stats_ks_test` contract).
-    u0 = F.col("r0_2x_d") - F.expr(f"{n0 * (n0 + 1)}BD")
+    # cliffed near N ≈ 2e6 on both engines; n0(n0+1) is now the exact
+    # decimal COLUMN product (r12: n0/n1 are columns off the offsets
+    # broadcast, not driver literals — same exact integers). Final
+    # output casts remain BIGINT (documented representability bound,
+    # the `stats_ks_test` contract).
+    dec = "decimal(38,0)"
+    n0d = F.col("n0c").cast(dec)
+    nD = (F.col("n0c") + F.col("n1c")).cast("double")
+    u0 = F.col("r0_2x_d") - n0d * (n0d + 1)
     # empty sample: the oracle's aggregate CTEs cross-join to ONE
-    # all-NULL row; n0/n1 are driver ints, so the literal goes NULL
-    null_if_empty = lambda v: (  # noqa: E731
-        F.lit(v).cast("bigint") if n > 0 else F.lit(None).cast("bigint")
-    )
+    # all-NULL row; MAX over zero rows makes n0/n1 NULL the same way
     return r.select(
-        null_if_empty(n0).alias("n0"),
-        null_if_empty(n1).alias("n1"),
+        F.col("n0c").cast("bigint").alias("n0"),
+        F.col("n1c").cast("bigint").alias("n1"),
         u0.cast("bigint").alias("u0_2x"),
         F.col("tie_cubes_d").cast("bigint").alias("tie_cubes"),
         F.round(
             F.try_divide(
-                u0.cast("double") - F.lit(float(n0)) * n1,
+                u0.cast("double")
+                - F.col("n0c").cast("double") * F.col("n1c"),
                 2.0
                 * F.sqrt(
-                    (F.lit(float(n0)) * n1 / 12.0)
+                    (F.col("n0c").cast("double") * F.col("n1c") / 12.0)
                     * (
-                        F.lit(n + 1)
+                        (nD + 1)
                         - F.try_divide(
                             F.col("tie_cubes_d").cast("double"),
-                            F.lit(float(n)) * (n - 1.0),
+                            nD * (nD - 1.0),
                         )
                     )
                 ),

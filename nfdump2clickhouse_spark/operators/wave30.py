@@ -66,8 +66,13 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     `Window.partitionBy(grp)` rank funnels a third of the corpus
     through one task each — the 8× scale probe measured that shape at
     7.2 (near data-linear on fixed cores). Ranks therefore come from
-    `functions.distributed.grouped_rank` (literal-boundary range ids +
-    per-(pid, grp) window — the `agg_winsorized_mean` machinery), and
+    `functions.distributed.binned_grouped_rank` (r12, VERDICT r11
+    next-#4: the sampler `grouped_rank` ran a localCheckpoint +
+    boundary sample + P·G offset collect per call — 6 serial driver
+    jobs for the two ranks; the in-plan binned form is ONE executed
+    job, bin-id literals from the parquet-footer [min,max] of each
+    rank's leading measure, per-(bin,grp) offsets from a bounded
+    window + broadcast join), and
     the average-rank tie correction falls out for free: the MEAN of
     the tied rows' row-numbers IS the fractional rank whatever their
     internal order, computed as one AVG window over (grp, value) —
@@ -76,7 +81,8 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided with try_divide — the builtin `corr` aggregate THROWS under
     ANSI when a rank column is constant (all-tied group), where
     DuckDB's corr returns NULL (r7 edge sweep, const mode)."""
-    from ..functions.distributed import grouped_rank
+    from ..catalog import parquet_column_stats
+    from ..functions.distributed import binned_grouped_rank
 
     # NULL group keys and NULL measurements have no rank: Spark and
     # DuckDB place NULLs at opposite ends of an ASC rank ordering, so
@@ -91,8 +97,18 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_returnflag").alias("grp"), "l_quantity", "l_extendedprice")
     )
-    r1 = grouped_rank(li, ["grp"], ["l_quantity"], "rn_q")
-    r2 = grouped_rank(r1, ["grp"], ["l_extendedprice"], "rn_p")
+    def _bounds(col: str):
+        st = parquet_column_stats(sf_dir, "lineitem", col)
+        if st is None or st[0] is None or st[1] is None:
+            return None, None  # stats-less footer: in-plan bounds
+        return st[0], st[1]
+
+    lo_q, hi_q = _bounds("l_quantity")
+    lo_p, hi_p = _bounds("l_extendedprice")
+    r1 = binned_grouped_rank(li, ["grp"], ["l_quantity"], lo_q, hi_q, "rn_q")
+    r2 = binned_grouped_rank(
+        r1, ["grp"], ["l_extendedprice"], lo_p, hi_p, "rn_p"
+    )
     rq = F.avg("rn_q").over(Window.partitionBy("grp", "l_quantity"))
     rp = F.avg("rn_p").over(Window.partitionBy("grp", "l_extendedprice"))
     ranked = r2.select("grp", rq.alias("rq"), rp.alias("rp"))

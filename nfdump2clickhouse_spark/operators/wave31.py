@@ -229,11 +229,17 @@ def ml_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique (score desc, event_id) order — but a literal
     `ntile() OVER (ORDER BY ...)` is an unpartitioned data-sized
     window (one task sorts everything), so the decile assignment uses
-    `functions.distributed.exact_ntile`: two-phase range-partitioned
+    `functions.distributed.binned_exact_ntile`: the in-plan binned
     global rank + all-integer tile arithmetic, bit-identical to SQL
-    NTILE with NO single-task sort. The gains table itself is 10 rows,
-    so the cumulative windows and totals are bounded."""
-    from ..functions.distributed import exact_ntile
+    NTILE with NO single-task sort (r12, VERDICT r11 next-#4: the
+    sampler machinery's serial driver chain collapses to ONE executed
+    job; desc order bins on the negated parquet-footer bounds of
+    `value`; the label column rides only the main arm — the offsets
+    arm re-plans as a narrow (value, event_id) scan, the documented
+    demand-asymmetry tradeoff). The gains table itself is 10 rows, so
+    the cumulative windows and totals are bounded."""
+    from ..catalog import parquet_column_stats
+    from ..functions.distributed import binned_exact_ntile
 
     ev = (
         table(spark, sf_dir, "events")
@@ -245,8 +251,12 @@ def ml_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.col("event_type") == "purchase").cast("int").alias("label"),
     )
-    scored = exact_ntile(
-        lab, 10, [F.desc("value"), F.col("event_id")], "decile"
+    stats = parquet_column_stats(sf_dir, "events", "value")
+    lo = hi = None  # stats-less footer: in-plan broadcast bounds
+    if stats is not None and stats[0] is not None and stats[1] is not None:
+        lo, hi = stats[0], stats[1]
+    scored = binned_exact_ntile(
+        lab, 10, "value", ["event_id"], "decile", lo, hi, desc=True
     ).select("label", "decile")
     d = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")

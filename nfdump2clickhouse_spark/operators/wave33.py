@@ -84,10 +84,20 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     values with per-sign counts — every member of a tie group shares
     the average rank cbefore + (cnt+1)/2, so W⁺/W⁻ are closed-form
     folds over the distinct-value table — and get the strictly-below
-    cumulative count from ``functions.distributed.prefix_sums``
-    (``exclusive=True``), exactly the `ml_eval_auc` machinery. No
-    window anywhere; work is O(distinct |d|) per task."""
-    from ..functions.distributed import prefix_sums
+    cumulative count from
+    ``functions.distributed.binned_prefix_sums`` (``exclusive=True``),
+    the `ml_eval_auc` machinery (r12, VERDICT r11 next-#4: the sampler
+    form ran FOUR serial driver jobs; the in-plan binned scan is ONE
+    executed job — |d| is bounded by the parquet-footer
+    [0, max(value)−min(value)] envelope, which only needs to be
+    MONOTONE-correct, not tight, so footer bounds on the raw value
+    column legally bound the derived per-user mean differences; n
+    rides the offsets broadcast as a column, COALESCE(,0) keeping the
+    committed n_pairs=0 empty semantics). The corpus-sized window is
+    per-bin; the only unpartitioned window is the nbins-row offsets
+    arm."""
+    from ..catalog import parquet_column_stats
+    from ..functions.distributed import binned_prefix_sums
 
     ev = (
         table(spark, sf_dir, "events")
@@ -108,8 +118,13 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("d") > 0).cast("bigint")).alias("n_pos"),
         F.sum((F.col("d") < 0).cast("bigint")).alias("n_neg"),
     )
-    p, totals = prefix_sums(g, ["absd"], ["cnt"], exclusive=True)
-    n = totals["cnt"]
+    stats = parquet_column_stats(sf_dir, "events", "value")
+    lo = hi = None  # stats-less footer: in-plan broadcast bounds
+    if stats is not None and stats[0] is not None and stats[1] is not None:
+        lo, hi = 0.0, max(float(stats[1]) - float(stats[0]), 0.0)
+    p = binned_prefix_sums(
+        g, ["absd"], ["cnt"], lo, hi, exclusive=True, totals=["cnt"]
+    )
     # average rank of every member of the |d| tie group (RANK() head
     # cbefore+1 plus (cnt−1)/2) — halves are exact in doubles, so the
     # fold is order-independent
@@ -117,19 +132,23 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = p.agg(
         F.sum(F.col("n_pos") * avg_rnk).alias("w_plus"),
         F.sum(F.col("n_neg") * avg_rnk).alias("w_minus"),
+        F.coalesce(F.max("_ps_tot_cnt"), F.lit(0)).alias("nn"),
     )
+    # exact bigint → decimal products in-plan, cast to double with ONE
+    # rounding before each exact power-of-two / near-exact division —
+    # the same values the old Python-literal fold produced (n(n+1) and
+    # n(n+1)(2n+1) are exact in decimal(38,0); the double conversion
+    # rounds once, /4.0 is exact, /24.0 matches the oracle's own
+    # HUGEINT→DOUBLE path)
+    dec = "decimal(38,0)"
+    nd = F.col("nn").cast(dec)
+    mu = (nd * (nd + 1)).cast("double") / 4.0
+    sig2 = (nd * (nd + 1) * (2 * nd + 1)).cast("double") / 24.0
     return agg.select(
-        F.lit(n).cast("bigint").alias("n_pairs"),
+        F.col("nn").cast("bigint").alias("n_pairs"),
         F.round("w_plus", 4).alias("w_plus"),
         F.round("w_minus", 4).alias("w_minus"),
-        F.round(
-            # exact int products in Python, ONE float rounding per
-            # division — the same evaluation order as the oracle's
-            # n*(n+1)/4.0 and n*(n+1)*(2n+1)/24.0
-            (F.col("w_plus") - F.lit(n * (n + 1) / 4.0))
-            / F.sqrt(F.lit(n * (n + 1) * (2 * n + 1) / 24.0)),
-            4,
-        ).alias("z"),
+        F.round((F.col("w_plus") - mu) / F.sqrt(sig2), 4).alias("z"),
     )
 
 

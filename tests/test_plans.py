@@ -465,6 +465,24 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
                                   # per range bin, bins scale with the
                                   # cluster, never with the data)
     "pack_token_budget",          # same nbins-row bin-offset scan (r11)
+    "ml_eval_auc",                # nbins-row bin-offset scan (r12:
+                                  # binned_prefix_sums — one row per
+                                  # range bin, bins scale with the
+                                  # cluster, never with the data)
+    "stats_mann_whitney",         # same binned_prefix_sums offsets scan
+    "stats_wilcoxon_signed_rank",  # same (r12 conversions, VERDICT r11
+    "agg_pareto_8020",             # next-#4: every remaining sampler
+    "stats_sprt_early_stop",       # prefix_sums consumer moved to the
+    "events_peak_concurrency",     # in-plan binned scan; the only
+    "ml_eval_average_precision",   # unpartitioned window is the
+                                   # nbins-row bin-offset arm)
+    "agg_lorenz_deciles",          # binned_exact_ntile / binned_global_
+    "curriculum_binning",          # rank offsets arm (r12: same bounded
+    "ml_eval_lift",                # nbins-row scan — one row per range
+    "events_dose_response",        # bin, bins scale with the cluster,
+    "events_rfm_segmentation",     # never with the data)
+    "sample_systematic",
+    "stats_nn_matching",           # nbins-row boundary-carry windows
 }
 
 
@@ -573,12 +591,18 @@ def test_round3_late_shuffle_budgets(spark, sf_dir):
 
 
 def test_auc_no_unpartitioned_window(spark, sf_dir):
-    """ml_eval_auc shares stats_ks_test's two-phase machinery: no
-    ordered window without a partition spec may appear in its plan."""
+    """ml_eval_auc shares stats_ks_test's two-phase machinery (r12:
+    the in-plan binned scan): the ONLY ordered window without a
+    partition spec allowed in its plan is the bounded nbins-row
+    bin-offset arm (ordered by the bin id `_pid` — one row per range
+    bin, bins scale with the cluster, never with the data); a
+    corpus-ordered spec (over `v`) must never appear."""
     from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
 
     df = SPECS["ml_eval_auc"].fn(spark, sf_dir)
-    assert not unpartitioned_window_specs(df)
+    specs = unpartitioned_window_specs(df)
+    assert specs, "binned offsets arm missing from the plan"
+    assert all("_pid" in s.split(",")[0] for s in specs), specs
 
 
 def test_lpa_no_mandatory_broadcast(spark, sf_dir):
@@ -672,7 +696,13 @@ def test_wave22_exchange_budgets(spark, sf_dir):
         "flows_stitch_rotation": 2,
         "dedup_url_canonicalize": 2,   # canonical groupBy + distinct 2-phase
         "privacy_dp_counts": 1,        # one partial+final count agg
-        "stats_mann_whitney": 2,
+        # r12 binned in-plan scan: static plan duplicates the
+        # distinct-value subtree into the bin-offsets arm (runtime
+        # ReusedExchange collapses it — pinned in
+        # test_binned_prefix_runtime_exchange_reuse); 7 static =
+        # dv agg 2-phase + bin repartition x2 copies + offsets
+        # SinglePartition + broadcast + final 1-row agg
+        "stats_mann_whitney": 7,
         # bg→model agg, bounded-model window + score join, doc agg,
         # source rollup — the text_ngram_lm shape plus two bounded stages
         "text_lm_perplexity_filter": 6,
@@ -695,11 +725,15 @@ def test_stitch_window_and_agg_share_partitioning(spark, sf_dir):
 
 
 def test_mann_whitney_no_unpartitioned_window(spark, sf_dir):
+    """r12 binned scan: only the bounded nbins-row `_pid` offsets arm
+    may be unpartitioned — never a corpus-ordered spec over `v`."""
     from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
 
-    assert not unpartitioned_window_specs(
+    specs = unpartitioned_window_specs(
         SPECS["stats_mann_whitney"].fn(spark, sf_dir)
     )
+    assert specs, "binned offsets arm missing from the plan"
+    assert all("_pid" in s.split(",")[0] for s in specs), specs
 
 
 def test_wave23_exchange_budgets(spark, sf_dir):
@@ -994,7 +1028,11 @@ def test_wave30_exchange_budgets(spark, sf_dir):
         # 3-value group key makes a plain partitionBy(grp) window a
         # one-task-per-group sort (8x probe measured 7.2; this shape
         # probes 1.6)
-        "stats_spearman_corr": 7,
+        # r12 binned grouped ranks (x2): static copies of each rank's
+        # subtree in its offsets arm; runtime reuse collapses rank-2's
+        # (rank-1's offsets arm recomputes — demand asymmetry on rn_q,
+        # documented in OPTIMIZATION_r12.md)
+        "stats_spearman_corr": 15,
         # train agg + test agg + broadcast + k-row ordering
         "ml_eval_regression": 4,
         # moments agg + scaled-means agg + 2 broadcasts + k-row joins/order
@@ -1101,7 +1139,8 @@ def test_wave33_exchange_budgets(spark, sf_dir):
     """Round-5 wave-33 keys: audited Exchange budgets."""
     budgets = {
         # user agg + user-level rank window + 1-row moments
-        "stats_wilcoxon_signed_rank": 4,
+        # r12 binned in-plan scan (see stats_mann_whitney note)
+        "stats_wilcoxon_signed_rank": 9,
         # distinct-edge agg (partial+final) + single-group GEMM batch
         "graph_adamic_adar": 3,
         # daily conditional-count agg + bounded days window + order
@@ -1308,7 +1347,10 @@ def test_wave40_exchange_budgets(spark, sf_dir):
         # table + order (a filter+join re-derived the pipeline)
         "privacy_generalization_ladder": 5,
         # user rollup + user-level rank/cumsum windows + 1-row report
-        "agg_pareto_8020": 4,
+        # r12 binned in-plan scan with in-plan min/max bounds arm
+        # (derived -rev key has no footer): THREE static copies of
+        # the user rollup, runtime ReusedExchange x2 collapses them
+        "agg_pareto_8020": 13,
         # one 16-group agg + 16-row arithmetic
         "agg_median_of_means": 2,
         # one power-sum agg + order
@@ -1332,7 +1374,8 @@ def test_wave41_exchange_budgets(spark, sf_dir):
         # checkpointed user rollup + 1-row prior + TOAP top-50
         "stats_bayes_shrunk_rates": 4,
         # ordered LLR cumsum (sequential semantics) + 1-row stat
-        "stats_sprt_early_stop": 3,
+        # r12 binned in-plan scan (see stats_mann_whitney note)
+        "stats_sprt_early_stop": 5,
         # (word,doc) agg + 1-row n_docs + word moments + TOAP
         "text_burstiness_dispersion": 5,
         # checkpointed scored pass: 10-bin agg + bounded windows +
@@ -1356,8 +1399,11 @@ def test_shrunk_rates_take_ordered(spark, sf_dir):
 def test_wave42_exchange_budgets(spark, sf_dir):
     """Round-5 wave-42 keys: audited Exchange budgets."""
     budgets = {
-        # user rollup + user-level sorted-merge windows + 1-row report
-        "stats_nn_matching": 4,
+        # r12 binned in-plan scan: THREE static copies of the user
+        # rollup (main + nbins-row carries arm + 1-row bounds arm);
+        # runtime ReusedExchange x2 collapses them (pinned in
+        # test_binned_prefix_runtime_exchange_reuse)
+        "stats_nn_matching": 13,
         # checkpointed token distinct + blocked candidate join + argmin
         # window + resolve join + 1-row report
         "dedup_entity_resolution": 7,
@@ -1375,9 +1421,14 @@ def test_wave42_exchange_budgets(spark, sf_dir):
 
 def test_nn_matching_no_pair_join(spark, sf_dir):
     """1-D nearest neighbor must be the sorted-merge window form —
-    no treated x control join anywhere in the plan."""
+    no treated x control join anywhere in the plan. r12: the in-plan
+    binned scan rejoins its bounded arms (1-row min/max bounds,
+    nbins-row boundary carries) via BROADCAST joins — those are
+    allowed; any shuffled data x data join is not."""
     plan = get_plan(SPECS["stats_nn_matching"].fn(spark, sf_dir), "simple")
-    assert "Join" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_wave43_exchange_budgets(spark, sf_dir):
@@ -1598,7 +1649,8 @@ def test_wave51_exchange_budgets(spark, sf_dir):
     budgets = {
         # global ordered rank/cumsum (prefix_sums is the scale form,
         # per the ml_eval_auc precedent) + 1-row fold
-        "ml_eval_average_precision": 4,
+        # r12 binned in-plan scan (see stats_mann_whitney note)
+        "ml_eval_average_precision": 5,
         # checkpointed cell table + day-partitioned rank windows +
         # k rank sums + 1-row stat
         "stats_friedman_test": 5,
@@ -1664,13 +1716,37 @@ def test_binned_prefix_runtime_exchange_reuse(spark, sf_dir):
     assert (
         spark.conf.get("spark.sql.exchangeReuseEnabled", "true") != "false"
     ), "exchange reuse disabled: the shared-exchange plan would 2x-scan"
-    for key in ["stats_ks_test", "pack_token_budget"]:
+    # r12 (VERDICT r11 next-#4): every remaining sampler prefix_sums/
+    # grouped_rank consumer moved to the in-plan binned scan — each is
+    # pinned here with its audited executed-shuffle-stage cap (the
+    # static plans duplicate the pre-bin subtree into the offsets arm;
+    # runtime ReusedExchange must collapse it). stats_spearman_corr's
+    # cap reflects the documented rank-1 demand asymmetry (rn_q).
+    stage_caps = {
+        "stats_ks_test": 4,
+        "pack_token_budget": 4,
+        "ml_eval_auc": 5,
+        "stats_mann_whitney": 5,
+        "stats_wilcoxon_signed_rank": 8,
+        "agg_pareto_8020": 7,
+        "stats_sprt_early_stop": 4,
+        "ml_eval_average_precision": 4,
+        "events_peak_concurrency": 5,
+        "agg_gini_concentration": 4,
+        "stats_spearman_corr": 12,
+        "agg_lorenz_deciles": 8,
+        "curriculum_binning": 4,
+        "events_dose_response": 9,
+        "events_rfm_segmentation": 20,
+        "stats_nn_matching": 7,
+    }
+    for key, cap in stage_caps.items():
         df = SPECS[key].fn(spark, sf_dir)
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()
         assert final.count("ReusedExchange") >= 1, (key, final)
         executed = set(re.findall(r"ShuffleQueryStage (\d+)", final))
-        assert len(executed) <= 4, (key, sorted(executed), final)
+        assert len(executed) <= cap, (key, sorted(executed), final)
         assert "ExistingRDD" not in final, (key, "checkpoint crept back in")
 
 
