@@ -82,10 +82,20 @@ def parquet_column_stats(
     min/max statistics (caller falls back to an aggregation job); rows
     that are all-NULL in a row group contribute no stats and are
     skipped, matching the NULLS-handled-separately contract of the
-    callers."""
+    callers.
+
+    Contract (ADVICE r11): only width-exact physical types are served —
+    INT32/INT64/FLOAT/DOUBLE (covers every numeric and µs/ns-timestamp
+    fixture column). BYTE_ARRAY stats may be writer-truncated and INT96
+    stats are unreliable on legacy writers, so those return None and the
+    caller takes its in-plan bounds arm. Callers must still treat the
+    bounds as BINNING bounds (monotone bucketing only), not as exact
+    extrema — FLOAT/DOUBLE footers are NaN-blind."""
     import glob
 
     import pyarrow.parquet as pq
+
+    _EXACT_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE"}
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     parts = [path]
@@ -101,6 +111,10 @@ def parquet_column_stats(
         try:
             idx = md.schema.names.index(column)
         except ValueError:
+            return None
+        if md.num_row_groups and (
+            md.row_group(0).column(idx).physical_type not in _EXACT_PHYSICAL
+        ):
             return None
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(idx)

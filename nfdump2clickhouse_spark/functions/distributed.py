@@ -512,6 +512,88 @@ def binned_grouped_rank(
     )
 
 
+def binned_grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    sum_cols: list[str],
+    lo=None,
+    hi=None,
+    prefix: str = "_ps_",
+    nbins: int | None = None,
+    totals: list[str] | None = None,
+) -> DataFrame:
+    """Running totals WITHIN each group over ``order_cols`` (asc, nulls
+    first) — the grouped twin of :func:`binned_prefix_sums` (r12,
+    VERDICT r11 next-#8): splits a ``partitionBy(group)`` cumulative
+    window whose per-group row count can grow domain-sized into
+    ``(bin, group)`` partitions with bounded per-task work. Adds one
+    ``prefix + col`` bigint running-total column per sum col and, for
+    every col in ``totals``, a ``prefix + "tot_" + col`` bigint
+    per-GROUP grand total. The offsets arm is a window PARTITIONED BY
+    the group columns over one row per (bin, group) — bounded by
+    nbins x |groups|, no unpartitioned-window allowlisting needed.
+    Monotonicity contract of ``lo``/``hi`` as in the ungrouped form."""
+    spark = df.sparkSession
+    nbins = nbins or max(spark.sparkContext.defaultParallelism, 2) * 8
+    p = _with_bin_pid(df, order_cols[0], lo, hi, nbins).repartition(
+        "_pid", *group_cols
+    )
+    w_run = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # same orderBy on the full-frame spec: both arms must demand
+    # identical columns below the exchange for the ReusedExchange match
+    w_bin = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wout = p
+    for c in sum_cols:
+        wout = wout.withColumn(
+            f"_lc_{c}", F.coalesce(F.sum(c).over(w_run), F.lit(0))
+        ).withColumn(f"_bt_{c}", F.coalesce(F.sum(c).over(w_bin), F.lit(0)))
+    offw = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totw = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.coalesce(F.sum(f"_bt_{c}").over(offw), F.lit(0)).alias(f"_off_{c}")
+        for c in sum_cols
+    ]
+    tot_cols = [
+        F.coalesce(F.sum(f"_bt_{c}").over(totw), F.lit(0))
+        .cast("bigint")
+        .alias(f"{prefix}tot_{c}")
+        for c in (totals or [])
+    ]
+    offs = (
+        wout.select("_pid", *group_cols, *[f"_bt_{c}" for c in sum_cols])
+        .distinct()
+        .select("_pid", *group_cols, *off_cols, *tot_cols)
+    )
+    out = wout.join(F.broadcast(offs), ["_pid", *group_cols])
+    for c in sum_cols:
+        out = out.withColumn(
+            prefix + c,
+            (F.col(f"_off_{c}") + F.col(f"_lc_{c}")).cast("bigint"),
+        )
+    drop = (
+        ["_pid"]
+        + [f"_lc_{c}" for c in sum_cols]
+        + [f"_bt_{c}" for c in sum_cols]
+        + [f"_off_{c}" for c in sum_cols]
+    )
+    return out.drop(*drop)
+
+
 def _with_bin_pid_dir(
     df: DataFrame, col: str, lo, hi, nbins: int, desc: bool
 ) -> DataFrame:

