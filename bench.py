@@ -106,6 +106,16 @@ LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
 COOLDOWN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "120"))
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
+# Volume-scaling mode (VERDICT r11 next-#2): at sf0.1 every headline
+# query sits near the per-query driver/AQE coordination floor, so
+# core-count ratios are uninformative. SPARK_GRAFT_BENCH_VOLMULT=N (>1)
+# synthesizes an N x input (tools/scale_probe.build: key-offset unions,
+# referential integrity preserved) into a FRESH temp dir each
+# invocation — nothing persists across runs, every timed query still
+# computes from parquet inputs — and times the same queries on it.
+# Unset/1 leaves the bench byte-identical to the default contract.
+VOLMULT = int(os.environ.get("SPARK_GRAFT_BENCH_VOLMULT", "1"))
+
 
 def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -123,11 +133,19 @@ def main() -> None:
 
     spark = get_spark("spark-flows-bench")
     qs = registry.queries()
+    sf_dir = SF_DIR
+    if VOLMULT > 1:
+        import tempfile
+
+        from tools.scale_probe import build
+
+        sf_dir = tempfile.mkdtemp(prefix=f"sf_bench_vol{VOLMULT}_")
+        build(spark, SF_DIR, sf_dir, VOLMULT)  # synthesis is NOT timed
     # warmup (not timed): flagship for JVM/codegen, a pandas-UDF query for
     # the Python worker pool — steady-state throughput is what a cluster
     # run measures, not one-off JIT/fork costs
-    _run(qs["agg_pricing_summary"](spark, SF_DIR))
-    _run(qs["udf_pandas_scalar"](spark, SF_DIR))
+    _run(qs["agg_pricing_summary"](spark, sf_dir))
+    _run(qs["udf_pandas_scalar"](spark, sf_dir))
 
     # best-of-3 per query: the first run pays plan compilation + JIT of
     # fresh codegen'd classes, and warm reps still jitter ~25% under
@@ -136,7 +154,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _run(qs[key](spark, SF_DIR))
+            _run(qs[key](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
@@ -174,9 +192,7 @@ def main() -> None:
     # extras live under their own key (ADVICE r2): sum(queries.values())
     # must keep equaling `value` for any consumer recomputing the headline
     extras = {key: _best_of_3(key) for key in EXTRAS}
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_wall",
                 "value": median_pass["total"],
                 "unit": "sec",
@@ -196,8 +212,13 @@ def main() -> None:
                 "load_after_cooldown": load_after_cooldown,
                 "cooldown_sec": cooldown_taken,
             }
-        )
-    )
+    if VOLMULT > 1:
+        payload["volmult"] = VOLMULT
+    print(json.dumps(payload))
+    if VOLMULT > 1:
+        import shutil
+
+        shutil.rmtree(sf_dir, ignore_errors=True)
     spark.stop()
 
 
