@@ -925,11 +925,19 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Row-count gate for the (bin, grp)-partitioned cumulative histogram
 # (VERDICT r11 next-#8): below this the r11 single-window plan is
-# byte-identical (every bench SF: sf0.1 lineitem ~600k rows); above it
-# per-group histograms approach the ~1.07e7-cents price domain and the
-# one-task-per-group window loses intra-group parallelism. Tests force
-# the branch by patching this to 0.
-_WINSOR_BINNED_MIN_ROWS = 8_000_000
+# byte-identical (every bench SF: sf0.1 lineitem ~600k rows). The gate
+# sits ABOVE replication-probe scale deliberately: the x32 probe
+# (19.2M rows) measured the binned branch 26.8 s vs plain 17.2 s,
+# because key-offset replication repeats the SAME prices — the
+# (grp, cents) histogram stays fixture-sized and the branch's extra
+# offsets arm buys zero parallelism. The branch pays off only when
+# per-group DISTINCT cents approach the ~1.07e7 price domain, which on
+# domain-diverse real data needs corpus rows well past probe scale;
+# footer row count is the only zero-job proxy available. Tests force
+# the branch by patching this to 0
+# (test_winsorized_binned_branch_matches_plain pins plan + row
+# equality; the x32 equality check passed too — OPTIMIZATION_r12.md).
+_WINSOR_BINNED_MIN_ROWS = 200_000_000
 
 
 @register(
