@@ -548,8 +548,12 @@ def test_round3_shuffle_budgets(spark, sf_dir):
         # and the final 1-row agg's partial+final pair. More plan-text
         # exchanges, three fewer driver-serialized jobs at runtime.
         "stats_ks_test": 5,
-        "curriculum_binning": 2,   # pid window + phase agg
-        "events_rfm_segmentation": 2,
+        # r12 binned in-plan scans: the STATIC count includes the
+        # offsets/bounds arms' duplicated subtrees (AQE collapses them
+        # to ReusedExchange at runtime — executed-stage caps pinned in
+        # test_binned_prefix_runtime_exchange_reuse); audited counts
+        "curriculum_binning": 5,   # bin repartition + offsets arm + phase agg
+        "events_rfm_segmentation": 42,  # 3 lean terciles (20 executed stages)
         "emb_binarize_hamming": 3, # band join bcast + dedup + top-5 window
     }
     for key, budget in budgets.items():
@@ -1071,8 +1075,9 @@ def test_wave31_exchange_budgets(spark, sf_dir):
         "sample_ppswor": 0,
         # median agg + broadcast + z agg + 1-row total
         "stats_levene_test": 4,
-        # exact_ntile two-phase rank + bounded 10-row gains windows
-        "ml_eval_lift": 5,
+        # r12 binned decile rank (desc bins + narrow label-rescan arm;
+        # audited static count, 5 executed stages per the runtime pin)
+        "ml_eval_lift": 6,
         # daily rollup + moment agg + broadcast + per-type windows + order
         "ts_cusum_anomaly": 6,
     }
@@ -1555,14 +1560,18 @@ def test_wave48_exchange_budgets(spark, sf_dir):
     budgets = {
         # checkpointed day table + bounded pair join + percentile agg
         "stats_hodges_lehmann": 4,
-        # key-order window (bounded demo; global_rank at scale) + aggs
-        "sample_systematic": 3,
+        # r12 binned global rank: bin repartition + narrow offsets-arm
+        # rescan + pop-mean broadcast cross-join (audited static count;
+        # 5 executed stages per the runtime pin)
+        "sample_systematic": 7,
         # percentile-band agg broadcast back + group rollup + order
         "agg_trimmed_mean": 4,
         # checkpointed day table + bounded pair join + percentile agg
         "ts_theil_sen": 4,
-        # user rollup + exact_ntile two-phase + 10-row response + order
-        "events_dose_response": 5,
+        # r12 binned ntile over the derived dose: in-plan bounds arm
+        # duplicates the user-rollup subtree statically (audited count;
+        # 9 executed stages / 2 reuses per the runtime pin)
+        "events_dose_response": 14,
     }
     for key, budget in budgets.items():
         plan = get_plan(SPECS[key].fn(spark, sf_dir), "simple")
